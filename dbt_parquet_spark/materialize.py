@@ -1,0 +1,85 @@
+"""Materialization: CTAS, seeds, and the write-then-swap publish pattern.
+
+Reference equivalents: ``COPY ({sql}) TO '{path}' (FORMAT 'parquet')``
+(reference macros/adapters.sql:6-21) and the CSV seed loader
+(reference impl.py:151-163, macros/seed.sql:9-12).
+
+Two layouts:
+- ``single_file=True``  — reference-compatible: exactly one ``table.parquet``
+  file (coalesce(1) + rename of the part file). Single-writer; use only for
+  small outputs / oracle parity.
+- ``single_file=False`` — Spark-native (default): ``table.parquet/`` is a
+  directory of part files written by all executors in parallel. This is the
+  100 TB path; readers address it identically.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import FilesystemCatalog, Relation
+
+
+def _publish_single_file(tmp_dir: str, dest: str) -> None:
+    parts = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+    assert len(parts) == 1, f"expected one part file, got {parts}"
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(parts[0], dest)
+    shutil.rmtree(tmp_dir)
+
+
+def create_table_as(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    df_or_sql: DataFrame | str,
+    single_file: bool = False,
+    register: bool = True,
+) -> DataFrame:
+    """CTAS (reference macros/adapters.sql:10): execute → write parquet →
+    register view. Writes go to a temp name then swap (atomic publish per
+    reference impl.py:75-85 rename pattern) so a failed write never clobbers
+    the previous table version."""
+    df = spark.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+    os.makedirs(os.path.dirname(rel.path), exist_ok=True)
+    tmp = os.path.join(os.path.dirname(rel.path), f".tmp_{rel.table}_{uuid.uuid4().hex[:8]}")
+    if single_file:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _publish_single_file(tmp, rel.path)
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(rel.path) or os.path.exists(rel.path):
+            catalog.drop_relation(rel)
+        os.rename(tmp, rel.path)
+    if register:
+        return catalog.register_view(spark, rel)
+    return spark.read.parquet(rel.path)
+
+
+# -- seeds (reference impl.py:151-163, 185-208) -----------------------------
+def load_seed(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    csv_path: str,
+    rel: Relation,
+    single_file: bool = True,
+    register: bool = True,
+) -> DataFrame:
+    """CSV → typed parquet table. ``inferSchema`` reproduces the reference's
+    agate-driven inference (reference impl.py:185-208): ints stay integral,
+    any decimal → double, ISO dates/timestamps → date/timestamp, bools →
+    boolean. Seeds are small by definition → single-file layout by default."""
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(csv_path)
+    )
+    return create_table_as(spark, catalog, rel, df, single_file=single_file, register=register)

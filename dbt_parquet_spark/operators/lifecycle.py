@@ -1,0 +1,86 @@
+"""Lifecycle queries — exercise the catalog + materialization layer
+(SURVEY §2C q_seed_roundtrip / q_schema_introspect, plus a CTAS round-trip
+that IS oracle-checkable because the round-trip must be lossless).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import FilesystemCatalog
+from ..materialize import create_table_as, load_seed
+from ..registry import register
+from ..sources.readers import load_table
+
+# Deterministic seed CSV covering the reference's type-inference matrix
+# (reference impl.py:185-208): int, text, timestamp, bool, date, float.
+SEED_CSV = """id,name,some_date,is_active,joined,score
+1,Easton,1981-05-20T06:46:51,true,2020-01-01,1.5
+2,Lillian,1978-09-03T18:10:33,false,2020-02-01,2.25
+3,Jeremiah,1982-03-11T03:59:51,true,2020-03-01,3.0
+4,Nolan,1976-05-06T20:21:35,false,2020-04-01,4.75
+5,Hannah,1982-06-23T05:41:26,true,2020-05-01,5.0
+6,Eleanor,1991-08-10T23:12:21,false,2020-06-01,6.5
+7,Lily,1971-03-29T14:58:02,true,2020-07-01,7.25
+8,Jonathan,1988-02-26T02:55:24,false,2020-08-01,8.0
+9,Adrian,1994-02-09T13:14:23,true,2020-09-01,9.75
+10,Nora,1976-03-09T01:04:30,false,2020-10-01,10.5
+"""
+
+
+@register("q_seed_roundtrip", tags=("seed", "materialize"))
+def q_seed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV seed → parquet → re-read (reference impl.py:151-163 read_csv_auto
+    COPY; dbt-tests-adapter's 10-row base seed, reference test_basic.py:47).
+
+    Rows-only driver check (no oracle SQL — the assertion is the lossless
+    round-trip itself, verified in tests/test_materialize.py)."""
+    tmp = tempfile.mkdtemp(prefix="seed_db_")
+    csv_path = os.path.join(tmp, "base.csv")
+    with open(csv_path, "w") as f:
+        f.write(SEED_CSV)
+    catalog = FilesystemCatalog(tmp)
+    catalog.create_schema("seeds")
+    rel = catalog.relation("base", "seeds")
+    df = load_seed(spark, catalog, csv_path, rel)
+    return df.orderBy("id")
+
+
+@register("q_schema_introspect", tags=("catalog",))
+def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-catalog DataFrame over the testdata database: every (schema,
+    table, column, index, type), from parquet footers only — the Spark analog
+    of reference macros/catalog.sql:1-36 + impl.py:97-103. Rows-only check."""
+    catalog = FilesystemCatalog(sf_dir)
+    return catalog.catalog_df(spark)
+
+
+@register(
+    "q_materialize_roundtrip",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("materialize", "ctas"),
+)
+def q_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS round-trip (reference macros/adapters.sql:10 COPY … TO parquet):
+    materialize the q_join_multi result as a parquet table (single-file
+    reference layout), read it back, and return it. Oracle SQL is the
+    original query — so the driver verifies the materialization is lossless
+    end-to-end (values, schema, row count)."""
+    from .relational import q_join_multi
+
+    tmp = tempfile.mkdtemp(prefix="ctas_db_")
+    catalog = FilesystemCatalog(tmp)
+    rel = catalog.relation("nation_rollup")
+    result = q_join_multi(spark, sf_dir)
+    return create_table_as(spark, catalog, rel, result, single_file=True)

@@ -1,0 +1,102 @@
+"""Parquet/CSV source readers.
+
+Reference equivalents: ``parquet_scan('{path}')`` (reference relation.py:101-102)
+and ``read_csv_auto`` seed ingestion (reference impl.py:151-163). Spark's
+vectorized parquet reader + Catalyst pushdown replace DuckDB's scan; the
+declarative ``spark.read`` keeps projection pruning / predicate pushdown free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def table_names(sf_dir: str) -> list[str]:
+    return [t for t in TESTDATA_TABLES if os.path.exists(table_path(sf_dir, t))]
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only probe."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
+    pf = pq.ParquetFile(path)
+    # INT96 legacy timestamps surface as ns in Arrow but Spark reads them
+    # natively — only true INT64 TIMESTAMP(NANOS) needs the escape hatch.
+    physical = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }
+    return [
+        f.name
+        for f in pf.schema_arrow
+        if pat.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and physical.get(f.name) == "INT64"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with ns-timestamp normalization.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the
+    ``nanosAsLong`` escape hatch it surfaces as a raw long. We convert to
+    TimestampType by integer-dividing to µs — exactly DuckDB's ns→µs
+    truncation, so oracle comparisons are well-defined (SURVEY §7 risk
+    register). Integer ``div``, NOT ``/``: float division loses precision at
+    ns-since-epoch magnitudes.
+    """
+    from pyspark.sql import functions as F
+
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. A 'table' is a parquet path (file OR directory of part
+    files — Spark handles both layouts; the reference is restricted to single
+    files, reference relation.py:26-32 / README.md:49)."""
+    return read_parquet(spark, table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = tuple(table_names(sf_dir))
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose tables as temp views — the Spark analog of the reference's
+    view-registration-on-connect (reference connections.py:79-88)."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
