@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full pipeline runs on executors,
+nothing is collected to the driver) — the honest way to time a distributed
+plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the shuffle/join/window/extension-heavy subset.
+HEADLINE = [
+    "q_agg_multi",
+    "q_group_having",
+    "q_join_using",
+    "q_join_multi",
+    "q_left_anti",
+    "q_except_diff",
+    "q_orderby_limit",
+    "q_window_rank",
+    "q_window_running",
+    "q_timestamp_cast",
+    "q_union_all",
+    "q_string_split_index",
+]
+# Extension headliners (registered later modules) are included when present.
+EXTENSION_HEADLINE = [
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_lang_id",
+    "q_ann_topk",
+    "q_session_window",
+    "q_window_tumbling",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from dbt_parquet_spark.registry import load_all
+    from dbt_parquet_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = load_all()
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
+
+    # Warm the JVM/scheduler once with a trivial job so q1 isn't charged
+    # session-start overhead.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run_query(specs[name].builder(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,1 +1,104 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed in Arrow batches via mapInPandas (north-star spec).
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake (see ``_fake_decode``) — but everything
+Spark-side is real and tested: the binary column construction, the metadata
+struct schema, the Arrow batch shapes, the mapInPandas signature, and the
+partition-parallel execution. Swapping ``_fake_decode`` for PIL/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.readers import load_table
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_max", T.IntegerType(), True),
+        T.StructField("frame_count", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """DETERMINISTIC FAKE decoder standing in for image/audio decode (the
+    real codec libraries are not available in this environment). Computes
+    byte statistics so the pipeline has verifiable, stable outputs. Replace
+    with e.g. PIL.Image.open(io.BytesIO(payload)) in production."""
+    if not payload:
+        return {"byte_mean": None, "byte_max": None, "frame_count": 0}
+    return {
+        "byte_mean": sum(payload) / len(payload),
+        "byte_max": max(payload),
+        "frame_count": 1 + len(payload) // 64,  # fake "frame sampling" stride
+    }
+
+
+def extract_features(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: Arrow batches in, feature rows out. Runs once per
+    batch (not per row) — the shape that amortizes Python overhead at scale."""
+    import pandas as pd
+
+    for pdf in batches:
+        feats = [_fake_decode(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "media_type": pdf["media_type"],
+                "byte_mean": [f["byte_mean"] for f in feats],
+                "byte_max": pd.array([f["byte_max"] for f in feats], dtype="Int32"),
+                "frame_count": pd.array([f["frame_count"] for f in feats], dtype="Int32"),
+            }
+        )
+        yield out
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Model ``documents`` as a multimodal table: payload = utf-8 bytes of
+    the text (stand-in for image/audio bytes), plus typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("int").alias("content_length"),
+        ).alias("meta"),
+    )
+
+
+@register("q_multimodal_extract", tags=("multimodal", "pandas_udf"))
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas: build a media table
+    (binary payload + media_type + metadata struct), then run the Arrow-
+    batched fake decoder per partition.
+
+    Rows-only driver check; tests/test_multimodal.py asserts deterministic
+    feature values and schema.
+
+    Scale: mapInPandas streams Arrow batches executor-side — payloads never
+    visit the driver; partition count = parallelism. For 100 TB of media,
+    this plus binary-file datasource + payload-size-aware repartitioning is
+    the whole pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs)
+    return media.select("doc_id", "payload", "media_type").mapInPandas(
+        extract_features, schema=FEATURE_SCHEMA
+    )

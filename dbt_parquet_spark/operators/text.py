@@ -1,1 +1,147 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the ``documents`` table — the training-data
+pipeline surface (north star in BASELINE.json; beyond the reference's own
+operators, which are pure SQL pass-through — reference connections.py:146-162).
+
+All hot-path logic is JVM-side built-ins (split/regexp/aggregate) — no Python
+UDFs — so whole-stage codegen applies and the operators scale linearly with
+no shuffle except where aggregation demands one.
+
+Tokenization convention (shared with dedup.py): whitespace split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+# Tiny embedded stopword list — deterministic, mirrored verbatim in oracles.
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_measured,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, distinct tokens, char
+    length, mean token length, stopword ratio — the standard quality-scoring
+    signals for corpus filtering.
+
+    All ratios are integer-over-integer double divisions → bit-deterministic.
+    Scale: narrow map-only projection; codegen end-to-end, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tok
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word tokens, and the
+    standard chars/4 BPE estimate — the budget arithmetic of LLM corpus prep.
+
+    Scale: map-only; regexp stays in codegen (JVM regex).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias("n_word_tokens"),
+        F.ceil(no_space / 4.0).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS en_score,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio against an English function-
+    word list, thresholded. (The classic n-gram/profile approach reduced to a
+    deterministic, engine-portable scorer; the synthetic corpus shares one
+    vocabulary across langs, so this demonstrates mechanism, not accuracy.)
+
+    Scale: map-only; the stopword list broadcasts as a literal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized, lowercased
+    text — the content-addressable ID used for exact dedup across shards.
+    md5 is identical across engines, so this is fully oracle-checked.
+
+    Scale: map-only; fingerprint then becomes the dedup/groupBy key, which
+    shuffles 16 bytes per doc instead of the full text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

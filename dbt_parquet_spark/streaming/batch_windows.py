@@ -1,1 +1,136 @@
-"""Placeholder — filled in this round."""
+"""Time-window operators in batch mode — tumbling, sliding, session.
+
+These are the oracle-checkable batch twins of the Structured Streaming
+operators in streaming/stream_ops.py (same windowing semantics; streaming
+adds watermarks/state — SURVEY §7 phase 3). The reference has no streaming
+at all (SURVEY §2B Streaming row); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dsum
+from ..registry import register
+from ..sources.readers import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_window_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window — identical semantics to the
+    streaming groupBy(window(...)) aggregation (hour-aligned windows ==
+    date_trunc in the oracle).
+
+    Scale: one shuffle on (window, event_type); in streaming mode the same
+    plan runs incrementally with watermark-bounded state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) - INTERVAL 30 MINUTE AS lo,
+               MAX(ts) AS hi
+        FROM events
+    ),
+    starts AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS window_start FROM bounds
+    )
+    SELECT s.window_start, COUNT(*) AS n_events
+    FROM starts s JOIN events e
+      ON e.ts >= s.window_start AND e.ts < s.window_start + INTERVAL 1 HOUR
+    GROUP BY s.window_start
+    """,
+    tags=("streaming", "window"),
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in two
+    windows. F.window(ts, '1 hour', '30 minutes') — window starts are epoch-
+    aligned, matching the oracle's hour-floor + 30-minute series.
+
+    Scale: sliding windows multiply rows by length/slide (2× here) before
+    the shuffle — the slide ratio is the cost knob.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, as the classic
+    lag → new-session flag → running-sum session id → aggregate pipeline.
+    Batch twin of F.session_window / applyInPandasWithState (stream_ops.py).
+
+    Scale: one shuffle on user_id; both window functions and the final
+    groupBy reuse that partitioning. Per-user ordering is a partition-local
+    sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(gap > SESSION_GAP_MIN * 60, 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.select("user_id", "ts", F.sum("is_new").over(wsum).alias("session_id"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

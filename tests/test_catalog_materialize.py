@@ -1,0 +1,142 @@
+"""Catalog + materialization semantics, mirroring the reference's test
+strategy (SURVEY §5): schema/relation round-trips (reference
+tests/unit/test_fs.py:39-45), the animals single-transform golden flow
+(reference tests/functional/adapter/single_transform), seed typing, rename/
+drop DDL, and relations_equal as the equality oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.diff import relations_equal
+from dbt_parquet_spark.materialize import create_table_as, load_seed
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return FilesystemCatalog(str(tmp_path))
+
+
+def test_schema_listing_roundtrip(db):
+    # reference tests/unit/test_fs.py:39-45: ['', 'my_schema']
+    assert db.list_schemas() == [""]
+    db.create_schema("my_schema")
+    assert db.list_schemas() == ["", "my_schema"]
+    assert db.schema_exists("my_schema")
+    db.drop_schema("my_schema")
+    assert db.list_schemas() == [""]
+
+
+def test_drop_default_schema_refused(db):
+    with pytest.raises(ValueError):
+        db.drop_schema("")
+
+
+def test_truncate_unsupported(db):
+    with pytest.raises(NotImplementedError):
+        db.truncate_relation(db.relation("t"))
+
+
+def test_animals_single_transform(spark, db):
+    """The reference's flagship end-to-end: animals → n_legs::VARCHAR
+    (reference examples/animals/models/animals_str.sql, golden fixture
+    FIXTURES.md §A)."""
+    db.create_schema("source_schema")
+    animals = spark.createDataFrame(
+        [(2, "Flamingo"), (4, "Horse"), (5, "Brittle stars"), (100, "Centipede")],
+        "n_legs: long, animals: string",
+    )
+    src = db.relation("animals", "source_schema")
+    create_table_as(spark, db, src, animals, single_file=True)
+    assert os.path.isfile(src.path)
+    assert [r.table for r in db.list_relations("source_schema")] == ["animals"]
+
+    out = db.relation("animals_str", "source_schema")
+    result = create_table_as(
+        spark,
+        db,
+        out,
+        spark.sql("SELECT CAST(n_legs AS STRING) AS n_legs, animals FROM source_schema__animals"),
+        single_file=True,
+    )
+    assert dict(result.dtypes) == {"n_legs": "string", "animals": "string"}
+    assert {r.n_legs for r in result.collect()} == {"2", "4", "5", "100"}
+
+
+def test_multipart_layout_roundtrip(spark, db):
+    """Spark-native directory layout: same addressing, parallel write."""
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    rel = db.relation("big")
+    create_table_as(spark, db, rel, df, single_file=False)
+    assert os.path.isdir(rel.path)
+    back = spark.read.parquet(rel.path)
+    assert relations_equal(df, back)
+
+
+def test_rename_and_drop(spark, db):
+    df = spark.range(10)
+    a, b = db.relation("a"), db.relation("b")
+    create_table_as(spark, db, a, df, single_file=True)
+    db.rename_relation(a, b, spark)
+    assert not os.path.exists(a.path)
+    assert [r.table for r in db.list_relations("")] == ["b"]
+    db.drop_relation(b, spark)
+    db.drop_relation(b, spark)  # idempotent (reference impl.py:59-68)
+    assert db.list_relations("") == []
+
+
+def test_seed_type_inference(spark, db, tmp_path):
+    """Seed typing matrix (reference impl.py:185-208): int, text, timestamp,
+    bool, date, float."""
+    csv = tmp_path / "base.csv"
+    csv.write_text(
+        "id,name,some_date,is_active,joined,score\n"
+        "1,Easton,1981-05-20T06:46:51,true,2020-01-01,1.5\n"
+        "2,Lillian,1978-09-03T18:10:33,false,2020-02-01,2.0\n"
+    )
+    rel = db.relation("base", "seeds")
+    db.create_schema("seeds")
+    df = load_seed(spark, db, str(csv), rel)
+    assert dict(df.dtypes) == {
+        "id": "int",
+        "name": "string",
+        "some_date": "timestamp",
+        "is_active": "boolean",
+        "joined": "date",
+        "score": "double",
+    }
+    assert df.count() == 2
+
+
+def test_catalog_df_lists_all_columns(spark, db):
+    create_table_as(spark, db, db.relation("t1"), spark.range(5), single_file=True)
+    db.create_schema("s2")
+    create_table_as(
+        spark, db, db.relation("t2", "s2"), spark.range(5).withColumn("x", F.lit("a")),
+        single_file=False,
+    )
+    cat = db.catalog_df(spark).collect()
+    got = {(r.table_schema, r.table_name, r.column_name, r.column_type) for r in cat}
+    assert ("", "t1", "id", "bigint") in got
+    assert ("s2", "t2", "x", "string") in got
+
+
+def test_relations_equal_detects_difference(spark):
+    a = spark.range(100)
+    assert relations_equal(a, spark.range(100))
+    assert not relations_equal(a, spark.range(99))
+    assert not relations_equal(a, spark.range(1, 101))
+
+
+def test_register_all_views(spark, db):
+    create_table_as(spark, db, db.relation("v1"), spark.range(3), single_file=True, register=False)
+    db.create_schema("s")
+    create_table_as(spark, db, db.relation("v2", "s"), spark.range(4), single_file=False, register=False)
+    rels = db.register_all_views(spark)
+    assert {r.view_name for r in rels} == {"v1", "s__v2"}
+    assert spark.table("v1").count() == 3
+    assert spark.table("s__v2").count() == 4
