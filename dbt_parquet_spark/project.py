@@ -1,0 +1,150 @@
+"""Project runner — the "dbt run" lifecycle on Spark (SURVEY §3.1).
+
+A project is a set of named SQL models with ``{{ ref('model') }}`` /
+``{{ source('schema', 'table') }}`` templating, executed in dependency order
+and materialized as parquet tables (reference lifecycle: dbt-core renders
+Jinja → ParquetRelation.render() → COPY … TO parquet; reference
+relation.py:104-113, macros/adapters.sql:6-12).
+
+Concurrency mirrors the reference's ``threads: N`` model-level parallelism
+(reference connections.py:60-111, tests/conftest.py:21): independent models
+run simultaneously from a thread pool. SparkSession is thread-safe; each
+model submission becomes an independent Spark job, and the scheduler
+interleaves their stages — the Spark-native version of dbt's thread pool
+over one DuckDB connection.
+"""
+
+from __future__ import annotations
+
+import graphlib
+import os
+import re
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import DEFAULT_SCHEMA, FilesystemCatalog, Relation
+from .materialize import create_table_as
+
+_REF = re.compile(r"\{\{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
+_SOURCE = re.compile(r"\{\{\s*source\(\s*['\"]([^'\"]*)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
+
+
+@dataclass
+class Model:
+    name: str
+    sql: str
+    schema: str = DEFAULT_SCHEMA
+
+    @property
+    def refs(self) -> list[str]:
+        return _REF.findall(self.sql)
+
+    @property
+    def sources(self) -> list[tuple[str, str]]:
+        return _SOURCE.findall(self.sql)
+
+
+@dataclass
+class RunResult:
+    model: str
+    relation: Relation
+    rows: int
+
+
+class Project:
+    """Models + sources over one FilesystemCatalog database."""
+
+    def __init__(self, catalog: FilesystemCatalog, models: list[Model] | None = None):
+        self.catalog = catalog
+        self.models: dict[str, Model] = {m.name: m for m in (models or [])}
+
+    @classmethod
+    def from_dir(cls, catalog: FilesystemCatalog, models_dir: str, schema: str = DEFAULT_SCHEMA) -> "Project":
+        """Load every ``*.sql`` file as a model named after the file — the
+        dbt models-directory convention (reference examples/animals/models)."""
+        models = []
+        for fn in sorted(os.listdir(models_dir)):
+            if fn.endswith(".sql"):
+                with open(os.path.join(models_dir, fn)) as f:
+                    models.append(Model(name=fn[:-4], sql=f.read(), schema=schema))
+        return cls(catalog, models)
+
+    def add(self, model: Model) -> None:
+        self.models[model.name] = model
+
+    # -- compilation -------------------------------------------------------
+    def compile_sql(self, model: Model) -> str:
+        """Render refs/sources to registered view names (the analog of
+        ParquetRelation.render(), reference relation.py:104-113)."""
+        sql = _REF.sub(lambda m: self._model_relation(m.group(1)).view_name, model.sql)
+        sql = _SOURCE.sub(
+            lambda m: Relation(self.catalog.database, m.group(1), m.group(2)).view_name, sql
+        )
+        return sql
+
+    def _model_relation(self, name: str) -> Relation:
+        model = self.models[name]
+        return self.catalog.relation(model.name, model.schema)
+
+    def dag_order(self) -> list[str]:
+        ts = graphlib.TopologicalSorter(
+            {name: set(m.refs) for name, m in self.models.items()}
+        )
+        return list(ts.static_order())
+
+    # -- execution ---------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        threads: int = 4,
+        single_file: bool = False,
+    ) -> dict[str, RunResult]:
+        """Materialize every model in DAG order, parallelizing independent
+        models across ``threads`` (reference threads semantics). Source
+        views are registered up front (reference connections.py:79-88
+        registers all existing parquet on connect)."""
+        self.catalog.register_all_views(spark)
+
+        ts = graphlib.TopologicalSorter({n: set(m.refs) for n, m in self.models.items()})
+        ts.prepare()
+        results: dict[str, RunResult] = {}
+
+        def execute(name: str) -> RunResult:
+            model = self.models[name]
+            if model.schema != DEFAULT_SCHEMA:
+                self.catalog.create_schema(model.schema)
+            rel = self._model_relation(name)
+            df = create_table_as(
+                spark, self.catalog, rel, self.compile_sql(model), single_file=single_file
+            )
+            return RunResult(model=name, relation=rel, rows=df.count())
+
+        futures: dict = {}
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            while ts.is_active():
+                for name in ts.get_ready():
+                    futures[pool.submit(execute, name)] = name
+                if not futures:
+                    continue
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = futures.pop(fut)
+                    results[name] = fut.result()
+                    ts.done(name)
+        return results
+
+    # -- built-in generic tests (dbt unique / not_null shapes) -------------
+    def test_unique(self, spark: SparkSession, model: str, column: str) -> int:
+        """Violation count, matching dbt's `unique` test SQL shape
+        (GROUP BY x HAVING count(*) > 1)."""
+        view = self._model_relation(model).view_name
+        return spark.sql(
+            f"SELECT {column} FROM {view} GROUP BY {column} HAVING COUNT(*) > 1"
+        ).count()
+
+    def test_not_null(self, spark: SparkSession, model: str, column: str) -> int:
+        """Violation count (WHERE x IS NULL)."""
+        view = self._model_relation(model).view_name
+        return spark.sql(f"SELECT 1 FROM {view} WHERE {column} IS NULL").count()

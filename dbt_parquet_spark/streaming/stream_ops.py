@@ -1,0 +1,116 @@
+"""Structured Streaming operators — the incremental twins of
+streaming/batch_windows.py (north-star surface; the reference has no
+streaming at all, SURVEY §2B).
+
+Pattern: ``readStream`` (file source over the same parquet layout the batch
+engine uses) → event-time transformations with watermarks → sink. Each
+builder returns an *unstarted* streaming DataFrame so callers choose the
+sink/trigger; ``run_to_batch`` executes availableNow → an in-memory table,
+which is how the tests compare streaming output against the batch twins.
+
+Scale posture: these plans run identically on a real cluster with a Kafka
+source swapped in — watermarks bound state size, windowed aggs shuffle on
+(window, key) like their batch twins, and ``availableNow`` gives exactly-once
+backfill over historical files.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..sources.readers import read_parquet, table_path
+
+WATERMARK = "2 hours"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Schema comes from a batch
+    footer probe (streams need explicit schemas); the ns-timestamp column
+    gets the same µs normalization as the batch reader."""
+    path = table_path(sf_dir, "events")
+    batch = read_parquet(spark, path)  # sets nanosAsLong conf + gives schema
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # File sources must be directories: stream the parent dir filtered to
+        # this one file (single-file reference layout, catalog.py).
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
+    if dict(batch.dtypes).get("ts") == "timestamp" and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling window counts — the incremental form of
+    q_window_tumbling. The watermark lets Spark finalize and evict window
+    state once event time passes window_end + 2 h."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state —
+    ``dropDuplicatesWithinWatermark``: duplicates arriving within the
+    watermark horizon are suppressed, state older than the horizon is
+    evicted (the unbounded-state-safe streaming dedup)."""
+    events = read_events_stream(spark, sf_dir)
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) with watermark — the streaming
+    form of q_session_window's lag+cumsum sessionization. F.session_window
+    merges adjacent windows as events arrive; state is evicted past the
+    watermark."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_batch(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming plan with trigger=availableNow into an in-memory
+    sink and return the materialized result — processes all currently
+    available input then stops (the batch-parity harness)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not stream_df.isStreaming else _output_mode(stream_df))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _output_mode(stream_df: DataFrame) -> str:
+    # Aggregated streams need complete/update for the memory sink with
+    # watermarks finalizing late; 'append' only emits closed windows. For
+    # availableNow backfill parity we want every window → 'complete' when
+    # the plan contains an aggregation.
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    return "complete" if "Aggregate" in plan else "append"

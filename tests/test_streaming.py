@@ -1,0 +1,40 @@
+"""Structured Streaming parity: availableNow over the events table must
+reproduce the batch twins (tumbling windows), dedup must bound state, and
+session windows must cover every event exactly once."""
+
+from __future__ import annotations
+
+from dbt_parquet_spark.sources.readers import load_table
+from dbt_parquet_spark.streaming.batch_windows import q_window_tumbling
+from dbt_parquet_spark.streaming.stream_ops import (
+    run_to_batch,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream_out = run_to_batch(streaming_tumbling_counts(spark, SF_SMALL), spark)
+    batch_out = q_window_tumbling(spark, SF_SMALL)
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_passthrough_when_unique(spark):
+    out = run_to_batch(streaming_dedup(spark, SF_SMALL), spark)
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert out.count() == n_events  # event_ids are unique → nothing dropped
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_streaming_session_windows_cover_all_events(spark):
+    out = run_to_batch(streaming_session_windows(spark, SF_SMALL), spark)
+    rows = out.collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert r.session_start <= r.session_end
