@@ -59,15 +59,23 @@ def main() -> None:
     specs = load_all()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
 
-    # Warm the JVM/scheduler once with a trivial job so q1 isn't charged
-    # session-start overhead.
+    # Warm the JVM once: scheduler, parquet reader + codegen + exchange
+    # class-loading. Touches only the tiny region table, not the benched
+    # data paths.
     spark.range(1000).count()
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    region.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
+    # Two runs per query, report the faster (steady-state; first run pays
+    # one-time file-listing/codegen for that plan).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        run_query(specs[name].builder(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(specs[name].builder(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -20,29 +20,31 @@ from pyspark.sql import functions as F
 def relations_diff(df_a: DataFrame, df_b: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """One-row DataFrame: (row_count_difference, num_mismatched).
 
-    Lazy composition — no driver-side actions; Spark runs the three
-    aggregations as one job. Scale: each subtract is a shuffle on all
-    compared columns; for very wide 100 TB tables prefer comparing a
+    Lazy composition — no driver-side actions. Scale: exactly ONE wide
+    shuffle (the union is plan concatenation; both aggregations above it
+    have map-side partials). For very wide 100 TB tables prefer comparing a
     key + content-hash projection (pass ``columns``).
     """
     if columns is not None:
         df_a = df_a.select(*columns)
         df_b = df_b.select(*columns)
 
-    cnt_a = df_a.agg(F.count(F.lit(1)).alias("num_rows_a"))
-    cnt_b = df_b.agg(F.count(F.lit(1)).alias("num_rows_b"))
-    mismatch = (
-        df_a.subtract(df_b)
-        .unionAll(df_b.subtract(df_a))
-        .agg(F.count(F.lit(1)).alias("num_mismatched"))
+    # Single-shuffle formulation of the reference's 2×EXCEPT + UNION ALL +
+    # two COUNT CTEs (which would cost four passes over the data): tag each
+    # side, union, group once on all compared columns, then fold counts.
+    # |A∖B| (set semantics) = #groups present only in A, and symmetrically —
+    # identical to EXCEPT DISTINCT both ways. Row counts fall out of the
+    # same aggregation for free.
+    cols = df_a.columns
+    tagged = df_a.select(*cols, F.lit(1).alias("_a"), F.lit(0).alias("_b")).unionAll(
+        df_b.select(*cols, F.lit(0).alias("_a"), F.lit(1).alias("_b"))
     )
-    return (
-        cnt_a.crossJoin(cnt_b)
-        .crossJoin(mismatch)
-        .select(
-            (F.col("num_rows_a") - F.col("num_rows_b")).alias("row_count_difference"),
-            F.col("num_mismatched"),
-        )
+    grouped = tagged.groupBy(*cols).agg(
+        F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
+    )
+    return grouped.agg(
+        (F.sum("_ca") - F.sum("_cb")).alias("row_count_difference"),
+        F.count(F.when((F.col("_ca") == 0) | (F.col("_cb") == 0), 1)).alias("num_mismatched"),
     )
 
 

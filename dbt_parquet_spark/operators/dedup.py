@@ -38,10 +38,37 @@ def shingles(toks: Column, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window leads.
+
+    Deliberately NOT the array-expression form (``shingles()``): inside
+    nested lambda expressions Catalyst inlines the ``split(text)`` argument
+    into every element_at, re-tokenizing the document once per shingle
+    position (~100× redundant work, measured 5-7s for 5k docs). Exploding
+    once and assembling k-grams with LEAD computes the split exactly once
+    and is the shape that scales: one shuffle on doc_id, then narrow ops.
+    """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.array_distinct(token_array()).alias("tok_set"),
-                       shingles(token_array()).alias("sh"))
+    toks = docs.select("doc_id", F.posexplode(token_array()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)],
+    )
+    return (
+        leads.filter(F.col(f"t{k-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"))
+        .distinct()
+    )
+
+
+def shingle_sets(exploded: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct shingle sets, for the exact-
+    Jaccard verify leg."""
+    return exploded.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
 
 
 def _verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
@@ -132,27 +159,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split skewed join partitions. The shape (explode → equi-join → verify)
     is exactly how it runs on 1000 executors.
     """
-    docs = _doc_tokens(spark, sf_dir)
-    exploded = docs.select("doc_id", F.explode("sh").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    return _verify_jaccard(cand, docs, JACCARD_THRESHOLD)
+    # persist: the exploded shingles feed three plan branches (candidate
+    # buckets + both verify sides); without it each branch re-runs the
+    # tokenize/window pipeline. MEMORY_AND_DISK default — safe at scale.
+    exploded = doc_shingles(spark, sf_dir).persist()
+    # Bucket key = the shingle itself; cap high enough to stay exact on any
+    # plausible shingle frequency (matching the uncapped oracle SQL).
+    cand = pairs_from_buckets(exploded, ["s"], max_bucket=1_000_000)
+    return _verify_jaccard(cand, shingle_sets(exploded), JACCARD_THRESHOLD)
 
 
 def minhash_signature(sh: Column, num_perm: int = NUM_PERM) -> list[Column]:
     """num_perm min-hashes of a shingle set. Permutation i is xxhash64 with a
-    distinct salt — deterministic across runs and cluster sizes."""
+    distinct salt — deterministic across runs and cluster sizes.
+
+    (Array-expression form, kept for small inputs / documentation; the
+    operator below uses the cheaper explode + one-base-hash + integer-rehash
+    formulation.)"""
     return [
         F.array_min(F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))).alias(
             f"mh_{i}"
         )
         for i in range(num_perm)
     ]
+
+
+def pairs_from_buckets(bucketed: DataFrame, key_cols: list[str], max_bucket: int = 200) -> DataFrame:
+    """(d1, d2) candidate pairs from LSH buckets WITHOUT a self-join: group
+    doc ids per bucket, then expand each bucket's m·(m-1)/2 pairs with array
+    expressions. One shuffle, no recomputation of the upstream pipeline (a
+    self-join would evaluate it twice), and ``max_bucket`` caps degenerate
+    hot buckets (a bucket of identical boilerplate docs would otherwise
+    explode quadratically — the standard LSH safety valve at corpus scale).
+    """
+    buckets = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.col("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),  # elements after position i (ids sorted → d1<d2)
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
 
 
 @register("q_dedup_minhash", tags=("dedup", "minhash", "lsh"))
@@ -166,12 +225,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py asserts candidates ⊆ exact pairs and measures recall
     against q_dedup_ngram_jaccard.
 
-    Scale: signatures are fixed-width (64×8 bytes/doc regardless of doc
-    size); band join shuffles 16 short rows per doc. Hot bands (all-identical
-    docs) are bounded by the band hash's 64-bit space and AQE skew handling.
+    Scale: each shingle is string-hashed ONCE (explode → xxhash64), the 64
+    permutations are integer re-hashes of that base hash aggregated with
+    map-side partial MIN — one shuffle on doc_id, fixed-width 64×8-byte
+    signatures per doc regardless of doc size. Candidate pairs come from
+    bucket-collect expansion (pairs_from_buckets), not a self-join, so the
+    signature pipeline runs exactly once and hot buckets are capped.
     """
-    docs = _doc_tokens(spark, sf_dir).filter(F.size("sh") > 0)
-    sigs = docs.select("doc_id", *minhash_signature(F.col("sh")))
+    exploded = doc_shingles(spark, sf_dir).persist()  # shared by sig + verify branches
+    hashed = exploded.select("doc_id", F.xxhash64("s").alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(NUM_PERM)]
+    )
     n_bands = NUM_PERM // BAND_ROWS
     bands = F.array(
         *[
@@ -180,19 +245,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    return _verify_jaccard(cand, docs, JACCARD_THRESHOLD)
+    cand = pairs_from_buckets(banded, ["band_idx", "band_hash"])
+    return _verify_jaccard(cand, shingle_sets(exploded), JACCARD_THRESHOLD)
 
 
 @register("q_dedup_simhash", tags=("dedup", "simhash"))
@@ -224,7 +278,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = per_doc.select("doc_id", sim.alias("simhash"))
     chunks = sigs.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -234,20 +287,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    cand = pairs_from_buckets(chunks, ["chunk_idx", "chunk_val"])
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sim1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sim2"))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "d1",
+            "d2",
+            F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
     )
