@@ -1,0 +1,62 @@
+"""Incremental materialization — append / merge-by-key model updates.
+
+The reference explicitly does NOT support incremental models ("not supported
+for parquet files", reference tests/functional/basic/test_basic.py:86) — on
+Spark they come almost for free, and at 100 TB they are the difference
+between reprocessing a day and reprocessing a lake:
+
+- ``append``     — write only new rows into the existing table (directory
+                   layout: additional part files; cheap, no read of old data).
+- ``merge``      — upsert by unique key: old rows not in the delta are kept,
+                   matching keys are replaced (full-outer-free formulation:
+                   old left_anti delta ∪ delta), then atomically republished.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import FilesystemCatalog, Relation
+from .materialize import create_table_as
+from .sources.readers import read_parquet
+
+
+def incremental_append(
+    spark: SparkSession, catalog: FilesystemCatalog, rel: Relation, delta: DataFrame
+) -> DataFrame:
+    """Append-only incremental load. Scale: writes ONLY the delta (new part
+    files in the table directory) — never reads or rewrites history."""
+    if not os.path.exists(rel.path):
+        return create_table_as(spark, catalog, rel, delta, single_file=False)
+    delta.write.mode("append").parquet(rel.path)
+    return catalog.register_view(spark, rel)
+
+
+def incremental_merge(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    delta: DataFrame,
+    unique_key: list[str],
+) -> DataFrame:
+    """Upsert-by-key: keep old rows whose key is absent from the delta, take
+    all delta rows. Equivalent to MERGE ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT for whole-row updates.
+
+    Scale: one anti-join shuffle on the key + a rewrite of the table. For
+    true 100 TB mutable tables the format answer is a transactional layer
+    (partition-overwrite or a table format); this file-level merge is the
+    correct primitive on plain parquet, and partition-scoped merges bound
+    the rewrite to affected partitions.
+    """
+    if not os.path.exists(rel.path):
+        return create_table_as(spark, catalog, rel, delta, single_file=False)
+    old = read_parquet(spark, rel.path)
+    kept = old.join(delta.select(*unique_key).distinct(), unique_key, "left_anti")
+    merged = kept.unionByName(delta)
+    # Materialize merged before the destructive publish: the plan reads the
+    # table being replaced, so write-to-temp must complete first (which
+    # create_table_as's tmp+rename publish guarantees).
+    return create_table_as(spark, catalog, rel, merged, single_file=False)

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.diff import relations_equal
+from dbt_parquet_spark.incremental import incremental_append, incremental_merge
+from dbt_parquet_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return FilesystemCatalog(str(tmp_path))
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"), F.lit("x").alias("s"))
+    dest = str(tmp_path / "out_csv")
+    write_csv(df, dest)
+    back = read_csv(spark, dest)
+    assert relations_equal(df, back)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.range(50).select(
+        "id",
+        F.struct(F.lit("a").alias("k"), (F.col("id") % 3).alias("m")).alias("nested"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+    )
+    dest = str(tmp_path / "out_json")
+    write_json(df, dest)
+    back = read_json(spark, dest, schema=df.schema)
+    assert relations_equal(df, back)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 5).alias("bucket"), (F.col("id") * 3).alias("v")
+    )
+    dest = str(tmp_path / "part_table")
+    write_partitioned(df, dest, ["bucket"])
+    assert os.path.isdir(os.path.join(dest, "bucket=0"))
+    back = spark.read.parquet(dest)
+    q = back.filter(F.col("bucket") == 2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf.split("PartitionFilters")[1][:80]  # pruning reached the scan
+    assert q.count() == 200
+    assert relations_equal(df, back.select("id", "bucket", "v"))
+
+
+def test_incremental_append(spark, db):
+    rel = db.relation("inc_t")
+    d1 = spark.range(10).select("id", F.lit(1).alias("batch"))
+    d2 = spark.range(10, 25).select("id", F.lit(2).alias("batch"))
+    incremental_append(spark, db, rel, d1)
+    out = incremental_append(spark, db, rel, d2)
+    assert out.count() == 25
+    assert out.filter(F.col("batch") == 2).count() == 15
+
+
+def test_incremental_merge_upserts(spark, db):
+    rel = db.relation("merge_t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id: long, v: string")
+    delta = spark.createDataFrame([(2, "B2"), (4, "d")], "id: long, v: string")
+    incremental_merge(spark, db, rel, base, ["id"])
+    out = incremental_merge(spark, db, rel, delta, ["id"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
