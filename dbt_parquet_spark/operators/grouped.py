@@ -1,0 +1,119 @@
+"""Grouped-map and scalar Pandas-UDF operators — the sanctioned Python
+escape hatches (Arrow-batched; never row-at-a-time) for logic the built-in
+expressions can't express (SURVEY §2B UDF row: absent in the reference,
+north-star extension here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.readers import load_table
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("acctbal_z", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-nation z-score normalization — classic grouped-map shape: the
+    whole group arrives as one pandas frame, vectorized numpy does the
+    math."""
+    mu = pdf["c_acctbal"].mean()
+    sd = pdf["c_acctbal"].std(ddof=0)
+    z = (pdf["c_acctbal"] - mu) / sd if sd > 0 else pdf["c_acctbal"] * 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "c_acctbal": pdf["c_acctbal"],
+            "acctbal_z": z,
+        }
+    )
+
+
+@register("q_grouped_zscore", tags=("pandas_udf", "grouped_map"))
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: z-score account balances within each
+    nation. Rows-only driver check (float summation order in numpy differs
+    from SQL engines by design); tests assert per-group mean≈0/std≈1.
+
+    Scale: one shuffle on the group key; each group must fit in one
+    executor's memory as a pandas frame — for mega-groups switch to the
+    two-pass join-the-moments formulation (see tests for the oracle of
+    that shape).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(_zscore_group, schema=ZSCORE_SCHEMA)
+    )
+
+
+@register("q_label_centroids", tags=("pandas_udf", "vector"))
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + per-vector distance to own centroid —
+    the building block of IVF indexing and cluster-based corpus curation.
+
+    Built-in path (no UDF!): explode dimensions, average per (label, dim),
+    reassemble with array_agg sorted by dim — demonstrating that even
+    'vector' ops often stay JVM-side. Rows-only (float mean is
+    order-dependent across engines); tests check against numpy within 1e-6.
+
+    Scale: explode multiplies rows by dim (64×) but they're 20 bytes each;
+    the shuffle is on (label, dim) — perfectly uniform.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    centroids = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p["c"]).alias("centroid"),
+        )
+    )
+    return centroids
+
+
+SCORE_SCHEMA = T.DoubleType()
+
+
+def quality_score_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Scalar Pandas UDF (iterator form): heuristic doc quality in [0,1] —
+    length sweet-spot × lexical diversity. Vectorized pandas per Arrow
+    batch; the iterator form amortizes any per-worker setup (e.g. loading
+    a model) across batches."""
+    for texts in it:
+        toks = texts.str.split(" ")
+        n = toks.map(len).clip(lower=1)
+        distinct = toks.map(lambda t: len(set(t)))
+        length_score = (n / 60.0).clip(upper=1.0)
+        diversity = (distinct / n).clip(upper=1.0)
+        yield (length_score * diversity).astype("float64")
+
+
+@register("q_quality_score", tags=("pandas_udf", "text"))
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar quality scoring over documents (the shape for
+    model-based scorers: swap the lambda for an ONNX/torch call). Rows-only;
+    tests pin exact values for known inputs."""
+    score = F.pandas_udf(quality_score_batches, SCORE_SCHEMA)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", score(F.col("text")).alias("quality"))

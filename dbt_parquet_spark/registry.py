@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.dedup",
     "dbt_parquet_spark.operators.similarity",
     "dbt_parquet_spark.operators.multimodal",
+    "dbt_parquet_spark.operators.grouped",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 

@@ -113,4 +113,6 @@ def _output_mode(stream_df: DataFrame) -> str:
     # availableNow backfill parity we want every window → 'complete' when
     # the plan contains an aggregation.
     plan = stream_df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"  # custom stateful operators declare their own mode
     return "complete" if "Aggregate" in plan else "append"
