@@ -1,0 +1,190 @@
+"""SQL surface, part 3: remaining window-function family, bag-semantics set
+ops, regex/LIKE, array aggregation, CUBE. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+
+@register(
+    "q_window_extras",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cum_dist,
+           DENSE_RANK() OVER w AS drank,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+def q_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / dense_rank / first_value /
+    last_value — completing the window-function family (SURVEY §2B window
+    row). Unique o_orderkey tiebreak ⇒ total order ⇒ all outputs
+    deterministic; percent_rank/cume_dist are int/int double divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.dense_rank().over(w).alias("drank"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 40
+    """,
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, multiplicity-aware) — complements the
+    set-semantics EXCEPT in q_except_diff. Spark `exceptAll` matches DuckDB
+    exactly (per-row multiplicity subtraction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_returnflag")
+    return a.exceptAll(b)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): min-multiplicity per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "q_regex_like",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, 'red') AS has_red,
+           (p_type LIKE '%BRUSHED%') AS like_brushed,
+           (p_brand LIKE 'Brand#1_') AS brand_1x
+    FROM part
+    """,
+    tags=("regex", "string"),
+)
+def q_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + LIKE family: extract with group, global replace, boolean
+    match, %/_ wildcards. Patterns restricted to the portable subset (char
+    classes/anchors/literals — identical in Java regex and RE2)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("red").alias("has_red"),
+        F.col("p_type").like("%BRUSHED%").alias("like_brushed"),
+        F.col("p_brand").like("Brand#1_").alias("brand_1x"),
+    )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT p_brand,
+           list_sort(array_agg(p_size)) AS sizes,
+           len(array_agg(p_size)) AS n_parts,
+           list_sort(array_agg(DISTINCT p_size)) AS distinct_sizes,
+           array_contains(array_agg(p_size), 10) AS has_size_10
+    FROM part
+    GROUP BY p_brand
+    """,
+    tags=("array", "agg"),
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect + sort (collection order is
+    nondeterministic in ANY distributed engine — sorting is what makes the
+    result well-defined), distinct collect, membership."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.sort_array(F.collect_list("p_size")).alias("sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sort_array(F.collect_set("p_size")).alias("distinct_sizes"),
+        F.array_contains(F.collect_list("p_size"), 10).alias("has_size_10"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one shuffle pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "q_values_inline",
+    oracle="""
+    SELECT t.region_code, r.r_name, COUNT(*) AS n_nations
+    FROM (VALUES (0, 'AMERICA-ZONE'), (1, 'EMEA-ZONE'), (2, 'APAC-ZONE'),
+                 (3, 'ZONE-3'), (4, 'ZONE-4')) AS t(region_code, zone_label)
+    JOIN region r ON r.r_regionkey = t.region_code
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY t.region_code, r.r_name
+    """,
+    tags=("values", "join"),
+)
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined against stored tables — the literal-
+    lookup-table idiom (createDataFrame ⇔ VALUES)."""
+    lookup = spark.createDataFrame(
+        [(0, "AMERICA-ZONE"), (1, "EMEA-ZONE"), (2, "APAC-ZONE"), (3, "ZONE-3"), (4, "ZONE-4")],
+        "region_code: int, zone_label: string",
+    )
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        F.broadcast(lookup)
+        .join(region, region.r_regionkey == F.col("region_code"))
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy("region_code", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
