@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.duck_bridge import duckdb_query, to_duckdb
+from dbt_parquet_spark.materialize import create_table_as
+from dbt_parquet_spark.sources.bucketed import cohorted_join, write_bucketed
+from dbt_parquet_spark.sources.readers import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_ORACLE, "orders")
+    lineitem = load_table(spark, SF_ORACLE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # At test scale the planner would broadcast (which bypasses bucketing);
+    # disable it to exercise the big⋈big path bucketing exists for.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cohorted_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: the bucket layout replaces the shuffle entirely
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_duckdb_query_over_catalog(spark, tmp_path):
+    db = FilesystemCatalog(str(tmp_path))
+    create_table_as(
+        spark, db, db.relation("nums"), spark.range(100).select("id"), single_file=True
+    )
+    out = duckdb_query(spark, "SELECT COUNT(*) AS n, SUM(id) AS s FROM nums", db)
+    row = out.first()
+    assert (row.n, row.s) == (100, 4950)
+
+
+def test_duckdb_query_multipart_table(spark, tmp_path):
+    db = FilesystemCatalog(str(tmp_path))
+    create_table_as(
+        spark, db, db.relation("multi"), spark.range(1000).select("id"), single_file=False
+    )
+    out = duckdb_query(spark, "SELECT COUNT(*) AS n FROM multi", db)
+    assert out.first().n == 1000
+
+
+def test_to_duckdb_roundtrip(spark):
+    df = load_table(spark, SF_ORACLE, "region")
+    con = to_duckdb(df, "regions")
+    n = con.execute("SELECT COUNT(*) FROM regions").fetchone()[0]
+    assert n == df.count()
