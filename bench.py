@@ -39,11 +39,18 @@ HEADLINE = [
 EXTENSION_HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
     "q_text_stats",
     "q_lang_id",
     "q_ann_topk",
     "q_session_window",
     "q_window_tumbling",
+    "q_pivot",
+    "q_percentiles",
+    "q_rollup",
+    "q_json_extract",
+    "q_window_extras",
+    "q_corpus_pipeline",
 ]
 
 

@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.similarity",
     "dbt_parquet_spark.operators.multimodal",
     "dbt_parquet_spark.operators.grouped",
+    "dbt_parquet_spark.operators.pipeline",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 
