@@ -1,0 +1,89 @@
+"""Table maintenance — the operational jobs a 100 TB parquet lake needs that
+the reference's single-file model never confronts: small-file compaction and
+footer-based statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .catalog import FilesystemCatalog, Relation
+from .materialize import create_table_as
+from .sources.readers import read_parquet
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the canonical HDFS/parquet sweet spot
+
+
+def compact(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> DataFrame:
+    """Rewrite a table's many small part files into ~target-size files.
+
+    Small files are the silent killer at scale: each costs a task + a
+    footer read + namenode metadata. Streaming sinks and incremental
+    appends both produce them; periodic compaction fixes it. File count is
+    computed from actual on-disk size; the rewrite republishes atomically
+    (write-to-temp + rename) so readers never see a half-compacted table.
+    """
+    size = _path_bytes(rel.path)
+    n_files = max(1, round(size / target_file_bytes))
+    df = read_parquet(spark, rel.path).repartition(n_files)
+    return create_table_as(spark, catalog, rel, df, single_file=False)
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("table_schema", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_files", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("n_row_groups", T.IntegerType()),
+    ]
+)
+
+
+def table_stats(spark: SparkSession, catalog: FilesystemCatalog) -> DataFrame:
+    """Row counts / file counts / sizes / row-group counts for every
+    relation, from parquet FOOTERS ONLY — no data scan (the metadata the
+    optimizer wants for broadcast decisions, and the lake-health dashboard
+    wants for compaction scheduling). Driver-side metadata walk, same as
+    the reference's catalog macro (reference macros/catalog.sql:1-36)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for schema in catalog.list_schemas():
+        for rel in catalog.list_relations(schema):
+            files = (
+                [rel.path]
+                if os.path.isfile(rel.path)
+                else [
+                    os.path.join(rel.path, f)
+                    for f in sorted(os.listdir(rel.path))
+                    if f.endswith(".parquet")
+                ]
+            )
+            n_rows = n_groups = 0
+            for f in files:
+                md = pq.read_metadata(f)
+                n_rows += md.num_rows
+                n_groups += md.num_row_groups
+            rows.append(
+                (schema, rel.table, n_rows, len(files), _path_bytes(rel.path), n_groups)
+            )
+    return spark.createDataFrame(rows, STATS_SCHEMA)

@@ -32,13 +32,31 @@ SEED_CSV = """id,name,some_date,is_active,joined,score
 """
 
 
-@register("q_seed_roundtrip", tags=("seed", "materialize"))
+def _seed_values_sql() -> str:
+    """The seed CSV as a typed VALUES relation — the oracle for the seed
+    round-trip: CSV → inferSchema → parquet → re-read must reproduce exactly
+    these typed values (type-inference matrix of reference impl.py:185-208)."""
+    rows = []
+    for line in SEED_CSV.strip().splitlines()[1:]:
+        i, name, ts, b, d, score = line.split(",")
+        rows.append(
+            f"({i}, '{name}', TIMESTAMP '{ts.replace('T', ' ')}', {b}, DATE '{d}', "
+            f"CAST({score} AS DOUBLE))"  # bare 1.5 would be DECIMAL in DuckDB
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id, name, some_date, is_active, joined, score) ORDER BY id"
+    )
+
+
+@register("q_seed_roundtrip", oracle=_seed_values_sql(), tags=("seed", "materialize"))
 def q_seed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV seed → parquet → re-read (reference impl.py:151-163 read_csv_auto
     COPY; dbt-tests-adapter's 10-row base seed, reference test_basic.py:47).
 
-    Rows-only driver check (no oracle SQL — the assertion is the lossless
-    round-trip itself, verified in tests/test_materialize.py)."""
+    Oracle = the CSV's content as a typed VALUES relation, so the driver
+    value-checks the whole inference+write+read loop."""
     tmp = tempfile.mkdtemp(prefix="seed_db_")
     csv_path = os.path.join(tmp, "base.csv")
     with open(csv_path, "w") as f:

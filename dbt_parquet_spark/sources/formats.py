@@ -49,6 +49,15 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(df: DataFrame, dest: str) -> None:
+    """ORC sink — the other major columnar format (native Spark support)."""
+    _atomic_publish(lambda p: df.write.mode("overwrite").orc(p), dest)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_partitioned(df: DataFrame, dest: str, partition_by: list[str]) -> None:
     """Hive-style partitioned parquet table (dest/col=val/part-*.parquet).
 

@@ -91,6 +91,38 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_to_table(
+    stream_df: DataFrame,
+    catalog,
+    rel,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming materialization: write a stream into a catalog table
+    (directory layout) via foreachBatch — each micro-batch appends its part
+    files; exactly-once is provided by the checkpoint + batch-id dedup.
+
+    This is the streaming CTAS the reference's batch-only model lacks: the
+    same relation the batch engine reads is continuously fed by a stream.
+    Scale: appends never rewrite history; pair with maintenance.compact on a
+    schedule to bound file counts.
+    """
+    import os
+
+    os.makedirs(rel.path, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(rel.path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_batch(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming plan with trigger=availableNow into an in-memory
     sink and return the materialized result — processes all currently

@@ -11,8 +11,10 @@ from dbt_parquet_spark.incremental import incremental_append, incremental_merge
 from dbt_parquet_spark.sources.formats import (
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
     write_partitioned,
 )
 
@@ -40,6 +42,13 @@ def test_json_roundtrip(spark, tmp_path):
     write_json(df, dest)
     back = read_json(spark, dest, schema=df.schema)
     assert relations_equal(df, back)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("m"), F.lit("t").alias("s"))
+    dest = str(tmp_path / "out_orc")
+    write_orc(df, dest)
+    assert relations_equal(df, read_orc(spark, dest))
 
 
 def test_partitioned_write_prunes(spark, tmp_path):

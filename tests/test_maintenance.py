@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.diff import relations_equal
+from dbt_parquet_spark.maintenance import compact, table_stats
+from dbt_parquet_spark.materialize import create_table_as
+from dbt_parquet_spark.sources.readers import read_parquet
+from dbt_parquet_spark.streaming.stream_ops import read_events_stream, stream_to_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return FilesystemCatalog(str(tmp_path))
+
+
+def test_compact_reduces_files_preserves_rows(spark, db):
+    df = spark.range(10_000).select("id", (F.col("id") * 2).alias("v"))
+    rel = db.relation("fragmented")
+    create_table_as(spark, db, rel, df.repartition(64), single_file=False)
+    n_before = len([f for f in os.listdir(rel.path) if f.endswith(".parquet")])
+    assert n_before >= 32
+    compact(spark, db, rel)
+    n_after = len([f for f in os.listdir(rel.path) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert relations_equal(df, read_parquet(spark, rel.path))
+
+
+def test_table_stats_from_footers(spark, db):
+    create_table_as(spark, db, db.relation("t1"), spark.range(1234), single_file=True)
+    db.create_schema("s")
+    create_table_as(spark, db, db.relation("t2", "s"), spark.range(10).repartition(4), single_file=False)
+    stats = {(r.table_schema, r.table_name): r for r in table_stats(spark, db).collect()}
+    assert stats[("", "t1")].n_rows == 1234
+    assert stats[("", "t1")].n_files == 1
+    assert stats[("s", "t2")].n_rows == 10
+    assert stats[("s", "t2")].n_files == 4
+    assert stats[("s", "t2")].total_bytes > 0
+
+
+def test_stream_to_table_materializes(spark, db, tmp_path):
+    events = read_events_stream(spark, SF_SMALL)
+    rel = db.relation("events_copy")
+    q = stream_to_table(events, db, rel, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = read_parquet(spark, rel.path)
+    want = read_parquet(spark, os.path.join(SF_SMALL, "events.parquet"))
+    assert out.count() == want.count()
+    assert relations_equal(want, out)
