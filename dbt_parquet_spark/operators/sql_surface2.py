@@ -161,6 +161,35 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_type,
+           map_keys(MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)}) AS counter_keys,
+           CAST((MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)})['n'][1] AS BIGINT) AS n_lookup,
+           CAST((MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)})['users'][1] AS BIGINT) AS users_lookup
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("map",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/keys/lookup (SURVEY §2B array/map row): build a
+    counters map per group, list its keys, element_at lookups. The raw MAP
+    column stays out of the compared output — DuckDB's Python client
+    renders MAP as a key/value-arrays struct, so only map-DERIVED scalars
+    are portably comparable."""
+    events = load_table(spark, sf_dir, "events")
+    counters = F.create_map(
+        F.lit("n"), F.count(F.lit(1)), F.lit("users"), F.countDistinct("user_id")
+    )
+    return events.groupBy("event_type").agg(
+        F.map_keys(counters).alias("counter_keys"),
+        F.element_at(counters, F.lit("n")).alias("n_lookup"),
+        F.element_at(counters, F.lit("users")).alias("users_lookup"),
+    )
+
+
+@register(
     "q_values_inline",
     oracle="""
     SELECT t.region_code, r.r_name, COUNT(*) AS n_nations

@@ -25,6 +25,9 @@ def _canon_cell(v):
         return f"ts:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted((_canon_cell(k), _canon_cell(x)) for k, x in v.items())
+        return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
     if hasattr(v, "isoformat"):  # pandas.Timestamp
         return f"ts:{v.isoformat()}"
     return f"{type(v).__name__}:{v}"

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the engine's invariant-bearing
+utilities: the diff plan, exact decimal aggregation, and shingle/Jaccard
+candidate soundness."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.diff import relations_diff
+
+two_dec = st.decimals(
+    min_value=decimal.Decimal("-99999.99"),
+    max_value=decimal.Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30, unique=True))
+def test_diff_counts_removed_rows(spark, removed):
+    base = spark.range(60).select("id", (F.col("id") * 7).alias("v"))
+    fewer = base.filter(~F.col("id").isin(removed))
+    row = relations_diff(base, fewer).first()
+    assert row.row_count_difference == len(removed)
+    assert row.num_mismatched == len(removed)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(two_dec, min_size=1, max_size=60))
+def test_exact_decimal_sum_matches_python(spark, values):
+    """The determinism contract of functions/exact.py: Spark's decimal sum of
+    2-decimal doubles equals exact Python Decimal arithmetic, regardless of
+    partitioning."""
+    doubles = [float(v) for v in values]
+    df = spark.createDataFrame([(x,) for x in doubles], "x: double").repartition(7)
+    got = df.agg(F.sum(F.col("x").cast("decimal(12,2)")).cast("double").alias("s")).first().s
+    want = float(sum(decimal.Decimal(str(x)).quantize(decimal.Decimal("0.01")) for x in values))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=12, max_size=40).map(lambda s: " ".join(s.split()) or "a"),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_shingle_blocking_is_sound(spark, texts):
+    """Any pair with shingle-Jaccard > 0 shares a shingle ⇒ the shared-
+    shingle candidate join can never miss a qualifying pair (exact
+    blocking, SURVEY q_dedup_ngram_jaccard)."""
+    from dbt_parquet_spark.operators.dedup import pairs_from_buckets
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    k = 3
+    sets = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        sets[i] = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+    expected_pairs = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b and sets[a] & sets[b]
+    }
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id", "tok", *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    )
+    exploded = (
+        leads.filter(F.col(f"t{k-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"))
+        .distinct()
+    )
+    got_pairs = {(r.d1, r.d2) for r in pairs_from_buckets(exploded, ["s"], max_bucket=10**6).collect()}
+    assert got_pairs == expected_pairs
