@@ -1,0 +1,104 @@
+"""CLI — the engine's equivalent of the reference's dbt entry points
+(reference lifecycle SURVEY §3: `dbt run` / `dbt seed` / `dbt docs generate`
+/ `dbt test`).
+
+    python -m dbt_parquet_spark run   --database DB --models-dir DIR [--threads N] [--single-file]
+    python -m dbt_parquet_spark seed  --database DB --csv FILE [--schema S] [--name T]
+    python -m dbt_parquet_spark docs  --database DB
+    python -m dbt_parquet_spark test  --database DB --models-dir DIR --model M --unique COL --not-null COL
+    python -m dbt_parquet_spark sql   --database DB "SELECT ..."   (views pre-registered)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbt_parquet_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--database", required=True, help="database root directory")
+
+    run_p = sub.add_parser("run", help="materialize all models in DAG order")
+    common(run_p)
+    run_p.add_argument("--models-dir", required=True)
+    run_p.add_argument("--threads", type=int, default=4)
+    run_p.add_argument("--single-file", action="store_true", help="reference-compatible one-file tables")
+
+    seed_p = sub.add_parser("seed", help="load a CSV seed")
+    common(seed_p)
+    seed_p.add_argument("--csv", required=True)
+    seed_p.add_argument("--schema", default="")
+    seed_p.add_argument("--name", default=None)
+
+    docs_p = sub.add_parser("docs", help="print the catalog (schema/table/column/type)")
+    common(docs_p)
+
+    test_p = sub.add_parser("test", help="run generic tests against a model")
+    common(test_p)
+    test_p.add_argument("--models-dir", required=True)
+    test_p.add_argument("--model", required=True)
+    test_p.add_argument("--unique", default=None)
+    test_p.add_argument("--not-null", dest="not_null", default=None)
+
+    sql_p = sub.add_parser("sql", help="run ad-hoc SQL with all relations as views")
+    common(sql_p)
+    sql_p.add_argument("query")
+
+    args = p.parse_args(argv)
+
+    from .catalog import FilesystemCatalog
+    from .session import get_spark
+
+    spark = get_spark("dbt_parquet_spark_cli")
+    catalog = FilesystemCatalog(args.database)
+
+    if args.cmd == "run":
+        from .project import Project
+
+        project = Project.from_dir(catalog, args.models_dir)
+        results = project.run(spark, threads=args.threads, single_file=args.single_file)
+        for name in project.dag_order():
+            r = results[name]
+            print(f"OK {name}: {r.rows} rows -> {r.relation.path}")
+    elif args.cmd == "seed":
+        from .materialize import load_seed
+
+        name = args.name or os.path.splitext(os.path.basename(args.csv))[0]
+        if args.schema:
+            catalog.create_schema(args.schema)
+        df = load_seed(spark, catalog, args.csv, catalog.relation(name, args.schema))
+        print(f"OK seed {name}: {df.count()} rows")
+    elif args.cmd == "docs":
+        for row in catalog.catalog_df(spark).collect():
+            print(
+                f"{row.table_schema or '(default)'}\t{row.table_name}\t"
+                f"{row.column_name}\t{row.column_type}"
+            )
+    elif args.cmd == "test":
+        from .project import Project
+
+        project = Project.from_dir(catalog, args.models_dir)
+        catalog.register_all_views(spark)
+        failures = 0
+        if args.unique:
+            n = project.test_unique(spark, args.model, args.unique)
+            print(f"unique({args.model}.{args.unique}): {'PASS' if n == 0 else f'FAIL ({n})'}")
+            failures += n > 0
+        if args.not_null:
+            n = project.test_not_null(spark, args.model, args.not_null)
+            print(f"not_null({args.model}.{args.not_null}): {'PASS' if n == 0 else f'FAIL ({n})'}")
+            failures += n > 0
+        return 1 if failures else 0
+    elif args.cmd == "sql":
+        catalog.register_all_views(spark)
+        spark.sql(args.query).show(50, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
