@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.grouped",
     "dbt_parquet_spark.operators.pipeline",
     "dbt_parquet_spark.operators.edge_semantics",
+    "dbt_parquet_spark.operators.temporal",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 
