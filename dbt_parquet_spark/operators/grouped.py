@@ -92,6 +92,38 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroids
 
 
+def _trimmed_mean(v: pd.Series) -> float:
+    """Grouped-agg Pandas UDF body (Series → scalar): 10%-trimmed mean — a
+    robust-statistics aggregate SQL lacks. Runs once per group with the
+    group's column as one pandas Series. (Wrapped with F.pandas_udf inside
+    the builder: decorating at import time needs an active session.)"""
+    lo, hi = v.quantile(0.10), v.quantile(0.90)
+    clipped = v[(v >= lo) & (v <= hi)]
+    return float(clipped.mean()) if len(clipped) else float(v.mean())
+
+
+@register("q_trimmed_mean", tags=("pandas_udf", "grouped_agg"))
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF: per-market-segment 10%-trimmed mean of
+    account balances next to the plain mean. Rows-only (quantile
+    interpolation is numpy-specific); tests cross-check against pandas.
+
+    Scale: same single-shuffle shape as a built-in aggregate; the UDF
+    receives Arrow batches per group."""
+    trimmed_mean_udaf = F.pandas_udf(_trimmed_mean, "double")
+    customer = load_table(spark, sf_dir, "customer")
+    # Spark disallows mixing pandas UDAFs with built-in aggregates in one
+    # agg — compute separately and join on the group key (both sides reuse
+    # the same hash partitioning, so the join adds no extra wide shuffle).
+    robust = customer.groupBy("c_mktsegment").agg(
+        trimmed_mean_udaf(F.col("c_acctbal")).alias("trimmed_acctbal")
+    )
+    plain = customer.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("mean_acctbal"), F.count(F.lit(1)).alias("n")
+    )
+    return robust.join(plain, "c_mktsegment")
+
+
 SCORE_SCHEMA = T.DoubleType()
 
 

@@ -44,6 +44,19 @@ def test_quality_score_values(spark):
     assert abs(got - expect) < 1e-9
 
 
+def test_trimmed_mean_matches_pandas(spark):
+    from dbt_parquet_spark.operators.grouped import q_trimmed_mean
+
+    out = {r.c_mktsegment: r for r in q_trimmed_mean(spark, SF_ORACLE).collect()}
+    pdf = load_table(spark, SF_ORACLE, "customer").toPandas()
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        v = grp["c_acctbal"]
+        lo, hi = v.quantile(0.10), v.quantile(0.90)
+        want = v[(v >= lo) & (v <= hi)].mean()
+        assert abs(out[seg].trimmed_acctbal - want) < 1e-9
+        assert out[seg].n == len(grp)
+
+
 def test_stateful_user_profiles(spark):
     out = run_to_batch(streaming_user_profiles(spark, SF_SMALL), spark)
     # update-mode memory sink keeps the latest row per user from the single
