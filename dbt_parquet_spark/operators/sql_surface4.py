@@ -1,0 +1,96 @@
+"""SQL surface, part 5: correlated scalar subqueries, exact correlation via
+decimal moments, sampling, and quantile sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..registry import register
+from ..sources.readers import load_table, register_views
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           (SELECT MAX(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+    FROM orders
+    WHERE o_totalprice > 250000
+    """,
+    tags=("subquery", "correlated"),
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (per-row lookups into another table).
+    Catalyst decorrelates both into aggregates + left joins — the plan a
+    human would hand-write — so the 'per-row subquery' costs one shuffle,
+    not N queries. Expressed through the SQL front-end to exercise the
+    decorrelation path itself."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT MAX(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_price,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+        FROM orders
+        WHERE o_totalprice > 250000
+        """
+    )
+
+
+@register(
+    "q_corr_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance via exact DECIMAL cross-moments — the q_stddev_exact
+    technique extended to two variables (corr = cov / (σx·σy) follows the
+    same way). Built-in covar_samp/corr are float-order-dependent; this
+    formulation is reproducible at any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    cov = (F.sum(q * p).cast("double") - F.sum(q).cast("double") * F.sum(p).cast("double") / n) / (
+        n - F.lit(1)
+    )
+    return li.groupBy("l_returnflag").agg(n.alias("n"), cov.alias("qty_price_cov"))
+
+
+@register("q_sample", tags=("sample",))
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed — reproducible WITHIN Spark
+    (seeded per-partition), but sampling algorithms are engine-specific so
+    this is rows-only for the driver; the test pins the sampled row count
+    band and run-to-run determinism.
+
+    Scale: sampling is a scan-side filter — no shuffle; the standard first
+    step of profiling a 100 TB table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("q_approx_quantile", tags=("sketch", "percentile"))
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to exact ones —
+    the mergeable-sketch path that replaces q_percentiles' per-group sort at
+    100 TB. Rows-only (sketch internals are engine-specific); the test
+    bounds the approximation error against the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.sql_surface",
     "dbt_parquet_spark.operators.sql_surface2",
     "dbt_parquet_spark.operators.sql_surface3",
+    "dbt_parquet_spark.operators.sql_surface4",
     "dbt_parquet_spark.operators.windows",
     "dbt_parquet_spark.operators.lifecycle",
     "dbt_parquet_spark.operators.text",
