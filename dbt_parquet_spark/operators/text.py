@@ -126,6 +126,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("explode", "generator"),
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table function: explode ⇔ unnest — one output row per
+    token, multiplicities preserved (the row-expansion primitive under all
+    the shingling/dedup operators).
+
+    Scale: explode is pipelined (no shuffle); row count multiplies by
+    tokens-per-doc, so always project to the minimal columns first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
     SELECT doc_id,

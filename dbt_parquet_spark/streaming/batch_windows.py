@@ -86,6 +86,31 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "structured-streaming"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run, oracle-checked: the watermarked
+    tumbling-window aggregation executes as a streaming query
+    (trigger=availableNow → memory sink) and its materialized output must
+    hash-match the same SQL DuckDB runs on the batch data. Proof that the
+    incremental execution path produces batch-identical answers — the
+    exactly-once contract, checked by value.
+    """
+    from .stream_ops import run_to_batch, streaming_tumbling_counts
+
+    return run_to_batch(streaming_tumbling_counts(spark, sf_dir), spark)
+
+
+@register(
     "q_session_window",
     oracle=f"""
     WITH gaps AS (
