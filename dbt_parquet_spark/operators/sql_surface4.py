@@ -69,6 +69,35 @@ def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(n.alias("n"), cov.alias("qty_price_cov"))
 
 
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS + grouping() indicator columns (the general
+    form behind ROLLUP/CUBE; the indicators disambiguate aggregation NULLs
+    from data NULLs). One shuffle pass via Expand, same as rollup."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
 @register("q_sample", tags=("sample",))
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed — reproducible WITHIN Spark
