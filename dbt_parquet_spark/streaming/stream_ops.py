@@ -91,6 +91,25 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the customer
+    dimension (a batch DataFrame). Spark re-reads the static side per
+    micro-batch, so dimension updates are picked up continuously — the
+    streaming analog of a broadcast dimension join, and the standard
+    enrichment stage before a streaming aggregation."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return events.join(customer, "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+
+
 def stream_to_table(
     stream_df: DataFrame,
     catalog,

@@ -9,6 +9,7 @@ from dbt_parquet_spark.streaming.batch_windows import q_window_tumbling
 from dbt_parquet_spark.streaming.stream_ops import (
     run_to_batch,
     streaming_dedup,
+    streaming_enriched_events,
     streaming_session_windows,
     streaming_tumbling_counts,
 )
@@ -29,6 +30,21 @@ def test_streaming_dedup_passthrough_when_unique(spark):
     n_events = load_table(spark, SF_SMALL, "events").count()
     assert out.count() == n_events  # event_ids are unique → nothing dropped
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    out = run_to_batch(streaming_enriched_events(spark, SF_SMALL), spark)
+    events = load_table(spark, SF_SMALL, "events")
+    customer = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    want = events.join(customer, "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    assert out.count() == want.count()
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in want.collect()}
 
 
 def test_streaming_session_windows_cover_all_events(spark):
