@@ -1,0 +1,158 @@
+"""Corpus-statistics operators — vocabulary, co-occurrence, dataset
+splitting, stratified sampling: the accounting-and-curation layer of a
+training-data pipeline (north-star surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+TRAIN_THRESHOLD = "c" * 32  # md5-hex < 'cc…' ⇔ uniform ~75% of the hash space
+
+
+@register(
+    "q_vocabulary",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS freq,
+           RANK() OVER (ORDER BY COUNT(*) DESC, token ASC) AS freq_rank
+    FROM toks
+    GROUP BY token
+    """,
+    tags=("corpus", "vocabulary"),
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequency ranks — the token-accounting table
+    behind tokenizer training and frequency-based filtering.
+
+    Scale: explode → groupBy(token) with map-side partials; the rank window
+    runs over the (tiny) vocabulary, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.select("token", "freq", F.rank().over(w).alias("freq_rank"))
+
+
+@register(
+    "q_cooccurrence",
+    oracle="""
+    WITH doc_tokens AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    totals AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM doc_tokens),
+    tok_df AS (SELECT tok, COUNT(*) AS df FROM doc_tokens GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS co_df
+        FROM doc_tokens a JOIN doc_tokens b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, co_df,
+           CAST(co_df AS DOUBLE) * (SELECT n_docs FROM totals)
+             / (da.df * db.df) AS lift
+    FROM pairs
+    JOIN tok_df da ON tok_a = da.tok
+    JOIN tok_df db ON tok_b = db.tok
+    WHERE co_df >= 50
+    """,
+    tags=("corpus", "cooccurrence"),
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with lift (PMI's ratio without the
+    log — logs are libm-specific, ratios of integer counts are bit-portable).
+    The association-mining primitive for contamination/boilerplate analysis.
+
+    Scale: the within-doc self-join is bounded by tokens-per-doc² per doc
+    (not corpus²); for web-scale vocabularies, frequency-cap tokens first
+    (stop-token removal) exactly like hot shingles in dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    n_docs = doc_tokens.select("doc_id").distinct().count()
+    tok_df = doc_tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = doc_tokens.alias("a")
+    b = doc_tokens.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= 50)
+    )
+    da = tok_df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = tok_df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_df",
+            (F.col("co_df").cast("double") * n_docs / (F.col("df_a") * F.col("df_b"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{TRAIN_THRESHOLD}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ) AS t
+    GROUP BY split
+    """,
+    tags=("corpus", "split"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split: assignment = md5(doc_id)
+    compared against a hex threshold (~75% train). Hash-based (not modulo-id)
+    so the split survives re-sharding, id renumbering, and incremental
+    appends — and md5 makes the SAME assignment in every engine.
+
+    Scale: map-only; the split column can be used as a partition key so
+    train/test land in separate directories at write time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string")) < TRAIN_THRESHOLD, "train"
+    ).otherwise("test")
+    return (
+        docs.select("n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register("q_stratified_sample", tags=("corpus", "sample"))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language fractions (upweight rare langs,
+    downweight the head) with a fixed seed — corpus rebalancing. Rows-only
+    (sampling algorithms are engine-specific); tests pin per-stratum bands
+    and determinism.
+
+    Scale: sampleBy is a scan-side filter per stratum — no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
