@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.edge_semantics",
     "dbt_parquet_spark.operators.temporal",
     "dbt_parquet_spark.operators.corpus",
+    "dbt_parquet_spark.operators.packing",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 

@@ -73,3 +73,17 @@ def write_partitioned(df: DataFrame, dest: str, partition_by: list[str]) -> None
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_sorted(df: DataFrame, dest: str, sort_cols: list[str], files: int = 0) -> None:
+    """Write parquet ordered by ``sort_cols`` within each file.
+
+    Ordering is what makes row-group min/max statistics selective: a range
+    predicate on the sort column then skips whole row groups at scan time
+    (the poor man's index — at 100 TB, sorting a time-series table by ts
+    before writing is often a 10-100× read win for range queries).
+    tests/test_formats_incremental.py asserts disjoint row-group stats.
+    """
+    out = df.repartitionByRange(files, *sort_cols) if files else df
+    out = out.sortWithinPartitions(*sort_cols)
+    _atomic_publish(lambda p: out.write.mode("overwrite").parquet(p), dest)
