@@ -51,6 +51,11 @@ EXTENSION_HEADLINE = [
     "q_json_extract",
     "q_window_extras",
     "q_corpus_pipeline",
+    "q_vocabulary",
+    "q_train_test_split",
+    "q_contamination",
+    "q_sequence_packing",
+    "q_asof_join",
 ]
 
 

@@ -144,6 +144,97 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_contamination",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 3),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                     || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                     || ' ' || string_split(text, ' ')[i+4]
+               ))) AS s
+        FROM documents WHERE doc_id IN (7, 42, 123)
+    ),
+    corpus AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 3),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                     || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                     || ' ' || string_split(text, ' ')[i+4]
+               ))) AS s
+        FROM documents WHERE doc_id NOT IN (7, 42, 123)
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.s) AS n_shared_shingles
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id, b.bench_id
+    """,
+    tags=("corpus", "contamination", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing 5-gram
+    shingles with a (tiny) benchmark set — the canonical eval-leakage check
+    before training. Fully oracle-checked.
+
+    Scale: the benchmark side is small by definition → broadcast the bench
+    shingles; the corpus side streams through one shuffle-free probe plus a
+    small aggregation. O(corpus tokens), never O(corpus × benchmark).
+    """
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(spark, sf_dir)
+    bench_ids = (7, 42, 123)
+    bench = sh.filter(F.col("doc_id").isin(*bench_ids)).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(~F.col("doc_id").isin(*bench_ids))
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
+    FROM events, bounds
+    GROUP BY 1
+    """,
+    tags=("corpus", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values — data profiling's
+    first query. Bucket arithmetic is pure double IEEE ops on identical
+    inputs → identical bucket assignment in both engines.
+
+    Scale: the bounds aggregate is one tiny pre-pass broadcast into a
+    map-only bucketing pass + small aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    from ..functions.exact import dec
+
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("bucket_total"),
+        )
+    )
+
+
 @register("q_stratified_sample", tags=("corpus", "sample"))
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: per-language fractions (upweight rare langs,
