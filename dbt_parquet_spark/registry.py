@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.temporal",
     "dbt_parquet_spark.operators.corpus",
     "dbt_parquet_spark.operators.packing",
+    "dbt_parquet_spark.operators.udtf_ops",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 
