@@ -141,11 +141,25 @@ def quality_score_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield (length_score * diversity).astype("float64")
 
 
-@register("q_quality_score", tags=("pandas_udf", "text"))
+@register(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           least(len(string_split(text, ' ')) / 60.0, 1.0)
+             * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 1.0) AS quality
+    FROM documents
+    """,
+    tags=("pandas_udf", "text"),
+)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched scalar quality scoring over documents (the shape for
-    model-based scorers: swap the lambda for an ONNX/torch call). Rows-only;
-    tests pin exact values for known inputs."""
+    model-based scorers: swap the lambda for an ONNX/torch call).
+
+    ORACLE-CHECKED despite being a Python UDF: the scorer is pure IEEE
+    double arithmetic (n/60 clipped x distinct/n clipped), so the pandas
+    path must produce bit-identical values to DuckDB computing the same
+    formula - demonstrating the Arrow transfer is semantics-preserving."""
     score = F.pandas_udf(quality_score_batches, SCORE_SCHEMA)
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", score(F.col("text")).alias("quality"))
