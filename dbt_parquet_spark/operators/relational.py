@@ -366,21 +366,24 @@ def q_cte_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two shuffles (orders→custkey agg, then segment agg); the first
     agg shrinks data massively before the join.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]  # unique view names → safe under concurrent calls
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{tag}")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{tag}")
     return spark.sql(
-        """
+        f"""
         WITH cust_orders AS (
             SELECT o_custkey, COUNT(*) AS n_orders,
                    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent
-            FROM orders
+            FROM orders_{tag}
             GROUP BY o_custkey
         )
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
                CAST(SUM(n_orders) AS BIGINT) AS total_orders,
                CAST(SUM(spent) AS DOUBLE) AS total_spent
-        FROM (SELECT c_custkey, c_mktsegment FROM customer) AS seg
+        FROM (SELECT c_custkey, c_mktsegment FROM customer_{tag}) AS seg
         JOIN cust_orders ON seg.c_custkey = cust_orders.o_custkey
         GROUP BY c_mktsegment
         """

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dec
 from ..registry import register
-from ..sources.readers import load_table, register_views
+from ..sources.readers import load_table
 
 
 @register(
@@ -29,13 +29,17 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     human would hand-write — so the 'per-row subquery' costs one shuffle,
     not N queries. Expressed through the SQL front-end to exercise the
     decorrelation path itself."""
-    register_views(spark, sf_dir, "orders", "lineitem")
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{tag}")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice,
-               (SELECT MAX(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_price,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
-        FROM orders
+               (SELECT MAX(l_extendedprice) FROM lineitem_{tag} WHERE l_orderkey = o_orderkey) AS max_line_price,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem_{tag} WHERE l_orderkey = o_orderkey) AS n_lines
+        FROM orders_{tag}
         WHERE o_totalprice > 250000
         """
     )
@@ -85,14 +89,17 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS + grouping() indicator columns (the general
     form behind ROLLUP/CUBE; the indicators disambiguate aggregation NULLs
     from data NULLs). One shuffle pass via Expand, same as rollup."""
-    register_views(spark, sf_dir, "lineitem")
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
                CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
                COUNT(*) AS n
-        FROM lineitem
+        FROM lineitem_{tag}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )

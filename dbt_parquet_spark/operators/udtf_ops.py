@@ -49,13 +49,16 @@ def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is expressible with sequence+transform — the UDTF form is here to cover
     the extension point itself.
     """
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
     docs = load_table(spark, sf_dir, "documents")
     spark.udtf.register("chunk_document", ChunkDocument)
-    docs.select("doc_id", "text").createOrReplaceTempView("docs_to_chunk")
+    docs.select("doc_id", "text").createOrReplaceTempView(f"docs_to_chunk_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
-        FROM docs_to_chunk d, LATERAL chunk_document(d.text) c
+        FROM docs_to_chunk_{tag} d, LATERAL chunk_document(d.text) c
         WHERE d.doc_id < 100
         """
     )

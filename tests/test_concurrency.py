@@ -20,6 +20,11 @@ CONCURRENT = [
     "q_window_rank",
     "q_filter_in",
     "q_distinct",
+    # SQL-front-end queries: unique per-call temp-view names keep these
+    # safe under concurrent submission
+    "q_cte_derived",
+    "q_correlated_subquery",
+    "q_grouping_sets",
 ]
 
 
