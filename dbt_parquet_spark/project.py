@@ -148,3 +148,40 @@ class Project:
         """Violation count (WHERE x IS NULL)."""
         view = self._model_relation(model).view_name
         return spark.sql(f"SELECT 1 FROM {view} WHERE {column} IS NULL").count()
+
+    def test_accepted_values(
+        self, spark: SparkSession, model: str, column: str, values: list
+    ) -> int:
+        """Violation count: rows whose value is outside the accepted list
+        (dbt's accepted_values test shape)."""
+        from pyspark.sql import functions as F
+
+        view = self._model_relation(model).view_name
+        return (
+            spark.table(view)
+            .filter(~F.col(column).isin(*values) | F.col(column).isNull())
+            .count()
+        )
+
+    def test_relationships(
+        self,
+        spark: SparkSession,
+        model: str,
+        column: str,
+        to_model: str,
+        to_column: str,
+    ) -> int:
+        """Violation count: FK values with no parent (dbt's relationships
+        test — compiled by dbt as the left-join-where-null pattern; here the
+        equivalent anti join)."""
+        from pyspark.sql import functions as F
+
+        child = spark.table(self._model_relation(model).view_name)
+        parent = spark.table(self._model_relation(to_model).view_name).select(
+            F.col(to_column).alias(column)
+        )
+        return (
+            child.filter(F.col(column).isNotNull())
+            .join(parent, column, "left_anti")
+            .count()
+        )

@@ -142,6 +142,38 @@ def stream_to_table(
     return writer.start()
 
 
+def stream_merge_to_table(
+    stream_df: DataFrame,
+    catalog,
+    rel,
+    unique_key: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming UPSERT materialization: each micro-batch merges into the
+    target by key (incremental.incremental_merge inside foreachBatch) —
+    the streaming CDC-apply pattern: late corrections overwrite earlier
+    rows instead of appending duplicates.
+
+    Scale: per-batch cost is one anti-join against the current table; for
+    large targets pair with partition-scoped merges (incremental.py notes).
+    """
+    from ..incremental import incremental_merge
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_merge(batch_df.sparkSession, catalog, rel, batch_df, unique_key)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_batch(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming plan with trigger=availableNow into an in-memory
     sink and return the materialized result — processes all currently

@@ -44,6 +44,25 @@ def test_table_stats_from_footers(spark, db):
     assert stats[("s", "t2")].total_bytes > 0
 
 
+def test_stream_merge_upserts(spark, db, tmp_path):
+    from dbt_parquet_spark.streaming.stream_ops import stream_merge_to_table
+
+    rel = db.relation("events_merged")
+    # seed the target with stale rows for a few event_ids
+    events = read_parquet(spark, os.path.join(SF_SMALL, "events.parquet"))
+    stale = events.limit(10).withColumn("value", F.lit(-999.0))
+    create_table_as(spark, db, rel, stale, single_file=False)
+
+    q = stream_merge_to_table(
+        read_events_stream(spark, SF_SMALL), db, rel, ["event_id"], str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = read_parquet(spark, rel.path)
+    assert out.count() == events.count()  # upsert, not append: no duplicates
+    assert out.filter(F.col("value") == -999.0).count() == 0  # stale rows replaced
+    assert relations_equal(events, out)
+
+
 def test_stream_to_table_materializes(spark, db, tmp_path):
     events = read_events_stream(spark, SF_SMALL)
     rel = db.relation("events_copy")

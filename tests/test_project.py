@@ -82,6 +82,24 @@ def test_generic_tests(spark, db):
     assert project.test_unique(spark, "dupes", "x") == 1
 
 
+def test_accepted_values_and_relationships(spark, db):
+    """The other half of dbt's standard generic-test quartet."""
+    project = Project(db)
+    project.add(Model("parents", "SELECT id AS pid FROM RANGE(10)"))
+    project.add(
+        Model(
+            "children",
+            "SELECT id AS cid, id % 12 AS pid, "
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS kind FROM RANGE(24)",
+        )
+    )
+    project.run(spark)
+    assert project.test_accepted_values(spark, "children", "kind", ["a", "b"]) == 0
+    assert project.test_accepted_values(spark, "children", "kind", ["a"]) == 12
+    # pids 10 and 11 have no parent: ids 10,11,22,23 violate
+    assert project.test_relationships(spark, "children", "pid", "parents", "pid") == 4
+
+
 def test_concurrent_independent_models(spark, db):
     """Many independent models through the thread pool (reference
     test_concurrency.py semantics)."""
