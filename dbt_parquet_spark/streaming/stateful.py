@@ -6,6 +6,11 @@ Example operator: per-user running profile — cumulative event count, running
 value total, and a per-user session counter with the same 30-minute gap rule
 as batch_windows.q_session_window, maintained incrementally across
 micro-batches with GroupState.
+
+(Spark 4's newer transformWithStateInPandas API was evaluated and does NOT
+work in this environment: its driver worker requires google.protobuf, which
+is unavailable here — ImportError at runner init. applyInPandasWithState
+covers the same custom-stateful ground.)
 """
 
 from __future__ import annotations
