@@ -77,12 +77,15 @@ class Project:
     # -- compilation -------------------------------------------------------
     def compile_sql(self, model: Model) -> str:
         """Render refs/sources to registered view names (the analog of
-        ParquetRelation.render(), reference relation.py:104-113)."""
+        ParquetRelation.render(), reference relation.py:104-113), then apply
+        the DuckDB-dialect rewrites (dialect.translate_sql)."""
+        from .dialect import translate_sql
+
         sql = _REF.sub(lambda m: self._model_relation(m.group(1)).view_name, model.sql)
         sql = _SOURCE.sub(
             lambda m: Relation(self.catalog.database, m.group(1), m.group(2)).view_name, sql
         )
-        return sql
+        return translate_sql(sql)
 
     def _model_relation(self, name: str) -> Relation:
         model = self.models[name]
@@ -105,6 +108,9 @@ class Project:
         models across ``threads`` (reference threads semantics). Source
         views are registered up front (reference connections.py:79-88
         registers all existing parquet on connect)."""
+        from .dialect import register_duckdb_compat
+
+        register_duckdb_compat(spark)  # DuckDB-dialect model SQL runs unchanged
         self.catalog.register_all_views(spark)
 
         ts = graphlib.TopologicalSorter({n: set(m.refs) for n, m in self.models.items()})
