@@ -83,6 +83,35 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           source AS origin,
+           CAST(n_chars AS INTEGER) AS content_length
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table's metadata path, oracle-checked: binary payload
+    sizes (utf-8 octet length), media-type routing, and the metadata struct
+    fields — everything about the binary-column plumbing EXCEPT the decode
+    itself is value-verified against DuckDB."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),  # length(binary) = octet count
+        "media_type",
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.content_length").alias("content_length"),
+    )
+
+
 @register("q_multimodal_extract", tags=("multimodal", "pandas_udf"))
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas: build a media table

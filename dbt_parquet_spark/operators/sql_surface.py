@@ -315,6 +315,31 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    tags=("json", "struct"),
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct column, then
+    struct-field access and filtering — the parse-once pattern recommended
+    over repeated get_json_object at scale (q_json_extract's docstring)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_bucket"))
+        .filter(F.col("k") > 50)
+    )
+
+
+@register(
     "q_percentiles",
     oracle="""
     SELECT l_returnflag,
