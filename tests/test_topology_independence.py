@@ -1,0 +1,45 @@
+"""The determinism contract, enforced: representative oracle queries must
+produce bit-identical results under a deliberately different execution
+topology (2 cores, 5 shuffle partitions, AQE off). Runs in a subprocess
+because one JVM hosts one SparkSession configuration."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = """
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "5")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import sys
+sys.path.insert(0, ".")
+import __spark_entry__ as e, duckdb
+qs, osql = e.queries(), e.oracle_sql()
+con = duckdb.connect()
+sf = "/root/testdata/sf0.001"
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
+from tests.oracle_utils import compare_spark_duckdb
+# the queries whose determinism depends on aggregation order
+names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
+         "q_corr_exact", "q_ann_topk", "q_dedup_ngram_jaccard", "q_histogram"]
+fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
+print("FAILS:" + ",".join(fails))
+"""
+
+
+def test_oracle_holds_on_alternate_topology():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, cwd=REPO, timeout=560
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("FAILS:")][-1]
+    assert line == "FAILS:", line
