@@ -50,6 +50,46 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pct_of_total",
+    oracle="""
+    WITH spend AS (
+        SELECT c_nationkey, c_custkey,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal
+        FROM customer
+        GROUP BY c_nationkey, c_custkey
+    )
+    SELECT c_nationkey, c_custkey,
+           CAST(bal AS DOUBLE) AS acctbal,
+           CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+             AS pct_of_nation
+    FROM spend
+    """,
+    tags=("window", "ratio"),
+)
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each customer's share of their
+    nation's balance — windowed sum as denominator. The decimal group sums
+    keep numerator AND denominator bit-identical across engines, so the
+    double ratio is too.
+
+    Scale: one shuffle on nation; the window reuses that partitioning.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    spend = customer.groupBy("c_nationkey", "c_custkey").agg(
+        F.sum(dec("c_acctbal")).alias("bal")
+    )
+    w = Window.partitionBy("c_nationkey")
+    return spend.select(
+        "c_nationkey",
+        "c_custkey",
+        F.col("bal").cast("double").alias("acctbal"),
+        (F.col("bal").cast("double") / F.sum("bal").over(w).cast("double")).alias(
+            "pct_of_nation"
+        ),
+    )
+
+
+@register(
     "q_window_running",
     oracle="""
     SELECT user_id, event_id, value,

@@ -86,6 +86,51 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_dedup",
+    oracle="""
+    SELECT user_id, event_type, window_start, event_id AS first_event, ts AS first_ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events
+    ) AS t
+    WHERE rn = 1
+    """,
+    tags=("streaming", "dedup", "window"),
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication: keep the FIRST event per (user, type) within
+    each hour — the batch twin of streaming dropDuplicatesWithinWatermark
+    (stream_ops.streaming_dedup), with deterministic first-pick via the
+    (ts, event_id) total order.
+
+    Scale: one shuffle on the dedup key; in streaming mode the same
+    semantics run with watermark-bounded state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", win).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            win.alias("window_start"),
+            F.col("event_id").alias("first_event"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "q_stream_tumbling",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
