@@ -161,6 +161,81 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+               CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, amount
+    FROM wide
+    UNPIVOT (amount FOR metric IN (qty, price, tax))
+    """,
+    tags=("unpivot", "reshape"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt), the inverse of q_pivot: per-flag metric
+    columns unfolded into (metric, amount) rows. Spark's unpivot ⇔ ANSI
+    UNPIVOT; decimal sums keep the melted values bit-exact."""
+    from ..functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "qty"),
+        dsum("l_extendedprice", "price"),
+        dsum("l_tax", "tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"], values=["qty", "price", "tax"],
+        variableColumnName="metric", valueColumnName="amount",
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(signup_ts) AS BIGINT) AS n_signed_up,
+           CAST(COUNT(CASE WHEN purchase_ts > signup_ts THEN 1 END) AS BIGINT) AS n_converted,
+           CAST(COUNT(CASE WHEN purchase_ts > signup_ts THEN 1 END) AS DOUBLE)
+             / COUNT(signup_ts) AS conversion_rate
+    FROM firsts
+    """,
+    tags=("funnel", "analytics"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first purchase follows their first
+    signup — the sequential-behavior query of product analytics, as one
+    conditional-MIN aggregation (no self-join of the events table).
+
+    Scale: single shuffle on user_id; the conditional MINs collapse each
+    user's history map-side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purchase_ts"),
+    )
+    converted = F.count(F.when(F.col("purchase_ts") > F.col("signup_ts"), 1))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("signup_ts").alias("n_signed_up"),
+        converted.alias("n_converted"),
+        (converted.cast("double") / F.count("signup_ts")).alias("conversion_rate"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT event_type,
