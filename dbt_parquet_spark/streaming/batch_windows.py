@@ -156,6 +156,76 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) - INTERVAL 30 MINUTE AS lo,
+               MAX(ts) AS hi
+        FROM events
+    ),
+    starts AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS window_start FROM bounds
+    )
+    SELECT s.window_start, COUNT(*) AS n_events
+    FROM starts s JOIN events e
+      ON e.ts >= s.window_start AND e.ts < s.window_start + INTERVAL 1 HOUR
+    GROUP BY s.window_start
+    """,
+    tags=("streaming", "window", "structured-streaming"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding-window run (availableNow → memory
+    sink), value-checked against the batch oracle — like q_stream_tumbling
+    but with overlap state."""
+    from .stream_ops import run_to_batch, streaming_sliding_counts
+
+    return run_to_batch(streaming_sliding_counts(spark, sf_dir), spark)
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session", "structured-streaming"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming session-window run, value-checked against
+    the lag+cumsum batch sessionization: F.session_window's (start, end-gap)
+    equals (min ts, max ts) of each batch session, so the streaming state
+    machine must reproduce the batch semantics exactly."""
+    from pyspark.sql import functions as F
+
+    from .stream_ops import run_to_batch, streaming_session_windows
+
+    out = run_to_batch(streaming_session_windows(spark, sf_dir), spark)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("session_start"),
+        (F.col("session_end") - F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE")).alias(
+            "session_end"
+        ),
+    )
+
+
+@register(
     "q_session_window",
     oracle=f"""
     WITH gaps AS (

@@ -72,6 +72,18 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1 h length / 30 min slide) — incremental
+    form of batch_windows.q_window_sliding."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) with watermark — the streaming
     form of q_session_window's lag+cumsum sessionization. F.session_window
