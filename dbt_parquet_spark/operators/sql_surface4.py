@@ -105,6 +105,48 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC
+        LIMIT 2
+    ) AS l
+    WHERE o.o_totalprice > 400000
+    """,
+    tags=("join", "lateral"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row LATERAL top-N: each qualifying order's two priciest lines.
+    The oracle uses DuckDB's LATERAL-with-LIMIT; the Spark plan is the
+    equivalent (and at scale, superior) formulation — semi-join filter +
+    rank window — because a per-row correlated re-scan is exactly what a
+    distributed engine must rewrite away. Unique tiebreaks make both
+    deterministic and identical."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.join(
+        F.broadcast(orders.select(F.col("o_orderkey"))),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        keyed.select(
+            "o_orderkey", "l_linenumber", "l_extendedprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
 @register("q_sample", tags=("sample",))
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed — reproducible WITHIN Spark
