@@ -68,13 +68,57 @@ def q_seed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("id")
 
 
-@register("q_schema_introspect", tags=("catalog",))
+# DuckDB type name → Spark simpleString, for the portable catalog
+# comparison. TIMESTAMP is deliberately one bucket: parquet's
+# isAdjustedToUTC flag distinguishes Spark's timestamp vs timestamp_ntz,
+# but DuckDB reports both as TIMESTAMP, so the portable taxonomy collapses
+# them (the full-fidelity simpleString stays in catalog_df itself).
+_PORTABLE_TYPE_SQL = """
+    CASE data_type
+        WHEN 'BIGINT'    THEN 'bigint'
+        WHEN 'INTEGER'   THEN 'int'
+        WHEN 'VARCHAR'   THEN 'string'
+        WHEN 'DOUBLE'    THEN 'double'
+        WHEN 'FLOAT'     THEN 'float'
+        WHEN 'BOOLEAN'   THEN 'boolean'
+        WHEN 'DATE'      THEN 'date'
+        WHEN 'FLOAT[]'   THEN 'array<float>'
+        WHEN 'DOUBLE[]'  THEN 'array<double>'
+        WHEN 'TIMESTAMP' THEN 'timestamp'
+        WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+        ELSE lower(data_type)
+    END
+"""
+
+
+@register(
+    "q_schema_introspect",
+    oracle=f"""
+    SELECT '' AS table_schema,
+           table_name,
+           column_name,
+           CAST(ordinal_position - 1 AS INTEGER) AS column_index,
+           {_PORTABLE_TYPE_SQL} AS column_type
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                         'orders', 'lineitem', 'events', 'documents', 'embeddings')
+    """,
+    tags=("catalog",),
+)
 def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs-catalog DataFrame over the testdata database: every (schema,
     table, column, index, type), from parquet footers only — the Spark analog
-    of reference macros/catalog.sql:1-36 + impl.py:97-103. Rows-only check."""
+    of reference macros/catalog.sql:1-36 + impl.py:97-103.
+
+    Oracle = DuckDB's information_schema over the same tables, with type
+    names mapped into a shared portable taxonomy (see _PORTABLE_TYPE_SQL),
+    so the driver value-checks the whole footer-read + catalog pipeline."""
     catalog = FilesystemCatalog(sf_dir)
-    return catalog.catalog_df(spark)
+    df = catalog.catalog_df(spark)
+    portable = F.when(
+        F.col("column_type").isin("timestamp", "timestamp_ntz"), F.lit("timestamp")
+    ).otherwise(F.col("column_type"))
+    return df.withColumn("column_type", portable)
 
 
 @register(

@@ -291,7 +291,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           -- CAST back to BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT,
+           -- which pandas fetches as float64 and breaks the value hash
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
     GROUP BY event_type

