@@ -8,9 +8,15 @@ impl.py:241), ``GROUP BY ALL``, ``len(…)``. What remains are DuckDB's
 list-function NAMES, registered here as SQL function aliases
 (CREATE TEMPORARY FUNCTION … RETURN …) over Spark built-ins.
 
-Known untranslatable gap (documented, not silently wrong): DuckDB list
-indexing ``arr[i]`` is 1-based, Spark's is 0-based — rewrite to
-``element_at(arr, i)`` (1-based in both) when porting such models.
+DuckDB's 1-based list subscript ``arr[i]`` (the reference's own catalog
+macro idiom, reference macros/catalog.sql:17-18 ``file_parts[num_parts]``)
+is rewritten at the tokenizer level to ``element_at(arr, i)`` — 1-based in
+BOTH engines — because Spark parses ``arr[i]`` 0-based and a ported model
+would otherwise be silently wrong (the worst failure mode). Slices
+``arr[lo:hi]`` become ``slice(...)`` and bare list literals ``[1, 2]``
+become ``array(1, 2)``. Struct subscripts are rare in reference models; use
+dot access when porting (``s['f']`` would be rewritten to ``element_at``,
+which Spark rejects on structs — a loud parse error, never a wrong value).
 """
 
 from __future__ import annotations
@@ -31,7 +37,9 @@ _COMPAT_FUNCTIONS = {
     "list_sort": ("(a ARRAY<STRING>)", "ARRAY<STRING>", "sort_array(a)"),
     "list_unique": ("(a ARRAY<STRING>)", "INT", "size(array_distinct(a))"),
     "regexp_matches": ("(s STRING, p STRING)", "BOOLEAN", "s RLIKE p"),
-    "starts_with": ("(s STRING, p STRING)", "BOOLEAN", "s LIKE concat(p, '%')"),
+    # native startswith: a LIKE-pattern body would mis-match prefixes
+    # containing %, _ or \ (DuckDB's starts_with is a literal comparison)
+    "starts_with": ("(s STRING, p STRING)", "BOOLEAN", "startswith(s, p)"),
 }
 
 
@@ -55,14 +63,179 @@ _REWRITES = (
 
 
 def translate_sql(sql: str) -> str:
-    """Rewrite DuckDB-dialect fragments Spark's parser rejects (currently:
-    bare VARCHAR/TEXT/HUGEINT types). Quote-aware: single-quoted literals
-    pass through untouched."""
+    """Rewrite DuckDB-dialect fragments Spark's parser rejects or would
+    silently mis-evaluate: bare VARCHAR/TEXT/HUGEINT types, len() of lists,
+    and — critically — 1-based list subscripts (see module docstring).
+    Quote-aware: single-quoted literals pass through untouched."""
     parts = re.split(r"('(?:[^']|'')*')", sql)  # odd indices are string literals
     for i in range(0, len(parts), 2):
         for _, pat, repl in _REWRITES:
             parts[i] = pat.sub(repl, parts[i])
-    return "".join(parts)
+    return _rewrite_subscripts("".join(parts))
+
+
+# --- 1-based subscript rewriting (tokenizer-level) -------------------------
+
+_IDENT_CHARS = re.compile(r"[\w.$\"]")
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """i points at the opening quote; returns index just past the literal
+    (handles '' escapes)."""
+    q = sql[i]
+    j = i + 1
+    n = len(sql)
+    while j < n:
+        if sql[j] == q:
+            if q == "'" and j + 1 < n and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _match_bracket(sql: str, i: int) -> int:
+    """i points at '['; returns the index of the matching ']' (nesting- and
+    string-aware). Raises on unbalanced brackets."""
+    depth = 0
+    j = i
+    n = len(sql)
+    while j < n:
+        c = sql[j]
+        if c in "'\"":
+            j = _skip_string(sql, j)
+            continue
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced '[' at offset {i} in SQL: {sql[i:i+40]!r}")
+
+
+def _top_level_colon(inner: str) -> int:
+    """Index of a top-level ':' (slice separator) in bracket content, or -1."""
+    depth = 0
+    j = 0
+    while j < len(inner):
+        c = inner[j]
+        if c in "'\"":
+            j = _skip_string(inner, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == ":" and depth == 0:
+            return j
+        j += 1
+    return -1
+
+
+def _pop_base(out: list[str]) -> str | None:
+    """Pop the trailing operand (identifier chain, quoted identifier, or a
+    balanced-paren unit plus its function name) off the emitted-unit list.
+    Returns it as a string, or None if what precedes '[' is not an operand
+    (then the bracket is a DuckDB list literal)."""
+    ws = []
+    while out and out[-1].isspace():
+        ws.append(out.pop())
+    if not out:
+        out.extend(reversed(ws))
+        return None
+    last = out[-1]
+    base_units: list[str] = []
+    if last.endswith(")"):
+        # balanced-paren unit(s): multi-char rewritten units are internally
+        # balanced; single chars carry the live paren depth
+        depth = 0
+        while out:
+            u = out.pop()
+            if len(u) == 1:
+                if u == ")":
+                    depth += 1
+                elif u == "(":
+                    depth -= 1
+            base_units.append(u)
+            if depth == 0:
+                break
+        # include a preceding identifier chain (the function name)
+        while out and (len(out[-1]) > 1 or _IDENT_CHARS.match(out[-1])):
+            if len(out[-1]) > 1 and not out[-1].startswith('"'):
+                break  # a prior rewritten unit, not part of the name
+            base_units.append(out.pop())
+    elif _IDENT_CHARS.match(last[-1]) or last.startswith('"') or last.startswith("try_element_at("):
+        # identifier chain / quoted ident / previously rewritten subscript
+        while out and (
+            (len(out[-1]) == 1 and _IDENT_CHARS.match(out[-1]))
+            or out[-1].startswith('"')
+            or out[-1].startswith("try_element_at(")
+            or out[-1].startswith("slice(")
+        ):
+            base_units.append(out.pop())
+    else:
+        out.extend(reversed(ws))
+        return None
+    if not base_units:
+        out.extend(reversed(ws))
+        return None
+    base = "".join(reversed(base_units))
+    # a bare SQL keyword before '[' (e.g. "SELECT [1,2]") is not an operand
+    if base.upper() in _KEYWORDS_BEFORE_LITERAL:
+        out.append(base)
+        out.extend(reversed(ws))
+        return None
+    return base
+
+
+_KEYWORDS_BEFORE_LITERAL = {
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "IN",
+    "ON", "BY", "AS", "FROM", "HAVING", "RETURN", "UNION", "ALL", "DISTINCT",
+}
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """Rewrite DuckDB subscript syntax into portable Spark calls:
+
+    - ``base[i]``      → ``try_element_at(base, i)`` (1-based in both
+      engines, and NULL — not an ANSI error — when out of bounds, matching
+      DuckDB's subscript semantics)
+    - ``base[lo:hi]``  → ``slice(base, lo, hi-lo+1)`` (both ends inclusive,
+      matching DuckDB; an open upper bound derives its length from size())
+    - ``[a, b, c]``    → ``array(a, b, c)``; ``ARRAY[a, b]`` likewise
+    """
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+        elif c == "[":
+            j = _match_bracket(sql, i)
+            inner = _rewrite_subscripts(sql[i + 1 : j])
+            base = _pop_base(out)
+            if base is None or base.upper() == "ARRAY":
+                out.append(f"array({inner})")
+            else:
+                colon = _top_level_colon(inner)
+                if colon < 0:
+                    out.append(f"try_element_at({base}, {inner})")
+                else:
+                    lo = inner[:colon].strip() or "1"
+                    hi = inner[colon + 1 :].strip()
+                    length = f"({hi})-({lo})+1" if hi else f"size({base})-({lo})+1"
+                    out.append(f"slice({base}, {lo}, {length})")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def register_duckdb_compat(spark: SparkSession) -> list[str]:

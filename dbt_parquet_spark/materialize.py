@@ -25,14 +25,31 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import FilesystemCatalog, Relation
 
 
+def _swap_into_place(src: str, dest: str) -> None:
+    """Publish src at dest without a moment where NEITHER version exists:
+    move the old version aside, rename src into place, then delete the
+    aside copy. A crash mid-sequence leaves either the old or the new
+    version addressable (the aside copy is recoverable by name), never a
+    missing table — the write-then-swap guarantee the reference's rename
+    pattern implies (reference impl.py:75-85)."""
+    aside = None
+    if os.path.exists(dest):
+        aside = os.path.join(
+            os.path.dirname(dest), f".old_{os.path.basename(dest)}_{uuid.uuid4().hex[:8]}"
+        )
+        os.rename(dest, aside)
+    os.rename(src, dest)
+    if aside is not None:
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        else:
+            os.remove(aside)
+
+
 def _publish_single_file(tmp_dir: str, dest: str) -> None:
     parts = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
     assert len(parts) == 1, f"expected one part file, got {parts}"
-    if os.path.isdir(dest):
-        shutil.rmtree(dest)
-    elif os.path.exists(dest):
-        os.remove(dest)
-    shutil.move(parts[0], dest)
+    _swap_into_place(parts[0], dest)
     shutil.rmtree(tmp_dir)
 
 
@@ -56,9 +73,7 @@ def create_table_as(
         _publish_single_file(tmp, rel.path)
     else:
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(rel.path) or os.path.exists(rel.path):
-            catalog.drop_relation(rel)
-        os.rename(tmp, rel.path)
+        _swap_into_place(tmp, rel.path)
     if register:
         return catalog.register_view(spark, rel)
     return spark.read.parquet(rel.path)
@@ -76,10 +91,35 @@ def load_seed(
     """CSV → typed parquet table. ``inferSchema`` reproduces the reference's
     agate-driven inference (reference impl.py:185-208): ints stay integral,
     any decimal → double, ISO dates/timestamps → date/timestamp, bools →
-    boolean. Seeds are small by definition → single-file layout by default."""
-    df = (
-        spark.read.option("header", True)
-        .option("inferSchema", True)
-        .csv(csv_path)
-    )
-    return create_table_as(spark, catalog, rel, df, single_file=single_file, register=register)
+    boolean.
+
+    TIME-typed columns (reference impl.py:206-208 agate time → TIME) have no
+    Spark equivalent; Spark's CSV inference would otherwise coerce bare
+    ``HH:MM:SS`` values to a timestamp ON TODAY'S DATE — silent, run-date-
+    dependent corruption. Such columns are detected and kept as strings
+    (lossless, castable downstream), the SURVEY §1.2 documented behavior.
+    Seeds are small by definition → single-file layout by default."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inferred = spark.read.option("header", True).option("inferSchema", True).csv(csv_path)
+    ts_cols = [f.name for f in inferred.schema.fields if isinstance(f.dataType, T.TimestampType)]
+    if ts_cols:
+        raw = spark.read.option("header", True).csv(csv_path)
+        time_only = r"^\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?$"
+        flags = raw.agg(
+            *[
+                F.min(F.coalesce(F.col(c).rlike(time_only), F.lit(False))).alias(c)
+                for c in ts_cols
+            ]
+        ).first()
+        demote = {c for c in ts_cols if flags[c]}
+        if demote:
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.StringType() if f.name in demote else f.dataType, True)
+                    for f in inferred.schema.fields
+                ]
+            )
+            inferred = spark.read.option("header", True).schema(schema).csv(csv_path)
+    return create_table_as(spark, catalog, rel, inferred, single_file=single_file, register=register)

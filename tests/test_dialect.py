@@ -73,3 +73,72 @@ def test_string_split_literal_separator(spark):
     register_duckdb_compat(spark)
     row = spark.sql("SELECT string_split('a.b.c', '.') AS parts").first()
     assert row.parts == ["a", "b", "c"]  # literal '.', not regex any-char
+
+
+# --- 1-based subscript rewriting ------------------------------------------
+
+
+def test_subscript_rewrite_forms():
+    from dbt_parquet_spark.dialect import translate_sql
+
+    assert (
+        translate_sql("file_parts[num_parts - 1]")
+        == "try_element_at(file_parts, num_parts - 1)"
+    )
+    assert translate_sql("select [1, 2] as xs") == "select array(1, 2) as xs"
+    assert translate_sql("ARRAY[1, 2]") == "array(1, 2)"
+    assert translate_sql("m['k']") == "try_element_at(m, 'k')"
+    assert translate_sql("a[2:4]") == "slice(a, 2, (4)-(2)+1)"
+    assert translate_sql("a[2:]") == "slice(a, 2, size(a)-(2)+1)"
+    assert translate_sql("'lit [x]'") == "'lit [x]'"  # literals untouched
+    # chained + nested
+    assert (
+        translate_sql("string_split(p, '/')[2]")
+        == "try_element_at(string_split(p, '/'), 2)"
+    )
+    assert translate_sql("a[b[1]]") == "try_element_at(a, try_element_at(b, 1))"
+
+
+def test_subscript_is_one_based_and_null_out_of_bounds(spark):
+    """DuckDB subscripts are 1-based and NULL when out of range; the rewrite
+    must preserve BOTH (Spark's native arr[i] is 0-based, and element_at
+    raises under ANSI mode)."""
+    from dbt_parquet_spark.dialect import translate_sql
+
+    row = spark.sql(
+        translate_sql("SELECT split('a b c', ' ')[1] AS first, split('a b c', ' ')[9] AS oob")
+    ).first()
+    assert row.first == "a"
+    assert row.oob is None
+
+
+def test_reference_catalog_macro_idiom_matches_duckdb(spark, oracle_con):
+    """The reference's own catalog macro extracts schema/table from file
+    paths with 1-based subscripts (reference macros/catalog.sql:17-18).
+    Run those expressions VERBATIM through the dialect layer and check the
+    values against DuckDB executing the original text."""
+    from dbt_parquet_spark.dialect import register_duckdb_compat, translate_sql
+
+    register_duckdb_compat(spark)
+    paths = [
+        ("/db/main/orders.parquet",),
+        ("/db/staging/lineitem.parquet",),
+        ("/db/a/b/events.parquet",),
+    ]
+    body = """
+    SELECT file_parts[num_parts - 1] AS table_schema,
+           string_split(file_parts[num_parts], '.parquet')[1] AS table_name
+    FROM (
+        SELECT string_split(file_name, '/') AS file_parts,
+               len(string_split(file_name, '/')) AS num_parts
+        FROM paths_v
+    )
+    """
+    spark.createDataFrame(paths, "file_name: string").createOrReplaceTempView("paths_v")
+    got = {tuple(r) for r in spark.sql(translate_sql(body)).collect()}
+    con = oracle_con.cursor()
+    con.execute("CREATE OR REPLACE TEMP TABLE paths_v(file_name VARCHAR)")
+    con.executemany("INSERT INTO paths_v VALUES (?)", [list(p) for p in paths])
+    want = set(map(tuple, con.execute(body).fetchall()))
+    assert got == want
+    assert ("staging", "lineitem") in got
