@@ -297,15 +297,44 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stratified_sample", tags=("corpus", "sample"))
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling: per-language fractions (upweight rare langs,
-    downweight the head) with a fixed seed — corpus rebalancing. Rows-only
-    (sampling algorithms are engine-specific); tests pin per-stratum bands
-    and determinism.
+# Per-stratum sampling fractions (upweight rare langs, downweight the head)
+# and their md5-space cut points: fraction f keeps rows whose 128-bit row
+# hash falls in the first f of the hex space — the q_train_test_split /
+# q_sample idiom, so every engine and every re-run selects the SAME rows.
+STRATA_FRACTIONS = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+_STRATA_THRESHOLDS = {
+    lang: format(int(f * 16**32), "032x") for lang, f in STRATA_FRACTIONS.items()
+}
+_STRATA_CASE_SQL = " ".join(
+    f"WHEN '{lang}' THEN '{thr}'" for lang, thr in _STRATA_THRESHOLDS.items()
+)
 
-    Scale: sampleBy is a scan-side filter per stratum — no shuffle.
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang {_STRATA_CASE_SQL} END
+    """,
+    tags=("corpus", "sample"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language fractions via md5-threshold on the
+    row key — corpus rebalancing with engine-independent, reshard-stable row
+    selection, so the full result is oracle-checked (seeded ``sampleBy`` is
+    only reproducible within one engine; it stays covered by
+    tests/test_corpus.py).
+
+    Scale: a scan-side filter per stratum — no shuffle, no per-stratum
+    passes; strata not in the plan fall out via the CASE's NULL branch.
     """
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    strata = iter(_STRATA_THRESHOLDS.items())
+    lang, thr = next(strata)
+    threshold = F.when(F.col("lang") == lang, F.lit(thr))
+    for lang, thr in strata:
+        threshold = threshold.when(F.col("lang") == lang, F.lit(thr))
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")) < threshold
+    ).select("doc_id", "lang", "source")

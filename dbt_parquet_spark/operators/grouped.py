@@ -29,10 +29,23 @@ ZSCORE_SCHEMA = T.StructType(
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-nation z-score normalization — classic grouped-map shape: the
     whole group arrives as one pandas frame, vectorized numpy does the
-    math."""
-    mu = pdf["c_acctbal"].mean()
-    sd = pdf["c_acctbal"].std(ddof=0)
-    z = (pdf["c_acctbal"] - mu) / sd if sd > 0 else pdf["c_acctbal"] * 0.0
+    per-row math. The moments are computed EXACTLY (the testdata's balances
+    are 2-decimal, so integer-cent sums are order-independent), then one
+    IEEE sqrt/divide — mirroring the oracle's decimal-moment formulation
+    bit for bit regardless of row order within the group."""
+    import math
+
+    cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+    n = len(pdf)
+    s1 = int(cents.sum())  # exact Σx·100
+    s2 = int((cents * cents).sum())  # exact Σx²·10⁴
+    mu = (s1 / 100.0) / n
+    var = (s2 / 10000.0) / n - mu * mu
+    sd = math.sqrt(max(var, 0.0))
+    if sd > 0:
+        z = (pdf["c_acctbal"] - mu) / sd
+    else:
+        z = pd.Series(0.0, index=pdf.index)
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
@@ -43,16 +56,39 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("q_grouped_zscore", tags=("pandas_udf", "grouped_map"))
+@register(
+    "q_grouped_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                        * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s2
+        FROM customer GROUP BY c_nationkey
+    ),
+    stats AS (
+        SELECT c_nationkey, s1 / n AS mu,
+               sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+        FROM m
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           CASE WHEN s.sd > 0 THEN (c.c_acctbal - s.mu) / s.sd ELSE 0.0 END AS acctbal_z
+    FROM customer c JOIN stats s USING (c_nationkey)
+    """,
+    tags=("pandas_udf", "grouped_map"),
+)
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: z-score account balances within each
-    nation. Rows-only driver check (float summation order in numpy differs
-    from SQL engines by design); tests assert per-group mean≈0/std≈1.
+    nation. ORACLE-CHECKED despite being a Python UDF: the group moments
+    are exact integer-cent sums (order-independent), the oracle computes
+    the same moments via exact DECIMAL, and both sides then apply the same
+    IEEE double expression (sub, div, correctly-rounded sqrt) — so the
+    pandas path is bit-identical to DuckDB.
 
     Scale: one shuffle on the group key; each group must fit in one
     executor's memory as a pandas frame — for mega-groups switch to the
-    two-pass join-the-moments formulation (see tests for the oracle of
-    that shape).
+    two-pass join-the-moments formulation (the oracle's own shape).
     """
     customer = load_table(spark, sf_dir, "customer")
     return (
@@ -93,23 +129,53 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trimmed_mean(v: pd.Series) -> float:
-    """Grouped-agg Pandas UDF body (Series → scalar): 10%-trimmed mean — a
-    robust-statistics aggregate SQL lacks. Runs once per group with the
-    group's column as one pandas Series. (Wrapped with F.pandas_udf inside
-    the builder: decorating at import time needs an active session.)"""
-    lo, hi = v.quantile(0.10), v.quantile(0.90)
-    clipped = v[(v >= lo) & (v <= hi)]
-    return float(clipped.mean()) if len(clipped) else float(v.mean())
+    """Grouped-agg Pandas UDF body (Series → scalar): rank-based 10%-trimmed
+    mean — a robust-statistics aggregate SQL lacks. Drops the k = n//10
+    lowest and highest values (pure integer logic — no quantile
+    interpolation, so every engine agrees on the kept multiset even with
+    ties) and averages the rest via exact integer cents, matching the
+    oracle's DECIMAL sum bit for bit. Runs once per group with the group's
+    column as one pandas Series. (Wrapped with F.pandas_udf inside the
+    builder: decorating at import time needs an active session.)"""
+    cents = (v * 100).round().astype("int64").sort_values()
+    n = len(cents)
+    k = n // 10
+    kept = cents.iloc[k : n - k]
+    return (int(kept.sum()) / 100.0) / len(kept)
 
 
-@register("q_trimmed_mean", tags=("pandas_udf", "grouped_agg"))
+@register(
+    "q_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN 1 ELSE 0 END)
+             AS trimmed_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_acctbal,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+    tags=("pandas_udf", "grouped_agg"),
+)
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate Pandas UDF: per-market-segment 10%-trimmed mean of
-    account balances next to the plain mean. Rows-only (quantile
-    interpolation is numpy-specific); tests cross-check against pandas.
+    account balances next to the exact plain mean. ORACLE-CHECKED: rank
+    trimming drops a value multiset both engines agree on (ties straddling
+    the cut contribute identical values), and both sides average via exact
+    cents/DECIMAL before one double divide.
 
     Scale: same single-shuffle shape as a built-in aggregate; the UDF
-    receives Arrow batches per group."""
+    receives Arrow batches per group. (The oracle's windowed restatement
+    would need a per-group sort at scale — the UDF form sorts only within
+    each group's frame.)"""
     trimmed_mean_udaf = F.pandas_udf(_trimmed_mean, "double")
     customer = load_table(spark, sf_dir, "customer")
     # Spark disallows mixing pandas UDAFs with built-in aggregates in one
@@ -119,7 +185,10 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_mean_udaf(F.col("c_acctbal")).alias("trimmed_acctbal")
     )
     plain = customer.groupBy("c_mktsegment").agg(
-        F.avg("c_acctbal").alias("mean_acctbal"), F.count(F.lit(1)).alias("n")
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_acctbal"
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
     return robust.join(plain, "c_mktsegment")
 

@@ -272,19 +272,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sketch_distinct", tags=("sketch",))
+@register(
+    "q_sketch_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sketch",),
+)
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: HyperLogLog++ approx_count_distinct
-    next to the exact count, per event_type. Rows-only (sketch estimates are
-    engine-specific by construction).
+    next to the exact count, per event_type. Raw sketch estimates are
+    engine-specific by construction, so (the q_approx_quantile pattern) the
+    compared output carries the exact count plus the sketch folded into a
+    deterministic error-bound CHECK — approx within 5% of exact (rsd 0.02)
+    — which the oracle states as TRUE. tests/test_sampling_sketches.py
+    additionally bounds the raw estimate.
 
     Scale: the whole point — HLL sketches merge associatively, so the
     distinct count of 100 TB of user_ids costs one map-side sketch per
     partition + a tiny merge, vs the full shuffle an exact count needs.
     """
     events = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    exact = F.countDistinct("user_id")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )

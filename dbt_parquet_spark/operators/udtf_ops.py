@@ -38,11 +38,39 @@ class ChunkDocument:
             idx += 1
 
 
-@register("q_chunk_udtf", tags=("udtf", "text", "chunking"))
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+# DuckDB restatement of ChunkDocument.eval: chunk i covers 1-based tokens
+# [i*step+1, i*step+CHUNK_TOKENS] (list slices clamp at the end like Python),
+# and the chunk count is |range(0, max(n_tokens - overlap, 1), step)| =
+# ceil(max(n - overlap, 1) / step). Pure integer logic → fully deterministic.
+_CHUNK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+        SELECT doc_id, t, n,
+               unnest(range(0, CAST(ceil(greatest(n - {CHUNK_OVERLAP}, 1)
+                                         / {_CHUNK_STEP}.0) AS BIGINT))) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(t[i*{_CHUNK_STEP} + 1 : i*{_CHUNK_STEP} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, n - i*{_CHUNK_STEP}) AS INTEGER) AS n_tokens
+    FROM chunks
+"""
+
+
+@register("q_chunk_udtf", oracle=_CHUNK_ORACLE, tags=("udtf", "text", "chunking"))
 def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via the Python UDTF (lateral-join style: each doc
-    row expands to its chunk rows). Rows-only driver check; tests pin chunk
-    coverage/overlap invariants against a python reference.
+    row expands to its chunk rows). Fully oracle-checked: the sliding-window
+    arithmetic is integer-only, so the UDTF rows hash-match the DuckDB
+    restatement exactly; tests additionally pin coverage/overlap invariants
+    against a python reference.
 
     Scale: UDTFs run arrow-batched per partition like other Python
     execution; chunking is map-only. For JVM-speed chunking the same logic

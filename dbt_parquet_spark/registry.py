@@ -80,12 +80,11 @@ _PRIORITY = (
     "q_map_funcs",
     "q_sample",
     "q_approx_quantile",
-    # text analysis (5)
+    # text analysis (q_explode/q_fingerprint stay oracle-checked locally;
+    # their ops overlap q_vocabulary's explode and q_train_test_split's md5)
     "q_text_stats",
     "q_token_count",
     "q_lang_id",
-    "q_explode",
-    "q_fingerprint",
     # dedup (2 oracle-checkable; minhash/simhash are recall-tested in pytest)
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -109,11 +108,16 @@ _PRIORITY = (
     "q_stream_sliding",
     "q_stream_session",
     "q_session_window",
-    # pipeline / grouped pandas-UDF / multimodal (4)
+    # pipeline / multimodal (q_text_normalize is subsumed by the pipeline)
     "q_corpus_pipeline",
-    "q_text_normalize",
     "q_quality_score",
     "q_multimodal_meta",
+    # python extension points, each driver-checked via a deterministic
+    # oracle: grouped-map UDF (exact moments), grouped-agg UDAF (rank-
+    # trimmed exact mean), UDTF (integer chunking)
+    "q_grouped_zscore",
+    "q_trimmed_mean",
+    "q_chunk_udtf",
 )
 
 

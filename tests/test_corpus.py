@@ -40,3 +40,15 @@ def test_split_is_stable_under_resharding(spark):
     }
     assert one == two
     assert one["train"] > one["test"]
+
+
+def test_seeded_sampleby_reproducible(spark):
+    # engine-local seeded stratified sampling (df.sampleBy) — reproducible
+    # within Spark; the registered query uses the engine-independent
+    # md5-threshold form instead
+    from dbt_parquet_spark.operators.corpus import STRATA_FRACTIONS
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).count()
+    b = docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).count()
+    assert a == b and a > 0

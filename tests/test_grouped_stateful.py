@@ -44,16 +44,18 @@ def test_quality_score_values(spark):
     assert abs(got - expect) < 1e-9
 
 
-def test_trimmed_mean_matches_pandas(spark):
+def test_trimmed_mean_matches_reference(spark):
     from dbt_parquet_spark.operators.grouped import q_trimmed_mean
 
     out = {r.c_mktsegment: r for r in q_trimmed_mean(spark, SF_ORACLE).collect()}
     pdf = load_table(spark, SF_ORACLE, "customer").toPandas()
     for seg, grp in pdf.groupby("c_mktsegment"):
-        v = grp["c_acctbal"]
-        lo, hi = v.quantile(0.10), v.quantile(0.90)
-        want = v[(v >= lo) & (v <= hi)].mean()
-        assert abs(out[seg].trimmed_acctbal - want) < 1e-9
+        # rank-trimmed exact-cents reference: drop the n//10 lowest/highest
+        cents = sorted(int(round(x * 100)) for x in grp["c_acctbal"])
+        k = len(cents) // 10
+        kept = cents[k : len(cents) - k]
+        want = (sum(kept) / 100.0) / len(kept)
+        assert out[seg].trimmed_acctbal == want  # bit-identical, not approx
         assert out[seg].n == len(grp)
 
 

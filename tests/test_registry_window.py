@@ -37,15 +37,19 @@ NORTH_STAR_IN_WINDOW = {
     "q_dedup_ngram_jaccard",
     "q_ann_topk",
     "q_embedding_cosine_dedup",
-    # text / pipeline
+    # text / pipeline (q_explode/q_fingerprint/q_text_normalize sit outside:
+    # their ops are subsumed by in-window queries, and the slots go to the
+    # python extension points below)
     "q_text_stats",
     "q_token_count",
     "q_lang_id",
-    "q_fingerprint",
     "q_corpus_pipeline",
-    "q_text_normalize",
     "q_quality_score",
     "q_multimodal_meta",
+    # python extension points, all oracle-backed
+    "q_grouped_zscore",
+    "q_trimmed_mean",
+    "q_chunk_udtf",
     # corpus accounting
     "q_vocabulary",
     "q_cooccurrence",

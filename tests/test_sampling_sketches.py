@@ -41,3 +41,17 @@ def test_approx_quantile_error_bound(spark):
     for r in checks.collect():
         rel_err = abs(r.approx - r.exact) / r.exact
         assert rel_err < 0.01, (r.l_returnflag, rel_err)
+
+
+def test_hll_sketch_error_bound(spark):
+    # the compared output folds the HLL estimate into a boolean bound check
+    rows = SPECS["q_sketch_distinct"].builder(spark, SF_ORACLE).collect()
+    assert rows and all(r.approx_within_5pct for r in rows)
+    # and the raw sketch estimate itself stays within 5% of exact
+    events = load_table(spark, SF_ORACLE, "events")
+    checks = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    for r in checks.collect():
+        assert abs(r.approx - r.exact) / r.exact < 0.05, r.event_type
