@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dec, dsum
+from ..functions.exact import dsum
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -130,28 +130,80 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: sum/avg/count/count-distinct over the
     full dialect surface (SURVEY §2B Aggregation row).
 
-    Scale: single shuffle on the (low-cardinality) group keys with map-side
-    partial aggregation; COUNT(DISTINCT) expands to a two-phase plan Catalyst
-    handles natively. Exact DECIMAL sums make the result order-independent —
-    reproducible on 1 partition or 10,000.
+    Fast path (checked-overflow scaled-long, ROADMAP item 4): the per-row
+    money math runs in integer cents — one round+cast per column, then long
+    multiplies — instead of widening DECIMAL products, which Spark executes
+    as 128-bit checked arithmetic per row (~2x whole-query cost measured at
+    sf0.1). Exactness and overflow safety:
+
+    - Partial sums are grouped by (keys, spark_partition_id), so each long
+      partial covers ONE scan partition: <= ~1.3M rows (128 MB parquet
+      partitions) x <= ~1.1e11/row for the triple product (price<=1e7 cents
+      x 100 x 110) = 1.4e17, 64x under the int64 limit. ANSI mode (Spark 4
+      default) turns any violation into an error, never a silent wrap.
+    - The cross-partition merge sums the partials as DECIMAL(38) — exact at
+      any scale factor — and the final DECIMAL->DOUBLE conversion is the
+      same one the oracle contract uses, so results are bit-identical to
+      the all-DECIMAL formulation (asserted in tests/test_oracle_parity.py)
+      and order-independent on 1 partition or 10,000.
+    - COUNT(DISTINCT) runs as its own branch (distinct counts cannot be
+      merged from per-partition partials) and broadcast-joins back on the
+      6-row group keys; the two branches are independent stages Spark runs
+      concurrently.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    price = dec("l_extendedprice")
-    disc_price = price * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-        )
+    filt = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    base = filt.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("qty_c"),
+        price_c.alias("price_c"),
+        (price_c * (F.lit(100) - disc_c)).alias("disc_u4"),
+        (price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).alias("charge_u6"),
+        F.spark_partition_id().alias("pid"),
+    )
+    partial = base.groupBy("l_returnflag", "l_linestatus", "pid").agg(
+        F.sum("qty_c").alias("p_qty"),
+        F.sum("price_c").alias("p_price"),
+        F.sum("disc_u4").alias("p_disc"),
+        F.sum("charge_u6").alias("p_charge"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    merged = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(F.col("p_qty").cast("decimal(38,0)")) / 100)
+        .cast("decimal(38,2)")
+        .alias("d_qty"),
+        (F.sum(F.col("p_price").cast("decimal(38,0)")) / 100)
+        .cast("decimal(38,2)")
+        .alias("d_price"),
+        (F.sum(F.col("p_disc").cast("decimal(38,0)")) / 10000)
+        .cast("decimal(38,4)")
+        .alias("d_disc"),
+        (F.sum(F.col("p_charge").cast("decimal(38,0)")) / 1000000)
+        .cast("decimal(38,6)")
+        .alias("d_charge"),
+        F.sum("p_n").alias("count_order"),
+    )
+    nord = filt.groupBy("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return merged.join(F.broadcast(nord), ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("d_qty").cast("double").alias("sum_qty"),
+        F.col("d_price").cast("double").alias("sum_base_price"),
+        F.col("d_disc").cast("double").alias("sum_disc_price"),
+        F.col("d_charge").cast("double").alias("sum_charge"),
+        (F.col("d_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("d_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+        "n_orders",
     )
 
 
