@@ -17,13 +17,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def relations_diff(df_a: DataFrame, df_b: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def relations_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str] | None = None,
+    method: str = "hash",
+) -> DataFrame:
     """One-row DataFrame: (row_count_difference, num_mismatched).
 
     Lazy composition — no driver-side actions. Scale: exactly ONE wide
     shuffle (the union is plan concatenation; both aggregations above it
-    have map-side partials). For very wide 100 TB tables prefer comparing a
-    key + content-hash projection (pass ``columns``).
+    have map-side partials).
+
+    ``method="hash"`` (default) groups on a 128-bit content hash (a pair of
+    chained xxhash64s over all compared columns) instead of the columns
+    themselves, so the shuffle moves 16 bytes per row regardless of table
+    width — the formulation that survives a 100 TB × 200-column diff. Two
+    distinct rows collide only with p ≈ n²/2¹²⁹ (≈1e-15 even at 10¹² rows),
+    in which case the diff under-counts mismatches; ``method="exact"`` keeps
+    the full-width grouping for when that bound is not acceptable.
     """
     if columns is not None:
         df_a = df_a.select(*columns)
@@ -31,15 +43,26 @@ def relations_diff(df_a: DataFrame, df_b: DataFrame, columns: list[str] | None =
 
     # Single-shuffle formulation of the reference's 2×EXCEPT + UNION ALL +
     # two COUNT CTEs (which would cost four passes over the data): tag each
-    # side, union, group once on all compared columns, then fold counts.
-    # |A∖B| (set semantics) = #groups present only in A, and symmetrically —
-    # identical to EXCEPT DISTINCT both ways. Row counts fall out of the
-    # same aggregation for free.
+    # side, union, group once, then fold counts. |A∖B| (set semantics) =
+    # #groups present only in A, and symmetrically — identical to EXCEPT
+    # DISTINCT both ways. Row counts fall out of the same aggregation free.
     cols = df_a.columns
-    tagged = df_a.select(*cols, F.lit(1).alias("_a"), F.lit(0).alias("_b")).unionAll(
-        df_b.select(*cols, F.lit(0).alias("_a"), F.lit(1).alias("_b"))
-    )
-    grouped = tagged.groupBy(*cols).agg(
+    if method == "hash":
+        def tag(df: DataFrame, a: int, b: int) -> DataFrame:
+            return df.select(
+                F.xxhash64(*cols).alias("h1"),
+                # second, independent 64 bits: chain the first hash back in
+                F.xxhash64(F.xxhash64(*cols), *cols).alias("h2"),
+                F.lit(a).alias("_a"),
+                F.lit(b).alias("_b"),
+            )
+        keys = ["h1", "h2"]
+    else:
+        def tag(df: DataFrame, a: int, b: int) -> DataFrame:
+            return df.select(*cols, F.lit(a).alias("_a"), F.lit(b).alias("_b"))
+        keys = cols
+    tagged = tag(df_a, 1, 0).unionAll(tag(df_b, 0, 1))
+    grouped = tagged.groupBy(*keys).agg(
         F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
     )
     return grouped.agg(

@@ -372,7 +372,9 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's table-equality diff (COLUMNS_EQUAL_SQL,
     reference impl.py:283-309) between lineitem and lineitem-minus-its-lowest
-    orderkey, as a composable DataFrame plan (see diff.relations_diff).
+    orderkey, as a composable DataFrame plan (see diff.relations_diff —
+    the default 128-bit content-hash grouping shuffles 16 bytes/row instead
+    of the full table width).
 
     DuckDB `EXCEPT` is set-semantics → Spark `subtract` (NOT exceptAll);
     SURVEY §7 risk register.
