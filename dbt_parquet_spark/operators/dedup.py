@@ -114,10 +114,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH docs_t AS (
+# Shared CTE block: the verified near-dup pairs in DuckDB SQL. Used by the
+# q_dedup_ngram_jaccard oracle below and by the connected-components oracle
+# (operators/graph.py), which recursively closes over these edges.
+NGRAM_PAIRS_CTES = f"""docs_t AS (
         SELECT doc_id,
                list_distinct(string_split(text, ' ')) AS tok_set,
                list_distinct(list_transform(
@@ -132,18 +132,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
-    )
-    SELECT d1, d2,
-           CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
-             / (len(x.sh) + len(y.sh)
-                - len(list_filter(x.sh, t -> list_contains(y.sh, t)))) AS jaccard
-    FROM cand
-    JOIN docs_t x ON cand.d1 = x.doc_id
-    JOIN docs_t y ON cand.d2 = y.doc_id
-    WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
-             / (len(x.sh) + len(y.sh)
-                - len(list_filter(x.sh, t -> list_contains(y.sh, t))))
-          >= {JACCARD_THRESHOLD}
+    ),
+    ngram_pairs AS (
+        SELECT d1, d2,
+               CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, t -> list_contains(y.sh, t)))) AS jaccard
+        FROM cand
+        JOIN docs_t x ON cand.d1 = x.doc_id
+        JOIN docs_t y ON cand.d2 = y.doc_id
+        WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, t -> list_contains(y.sh, t))))
+              >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM ngram_pairs
     """,
     tags=("dedup", "jaccard"),
 )

@@ -1,0 +1,121 @@
+"""Graph operators over near-dup pairs — connected components for
+duplicate-cluster assignment (north-star training-data pipeline surface).
+
+A dedup pipeline that stops at PAIRS under-removes: if A~B and B~C, the
+cluster {A,B,C} must keep one representative, which requires the transitive
+closure. The reference's engine (DuckDB) expresses this with WITH RECURSIVE;
+Spark has no recursive CTE, so the operator below runs the classic
+distributed iterative algorithm instead — the honest 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup import NGRAM_PAIRS_CTES, q_dedup_ngram_jaccard
+
+
+def connected_components(
+    edges: DataFrame, vertex_col: str = "id", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list (d1, d2) →
+    (id, component) where component = the smallest vertex id reachable.
+
+    Each round every vertex adopts min(own label, neighbors' labels) — one
+    shuffle per round (join on src + groupBy on dst), converging in
+    graph-diameter rounds. Near-dup clusters have tiny diameters (they are
+    dense blobs of mutually-similar docs), so 2-4 rounds suffice; for
+    long-chain graphs swap in the large-star/small-star contraction, which
+    converges in O(log diameter) — the round structure here is the same.
+
+    The driver-side loop holds only a convergence COUNTER (one long per
+    round), never data; labels stay distributed and persisted across rounds.
+    Deterministic on any partitioning: min() is order-independent.
+    """
+    sym = edges.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionAll(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias(vertex_col))
+        .distinct()
+        .select(vertex_col, F.col(vertex_col).alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == F.col(vertex_col))
+            .groupBy(F.col("dst").alias(vertex_col))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, vertex_col, "left")
+            .select(
+                vertex_col,
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        # Labels only ever decrease, so "no label changed" ⇔ equal sums —
+        # one tiny aggregate per round, no data to the driver beyond it.
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), vertex_col)
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM ngram_pairs
+        UNION
+        SELECT d2, d1 FROM ngram_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+    tags=("dedup", "graph", "components"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the verified
+    n-gram-Jaccard near-dup pairs. Output: every doc that appears in at
+    least one near-dup pair, its cluster id (smallest doc_id in the
+    cluster), and the cluster size — the table a corpus pipeline joins
+    against to keep one representative per cluster.
+
+    The oracle states the same closure as a DuckDB recursive CTE (the
+    reference-engine idiom); Spark-side it runs as distributed min-label
+    propagation (see connected_components) — an iterative algorithm, the
+    documented exception to everything-in-one-plan.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs, vertex_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(sizes, "component")
+        .select("doc_id", F.col("component").alias("component_id"), "component_size")
+    )

@@ -1,0 +1,210 @@
+"""SQL-surface batch 5 — date spine / generate_series, listagg DISTINCT,
+range-frame windows, struct-of-array reshaping, bitwise aggregates
+(ROADMAP "possible surface additions", reference surface = full DuckDB SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..registry import register
+from ..sources.readers import load_table
+
+
+@register(
+    "q_date_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY
+        )) AS d
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(spine.d AS DATE) AS day,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           COALESCE(daily.total_price, 0.0) AS total_price
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("datetime", "spine", "generate-series"),
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine (the dbt-utils date_spine pattern): one row per day of
+    the orders date range — including order-less days zero-filled — built
+    with sequence() + explode, the Spark analog of DuckDB generate_series.
+
+    Scale: the spine is tiny (years × 365 rows) however large orders is —
+    broadcast min/max bounds in, broadcast the spine out to the daily-agg
+    join; the only shuffle is the per-day aggregation with map-side
+    partials.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("d_total"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("d_n", F.lit(0)).alias("n_orders"),
+        F.coalesce("d_total", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@register(
+    "q_listagg_distinct",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "listagg", "string"),
+)
+def q_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/STRING_AGG with DISTINCT and deterministic ordering — the
+    report-friendly "all values as one cell" aggregate. Spark spells it
+    collect_set → array_sort → array_join; the sort makes the result
+    engine- and partitioning-independent.
+
+    Scale: collect_set keeps per-group DISTINCT state map-side; safe when
+    per-group distinct cardinality is bounded (segments: 5). For unbounded
+    cardinality, aggregate to an array only after an explicit distinct
+    groupBy — or don't: a cell with 10⁶ entries is a modeling bug.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day spend. RANGE (value
+    offsets, peer-inclusive) vs ROWS (count offsets) is the SURVEY §2B
+    window-frame edge case: same-day orders are peers and always aggregate
+    together, making the result deterministic under ties — a ROWS frame
+    would not be.
+
+    Both engines order by an integer day number (days since epoch), the
+    portable spelling of RANGE BETWEEN INTERVAL 29 DAY PRECEDING.
+
+    Scale: window partitioned by customer — no global sort; exact DECIMAL
+    sums keep peer-aggregation order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day_n = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("day_n").rangeBetween(-29, 0)
+    return orders.select(
+        "o_orderkey", "o_custkey", day_n.alias("day_n"), dec("o_totalprice").alias("_p")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day_n",
+        F.sum("_p").over(w).cast("double").alias("trailing_30d"),
+    )
+
+
+@register(
+    "q_struct_reshape",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("array", "struct", "reshape"),
+)
+def q_struct_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-of-array reshaping round-trip (ROADMAP surface item): rows →
+    per-order sorted array<struct> → parallel field arrays (transform) →
+    arrays_zip → posexplode back to rows. The oracle is the identity
+    SELECT, proving the reshape is lossless — the guarantee a nested-data
+    pipeline (e.g. packing lineitems per order for sequence models) relies
+    on.
+
+    Scale: one shuffle (groupBy orderkey); per-order arrays are bounded by
+    order size. All array ops are columnar Catalyst expressions.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("lines")
+    )
+    # decompose into parallel arrays, then zip them back together
+    rezipped = nested.select(
+        "l_orderkey",
+        F.arrays_zip(
+            F.transform("lines", lambda x: x.l_linenumber).alias("l_linenumber"),
+            F.transform("lines", lambda x: x.l_quantity).alias("l_quantity"),
+            F.transform("lines", lambda x: x.l_extendedprice).alias("l_extendedprice"),
+        ).alias("zipped"),
+    )
+    return rezipped.select(
+        "l_orderkey", F.explode("zipped").alias("z")
+    ).select(
+        "l_orderkey",
+        F.col("z.l_linenumber").alias("l_linenumber"),
+        F.col("z.l_quantity").alias("l_quantity"),
+        F.col("z.l_extendedprice").alias("l_extendedprice"),
+    )
+
+
+@register(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT c_nationkey,
+           bit_and(c_custkey) AS key_and,
+           bit_or(c_custkey) AS key_or,
+           bit_xor(c_custkey) AS key_xor,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "bitwise"),
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — flag-mask folding (feature flags,
+    permission masks, bloom-ish membership unions) in one groupBy.
+
+    Scale: all three are commutative/associative → map-side partials, one
+    shuffle of 3 longs per group.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.bit_and("c_custkey").alias("key_and"),
+        F.bit_or("c_custkey").alias("key_or"),
+        F.bit_xor("c_custkey").alias("key_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )

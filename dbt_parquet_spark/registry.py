@@ -42,6 +42,8 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.corpus",
     "dbt_parquet_spark.operators.packing",
     "dbt_parquet_spark.operators.udtf_ops",
+    "dbt_parquet_spark.operators.graph",
+    "dbt_parquet_spark.operators.sql_surface5",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 

@@ -226,6 +226,34 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+             AS micros_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "structured-streaming"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming stream-stream join run (availableNow →
+    memory sink), value-checked against the batch join: clicks attributed
+    to same-user purchases within 1 hour. Inner stream-stream joins emit on
+    match (no watermark wait), so the incremental run must reproduce the
+    batch answer exactly — see stream_ops.streaming_click_purchase_join for
+    the state-eviction story.
+    """
+    from .stream_ops import run_to_batch, streaming_click_purchase_join
+
+    return run_to_batch(streaming_click_purchase_join(spark, sf_dir), spark)
+
+
+@register(
     "q_session_window",
     oracle=f"""
     WITH gaps AS (

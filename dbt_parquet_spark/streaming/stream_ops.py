@@ -103,6 +103,40 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to purchases by the same user
+    within 1 hour — the attribution join, the canonical two-stream operator.
+
+    Both sides carry watermarks and the join condition bounds event time
+    (p.ts in [c.ts, c.ts + 1h]), so Spark can size and EVICT join state:
+    a click older than watermark + 1h can never match a future purchase and
+    is dropped. Without the time bound, stream-stream join state grows
+    forever — the condition is load-bearing, not an optimization. Inner
+    join results emit as soon as both sides arrive (no watermark wait), so
+    an availableNow run over historical files is batch-identical.
+    """
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    c = clicks.withWatermark("ts", WATERMARK).alias("c")
+    p = purchases.withWatermark("ts", WATERMARK).alias("p")
+    joined = c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return joined.select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias(
+            "micros_to_purchase"
+        ),
+    )
+
+
 def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the customer
     dimension (a batch DataFrame). Spark re-reads the static side per

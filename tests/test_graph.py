@@ -1,0 +1,45 @@
+"""Connected-components invariants beyond the recursive-CTE oracle check
+(test_oracle_parity covers value equality with DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.operators.dedup import q_dedup_ngram_jaccard
+from dbt_parquet_spark.operators.graph import connected_components, q_dedup_components
+
+from .conftest import SF_ORACLE
+
+
+def test_components_cover_every_paired_doc(spark):
+    pairs = q_dedup_ngram_jaccard(spark, SF_ORACLE).select("d1", "d2")
+    comp = q_dedup_components(spark, SF_ORACLE)
+    paired = set(
+        r.d for r in pairs.select(F.col("d1").alias("d")).union(pairs.select("d2")).distinct().collect()
+    )
+    labeled = {r.doc_id for r in comp.collect()}
+    assert labeled == paired
+
+
+def test_components_consistent_across_edges(spark):
+    # both endpoints of every edge must land in the same component, and the
+    # component id must be a member of the component
+    pairs = q_dedup_ngram_jaccard(spark, SF_ORACLE).select("d1", "d2")
+    comp = q_dedup_components(spark, SF_ORACLE)
+    label = {r.doc_id: r.component_id for r in comp.collect()}
+    for r in pairs.collect():
+        assert label[r.d1] == label[r.d2]
+    members: dict[int, set[int]] = {}
+    for d, c in label.items():
+        members.setdefault(c, set()).add(d)
+    for c, ms in members.items():
+        assert c == min(ms)  # representative is the smallest member
+
+
+def test_components_handles_chain_graph(spark):
+    # A-B, B-C, C-D: one component labeled by the minimum, found within
+    # diameter iterations
+    edges = spark.createDataFrame([(2, 1), (2, 3), (3, 4), (10, 11)], ["d1", "d2"])
+    out = connected_components(edges, vertex_col="id")
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
