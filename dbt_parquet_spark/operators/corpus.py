@@ -338,3 +338,96 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.md5(F.col("doc_id").cast("string")) < threshold
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_corpus_manifest",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM per)
+    SELECT source, lang, n_docs, total_tokens, total_chars,
+           CAST(n_docs AS DOUBLE) / (SELECT all_docs FROM tot) AS doc_share
+    FROM per
+    """,
+    tags=("corpus", "manifest", "accounting"),
+)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus manifest: per (source, lang) document/token/char totals and
+    each cell's share of the corpus — the accounting table a dataset card
+    or mixing plan is written from.
+
+    Scale: one groupBy with map-side partials; the corpus-wide total joins
+    back as a broadcast single-row aggregate (no unpartitioned window).
+    Integer-over-integer share → one IEEE divide, oracle-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("all_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        (F.col("n_docs").cast("double") / F.col("all_docs")).alias("doc_share"),
+    )
+
+
+# Mixing weights: epochs per source bucket. Fractional parts become a
+# deterministic md5-threshold lottery (the q_train_test_split idiom), so
+# both engines pick the SAME extra-epoch docs and the result is fully
+# oracle-checked — and stable under resharding.
+MIX_WEIGHTS = {"src0": 2.0, "src1": 1.5, "src2": 0.5}  # others default 1.0
+_MIX_CASE_W = " ".join(
+    f"WHEN '{s}' THEN {int(w)}" for s, w in MIX_WEIGHTS.items()
+)
+_MIX_CASE_T = " ".join(
+    f"WHEN '{s}' THEN '{format(int((w - int(w)) * 16**32), '032x')}'"
+    for s, w in MIX_WEIGHTS.items()
+)
+
+
+@register(
+    "q_corpus_mix",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(CASE source {_MIX_CASE_W} ELSE 1 END
+                + CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                            < CASE source {_MIX_CASE_T} ELSE '0' END
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+    FROM documents
+    """,
+    tags=("corpus", "mixing", "sampling"),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-document epoch multiplicity from per-source
+    weights (up-sample src0 2x, src1 1.5x, down-sample src2 0.5x). A
+    weight's integer part repeats every doc; the fractional part promotes a
+    deterministic md5-selected subset — so a 1.5x source repeats half its
+    docs twice, the SAME half on every engine, run, and shard layout.
+
+    Downstream, the training pipeline explodes by n_epochs (or filters
+    n_epochs = 0 for down-sampled-away docs at weights < 1).
+
+    Scale: pure map-side expression — no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    whole = F.lit(1)
+    thresh = F.lit("0")
+    for s, w in MIX_WEIGHTS.items():
+        whole = F.when(F.col("source") == s, F.lit(int(w))).otherwise(whole)
+        frac_t = format(int((w - int(w)) * 16**32), "032x")
+        thresh = F.when(F.col("source") == s, F.lit(frac_t)).otherwise(thresh)
+    extra = F.when(F.md5(F.col("doc_id").cast("string")) < thresh, 1).otherwise(0)
+    return docs.select(
+        "doc_id", "source", (whole + extra).cast("long").alias("n_epochs")
+    )

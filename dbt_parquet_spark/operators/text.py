@@ -168,3 +168,84 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "q_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, n,
+               list_transform(range(1, n), i -> t[i] || ' ' || t[i+1]) AS bg
+        FROM toks
+    ),
+    tok_counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    top_tok AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+        FROM tok_counts GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(top_tok.n_tok AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+           CAST(top_tok.top_c AS DOUBLE) / top_tok.n_tok AS top_token_frac
+    FROM grams g JOIN top_tok ON g.doc_id = top_tok.doc_id
+    WHERE g.n >= 2
+    """,
+    tags=("text", "repetition", "quality"),
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-bigram fraction and
+    top-token fraction per document — the filters that catch boilerplate
+    and degenerate repetition in web corpora (high dup_bigram_frac ⇒
+    templated text; high top_token_frac ⇒ token spam).
+
+    Both ratios are integer-count quotients → one IEEE divide, identical
+    in any engine: fully oracle-checked.
+
+    Scale: bigrams come from explode + LEAD over the per-doc window (the
+    doc_shingles pattern — array lambdas would re-tokenize per element),
+    so the whole plan is one shuffle on doc_id reused by both the window
+    and the aggregations.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    with_next = tok.select(
+        "doc_id", "tok", F.lead("tok").over(w).alias("nxt")
+    )
+    grams = (
+        with_next.filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.countDistinct("bg").alias("n_distinct_bg"),
+        )
+    )
+    tok_counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    top = tok_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    return (
+        grams.join(top, "doc_id")
+        .filter(F.col("n_tok") >= 2)
+        .select(
+            "doc_id",
+            F.col("n_tok").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_bg").cast("double") / F.col("n_bg")
+            ).alias("dup_bigram_frac"),
+            (F.col("top_c").cast("double") / F.col("n_tok")).alias("top_token_frac"),
+        )
+    )

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.udtf_ops",
     "dbt_parquet_spark.operators.graph",
     "dbt_parquet_spark.operators.sql_surface5",
+    "dbt_parquet_spark.operators.sketches",
     "dbt_parquet_spark.streaming.batch_windows",
 )
 

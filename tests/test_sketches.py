@@ -1,0 +1,38 @@
+"""Bloom-filter semi-join invariants beyond the oracle row: no false
+negatives (candidates ⊇ true matches) and a sane false-positive rate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.operators.sketches import (
+    HIGH_VALUE,
+    bloom_bitmap,
+    bloom_might_contain,
+)
+from dbt_parquet_spark.sources.readers import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    hi = orders.filter(F.col("o_totalprice") > HIGH_VALUE).select("o_orderkey")
+    bm = bloom_bitmap(hi, "o_orderkey")
+    cand = li.crossJoin(F.broadcast(bm)).filter(
+        bloom_might_contain("bloom", "l_orderkey")
+    )
+    true = li.join(
+        hi.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    n_cand, n_true, n_all = cand.count(), true.count(), li.count()
+    assert n_cand >= n_true  # no false negatives
+    # all true-match rows survive the bloom stage
+    missing = true.join(
+        cand.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_anti"
+    ).count()
+    assert missing == 0
+    # the pre-filter actually filters, and FPs stay under 5% of the probe
+    assert n_cand < n_all
+    assert (n_cand - n_true) <= 0.05 * n_all
