@@ -56,6 +56,9 @@ EXTENSION_HEADLINE = [
     "q_contamination",
     "q_sequence_packing",
     "q_asof_join",
+    "q_dedup_components",
+    "q_bloom_semi_join",
+    "q_repetition_score",
 ]
 
 

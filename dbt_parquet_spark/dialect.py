@@ -59,6 +59,19 @@ _REWRITES = (
         re.compile(r"\blen\s*\(\s*(?=(string_split|list_|split|array|collect_))", re.IGNORECASE),
         "size(",
     ),
+    # DuckDB star modifier: `* EXCLUDE (a, b)` / `* EXCLUDE a` → Spark's
+    # `* EXCEPT (a, b)`. Anchored on the preceding `*` so the window-frame
+    # EXCLUDE keyword (unsupported in Spark anyway) is never touched.
+    (
+        "star-exclude-parens",
+        re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE),
+        r"\1EXCEPT\2",
+    ),
+    (
+        "star-exclude-bare",
+        re.compile(r"(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)", re.IGNORECASE),
+        r"\1EXCEPT (\2)",
+    ),
 )
 
 

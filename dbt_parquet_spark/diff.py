@@ -47,21 +47,23 @@ def relations_diff(
     # #groups present only in A, and symmetrically — identical to EXCEPT
     # DISTINCT both ways. Row counts fall out of the same aggregation free.
     cols = df_a.columns
+    tagged = df_a.select(*cols, F.lit(1).alias("_a"), F.lit(0).alias("_b")).unionAll(
+        df_b.select(*cols, F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
     if method == "hash":
-        def tag(df: DataFrame, a: int, b: int) -> DataFrame:
-            return df.select(
-                F.xxhash64(*cols).alias("h1"),
-                # second, independent 64 bits: chain the first hash back in
-                F.xxhash64(F.xxhash64(*cols), *cols).alias("h2"),
-                F.lit(a).alias("_a"),
-                F.lit(b).alias("_b"),
-            )
+        # hash AFTER the union: unionAll coerces both sides to common column
+        # types first, so e.g. an int column re-read from CSV hashes equal to
+        # its bigint original (xxhash64 is type-sensitive)
+        tagged = tagged.select(
+            F.xxhash64(*cols).alias("h1"),
+            # second, independent 64 bits: chain the first hash back in
+            F.xxhash64(F.xxhash64(*cols), *cols).alias("h2"),
+            "_a",
+            "_b",
+        )
         keys = ["h1", "h2"]
     else:
-        def tag(df: DataFrame, a: int, b: int) -> DataFrame:
-            return df.select(*cols, F.lit(a).alias("_a"), F.lit(b).alias("_b"))
         keys = cols
-    tagged = tag(df_a, 1, 0).unionAll(tag(df_b, 0, 1))
     grouped = tagged.groupBy(*keys).agg(
         F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
     )

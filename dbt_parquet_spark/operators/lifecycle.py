@@ -146,3 +146,51 @@ def q_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = catalog.relation("nation_rollup")
     result = q_join_multi(spark, sf_dir)
     return create_table_as(spark, catalog, rel, result, single_file=True)
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("materialize", "bucketing", "join"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer are materialized as
+    bucketed tables (8 buckets on the join key, sorted within bucket), then
+    joined WITHOUT ANY EXCHANGE — tests/test_plans.py asserts the physical
+    plan has zero shuffle nodes. The merge hint pins the sort-merge
+    strategy (a broadcast would trivially also avoid the shuffle and hide
+    what bucketing buys).
+
+    This is the layout lever for 100 TB fact-to-fact joins: both sides
+    pre-partitioned by the key at WRITE time, so every subsequent join or
+    aggregation on that key is shuffle-free — the cost moves from every
+    query to one materialization. The reference's parquet layout has no
+    bucketing concept (single files, reference macros/adapters.sql:10);
+    this is native Spark surface beyond it.
+    """
+    import uuid as _uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="bucketed_db_")
+    sfx = _uuid.uuid4().hex[:8]
+    t_orders, t_customer = f"orders_bkt_{sfx}", f"customer_bkt_{sfx}"
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(tmp, "orders"))
+        .saveAsTable(t_orders)
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(tmp, "customer"))
+        .saveAsTable(t_customer)
+    )
+    o, c = spark.table(t_orders), spark.table(t_customer).hint("merge")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )

@@ -142,3 +142,16 @@ def test_reference_catalog_macro_idiom_matches_duckdb(spark, oracle_con):
     want = set(map(tuple, con.execute(body).fetchall()))
     assert got == want
     assert ("staging", "lineitem") in got
+
+
+def test_star_exclude_rewrites():
+    from dbt_parquet_spark.dialect import translate_sql
+
+    assert translate_sql("SELECT * EXCLUDE (b) FROM t") == "SELECT * EXCEPT (b) FROM t"
+    assert translate_sql("SELECT * EXCLUDE b FROM t") == "SELECT * EXCEPT (b) FROM t"
+    assert (
+        translate_sql("SELECT t.* EXCLUDE (b, c) FROM t")
+        == "SELECT t.* EXCEPT (b, c) FROM t"
+    )
+    # string literals and non-star EXCLUDE are untouched
+    assert translate_sql("SELECT '* EXCLUDE (b)' AS s") == "SELECT '* EXCLUDE (b)' AS s"

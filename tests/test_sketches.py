@@ -36,3 +36,14 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     # the pre-filter actually filters, and FPs stay under 5% of the probe
     assert n_cand < n_all
     assert (n_cand - n_true) <= 0.05 * n_all
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # the point of q_bucketed_join: bucket-co-located tables join with zero
+    # shuffle nodes in the physical plan
+    from dbt_parquet_spark.operators.lifecycle import q_bucketed_join
+
+    df = q_bucketed_join(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
