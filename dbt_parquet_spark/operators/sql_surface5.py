@@ -208,3 +208,42 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("c_custkey").alias("key_xor"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 300000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew", "salt"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (functions/joins.salted_join): the large side gets a
+    salt in [0, 8), the small side replicates 8x, and the join key becomes
+    (key, salt) — a hot key's rows spread over 8 reducers instead of
+    melting one. The manual override for when AQE's automatic skew
+    splitting isn't enough (one key = 30% of a 100 TB fact); result is
+    row-identical to the unsalted join, which is exactly what the oracle
+    checks.
+
+    Scale: cost is the small side's 8x inflation — keep the salted side
+    the big one and the bucket count modest.
+    """
+    from ..functions.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    hi = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    ).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, hi, on=["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+    )

@@ -122,3 +122,18 @@ def test_from_dir(spark, db, tmp_path):
     results = project.run(spark)
     assert results["derived"].rows == 1
     assert spark.table("derived").first().n == 10
+
+
+def test_model_with_duckdb_star_exclude(spark, db):
+    """A ported DuckDB model using the `* EXCLUDE` star modifier runs
+    unchanged through the project runner (dialect.translate_sql)."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model(
+            "no_legs",
+            "SELECT * EXCLUDE (n_legs) FROM {{ source('source_schema', 'animals') }}",
+        )
+    )
+    assert project.run(spark)["no_legs"].rows == 4
+    assert spark.table("no_legs").columns == ["animals"]
