@@ -17,6 +17,11 @@ would otherwise be silently wrong (the worst failure mode). Slices
 become ``array(1, 2)``. Struct subscripts are rare in reference models; use
 dot access when porting (``s['f']`` would be rewritten to ``element_at``,
 which Spark rejects on structs — a loud parse error, never a wrong value).
+
+Two clause-level rewrites complete the surface: the ``* EXCLUDE (…)`` star
+modifier becomes Spark's ``* EXCEPT (…)``, and ``QUALIFY <pred>`` — which
+Spark's parser rejects outright — becomes a wrapped subquery with the
+predicate as a select-list column (see _rewrite_qualify).
 """
 
 from __future__ import annotations
@@ -78,13 +83,13 @@ _REWRITES = (
 def translate_sql(sql: str) -> str:
     """Rewrite DuckDB-dialect fragments Spark's parser rejects or would
     silently mis-evaluate: bare VARCHAR/TEXT/HUGEINT types, len() of lists,
-    and — critically — 1-based list subscripts (see module docstring).
-    Quote-aware: single-quoted literals pass through untouched."""
+    QUALIFY clauses, and — critically — 1-based list subscripts (see module
+    docstring). Quote-aware: single-quoted literals pass through untouched."""
     parts = re.split(r"('(?:[^']|'')*')", sql)  # odd indices are string literals
     for i in range(0, len(parts), 2):
         for _, pat, repl in _REWRITES:
             parts[i] = pat.sub(repl, parts[i])
-    return _rewrite_subscripts("".join(parts))
+    return _rewrite_qualify(_rewrite_subscripts("".join(parts)))
 
 
 # --- 1-based subscript rewriting (tokenizer-level) -------------------------
@@ -249,6 +254,111 @@ def _rewrite_subscripts(sql: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+# --- QUALIFY rewriting (Spark 4 OSS has no QUALIFY clause) -----------------
+
+_PRED_END_KEYWORDS = {"ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "OFFSET", "WINDOW"}
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite DuckDB/Snowflake-style ``QUALIFY <pred>`` — post-window
+    filtering Spark's parser rejects — into a wrapped subquery:
+
+        SELECT <list> FROM ... QUALIFY <pred> [tail]
+      → SELECT * EXCEPT (__qualify) FROM (
+            SELECT <list>, (<pred>) AS __qualify FROM ...
+        ) WHERE __qualify [tail]
+
+    The predicate moves INTO the select list (window functions are legal
+    there, and Spark's lateral column aliases resolve references to sibling
+    aliases like ``rn = 1``), and the outer WHERE does the filtering.
+    Handles nesting (innermost first via repeated passes) and leaves ORDER
+    BY / LIMIT tails outside the wrapper. String-literal aware."""
+    while True:
+        n = len(sql)
+        depth = 0
+        last_select: dict[int, int] = {}
+        first_from: dict[int, int] = {}
+        qstart = qend = qdepth = None
+        i = 0
+        while i < n:
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+                i += 1
+                continue
+            if c == ")":
+                last_select.pop(depth, None)
+                first_from.pop(depth, None)
+                depth -= 1
+                i += 1
+                continue
+            if c.isalpha() or c == "_":
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                w = sql[i:j].upper()
+                if w == "SELECT":
+                    last_select[depth] = i
+                    first_from.pop(depth, None)
+                elif w == "FROM" and depth in last_select and depth not in first_from:
+                    first_from[depth] = i
+                elif w == "QUALIFY":
+                    qstart, qend, qdepth = i, j, depth
+                    break
+                i = j
+                continue
+            i += 1
+        if qstart is None:
+            return sql
+        sel = last_select.get(qdepth)
+        frm = first_from.get(qdepth)
+        if sel is None or frm is None:
+            return sql  # not a recognizable SELECT — leave untouched (loud parse error downstream)
+        # predicate extends to the next same-level ORDER/LIMIT/setop keyword,
+        # an enclosing ')', or end of string
+        i = qend
+        d2 = 0
+        pend = n
+        while i < n:
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                d2 += 1
+                i += 1
+                continue
+            if c == ")":
+                if d2 == 0:
+                    pend = i
+                    break
+                d2 -= 1
+                i += 1
+                continue
+            if d2 == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                if sql[i:j].upper() in _PRED_END_KEYWORDS:
+                    pend = i
+                    break
+                i = j
+                continue
+            i += 1
+        pred = sql[qend:pend].strip()
+        inner = sql[sel:frm] + ", (" + pred + ") AS __qualify " + sql[frm:qstart]
+        sql = (
+            sql[:sel]
+            + "SELECT * EXCEPT (__qualify) FROM ("
+            + inner
+            + ") WHERE __qualify "
+            + sql[pend:]
+        )
 
 
 def register_duckdb_compat(spark: SparkSession) -> list[str]:

@@ -155,3 +155,39 @@ def test_star_exclude_rewrites():
     )
     # string literals and non-star EXCLUDE are untouched
     assert translate_sql("SELECT '* EXCLUDE (b)' AS s") == "SELECT '* EXCLUDE (b)' AS s"
+
+
+def test_qualify_rewrite_matches_duckdb(spark):
+    import duckdb
+
+    from dbt_parquet_spark.dialect import translate_sql
+
+    spark.range(12).selectExpr("id", "id % 3 AS g", "id * 10 AS v").createOrReplaceTempView(
+        "qualify_t"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE qualify_t AS SELECT i AS id, i % 3 AS g, i * 10 AS v FROM range(12) r(i)")
+    cases = [
+        # alias-referencing predicate
+        "SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY id) AS rn "
+        "FROM qualify_t QUALIFY rn = 1",
+        # direct window predicate with ORDER BY / LIMIT tail kept outside
+        "SELECT id, g FROM qualify_t "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY id DESC) = 1 ORDER BY id LIMIT 2",
+        # window over an aggregate, after GROUP BY
+        "SELECT g, MAX(v) AS mv FROM qualify_t GROUP BY g "
+        "QUALIFY rank() OVER (ORDER BY MAX(v) DESC) <= 2",
+        # QUALIFY inside a subquery
+        "SELECT * FROM (SELECT id, g, v FROM qualify_t "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1) WHERE g < 2",
+    ]
+    for sql in cases:
+        got = sorted(tuple(r) for r in spark.sql(translate_sql(sql)).collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, sql
+
+
+def test_qualify_untouched_in_strings():
+    from dbt_parquet_spark.dialect import translate_sql
+
+    assert translate_sql("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t"

@@ -137,3 +137,19 @@ def test_model_with_duckdb_star_exclude(spark, db):
     )
     assert project.run(spark)["no_legs"].rows == 4
     assert spark.table("no_legs").columns == ["animals"]
+
+
+def test_model_with_qualify(spark, db):
+    """A ported model using QUALIFY (DuckDB/Snowflake post-window filter)
+    runs through the project runner via the dialect rewrite."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model(
+            "heaviest",
+            "SELECT animals, n_legs FROM {{ source('source_schema', 'animals') }} "
+            "QUALIFY row_number() OVER (ORDER BY n_legs DESC) = 1",
+        )
+    )
+    assert project.run(spark)["heaviest"].rows == 1
+    assert spark.table("heaviest").first().animals == "Centipede"
