@@ -4,33 +4,50 @@ import os
 
 from pyspark.sql import functions as F
 
-from dbt_parquet_spark.operators.packing import SEQ_BUDGET, q_sequence_packing
+import json
+
+from dbt_parquet_spark.operators.packing import SEQ_BUDGET, ffd_pack, q_sequence_packing
 from dbt_parquet_spark.sources.formats import write_sorted
 from dbt_parquet_spark.sources.readers import load_table
 
 from .conftest import SF_ORACLE
 
 
-def test_packing_invariants(spark):
-    packs = q_sequence_packing(spark, SF_ORACLE).collect()
+def _doc_token_counts(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
-    n_tokens = {
-        r.doc_id: r.n for r in docs.select(
-            "doc_id", F.size(F.split("text", " ")).alias("n")
-        ).collect()
+    return {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
     }
-    seen = [d for p in packs for d in p.doc_ids]
+
+
+def test_greedy_packing_invariants(spark):
+    packs = q_sequence_packing(spark, SF_ORACLE).collect()
+    n_tokens = _doc_token_counts(spark)
+    seen = [d for p in packs for d in json.loads(p.doc_ids)]
     assert sorted(seen) == sorted(n_tokens)  # every doc exactly once
+    for p in packs:
+        ids = json.loads(p.doc_ids)
+        assert p.n_tokens == sum(n_tokens[d] for d in ids)
+        assert all(d % 8 == p.bucket for d in ids)  # bucket is data-derived
+        if p.n_docs > 1:
+            assert p.n_tokens <= SEQ_BUDGET  # only oversize singletons may exceed
+    avg_util = sum(p.utilization for p in packs) / len(packs)
+    assert avg_util > 0.7, avg_util
+
+
+def test_ffd_packing_invariants(spark):
+    packs = ffd_pack(spark, SF_ORACLE).collect()
+    n_tokens = _doc_token_counts(spark)
+    seen = [d for p in packs for d in p.doc_ids]
+    assert sorted(seen) == sorted(n_tokens)
     for p in packs:
         assert p.n_tokens == sum(n_tokens[d] for d in p.doc_ids)
         if p.n_docs > 1:
-            assert p.n_tokens <= SEQ_BUDGET  # only oversize singletons may exceed
-    total_tokens = sum(n_tokens.values())
-    n_full_bins = sum(1 for p in packs if p.n_tokens <= SEQ_BUDGET)
+            assert p.n_tokens <= SEQ_BUDGET
     # FFD on ~54-token docs into 256-token bins: expect decent utilization
     avg_util = sum(p.utilization for p in packs) / len(packs)
     assert avg_util > 0.75, avg_util
-    assert n_full_bins == len(packs)  # no doc exceeds the budget in this corpus
 
 
 def test_packing_deterministic(spark):
