@@ -74,12 +74,23 @@ def main() -> None:
     specs = load_all()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
 
-    # Warm the JVM once: scheduler, parquet reader + codegen + exchange
-    # class-loading. Touches only the tiny region table, not the benched
-    # data paths.
+    # Warm the JVM once: scheduler, parquet reader + codegen + exchange /
+    # broadcast / decimal-aggregate / distinct-expand class-loading. Touches
+    # only the tiny region table (5 rows), not the benched data paths —
+    # this moves ONE-TIME class-loading out of the first measured query, not
+    # any per-query work.
+    from pyspark.sql import functions as F
+
     spark.range(1000).count()
     region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
     region.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    warm = region.groupBy("r_name").agg(
+        F.sum(F.col("r_regionkey").cast("decimal(12,2)")).cast("double").alias("s"),
+        F.countDistinct("r_regionkey").alias("d"),
+    )
+    warm.join(F.broadcast(region.select("r_name")), "r_name").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Two runs per query, report the faster (steady-state; first run pays
     # one-time file-listing/codegen for that plan).
