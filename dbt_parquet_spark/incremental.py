@@ -60,3 +60,31 @@ def incremental_merge(
     # table being replaced, so write-to-temp must complete first (which
     # create_table_as's tmp+rename publish guarantees).
     return create_table_as(spark, catalog, rel, merged, single_file=False)
+
+
+def incremental_insert_overwrite(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    delta: DataFrame,
+    partition_cols: list[str],
+) -> DataFrame:
+    """Partition-scoped replace (dbt's ``insert_overwrite`` strategy): every
+    partition PRESENT IN THE DELTA is atomically replaced wholesale; all
+    other partitions are untouched and never read. The idempotent daily-
+    rebuild primitive — rerunning a day's load cannot duplicate rows,
+    because the day's partition is replaced, not appended to.
+
+    Scale: this is THE incremental strategy for 100 TB time-partitioned
+    facts. Cost is bounded by the delta's partitions regardless of table
+    size, there is no key-matching shuffle at all (unlike merge), and
+    Spark's dynamic partitionOverwriteMode handles the swap without any
+    driver-side directory bookkeeping.
+    """
+    writer = (
+        delta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+    )
+    writer.parquet(rel.path)
+    return catalog.register_view(spark, rel)

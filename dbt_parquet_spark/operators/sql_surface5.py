@@ -247,3 +247,81 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_nonurgent,
+           last_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_nonurgent,
+           first_value(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_any
+    FROM orders
+    """,
+    tags=("window", "ignore-nulls"),
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: first/last non-null value per
+    partition next to the plain (RESPECT NULLS) first_value — the
+    gap-filling idiom (carry the last known value over missing readings).
+    NULLIF manufactures the gaps so the testdata exercises both branches.
+
+    Explicit full-partition frames on BOTH engines: last_value's default
+    frame ends at the current row, which silently yields per-row results —
+    the classic window-frame trap this query pins.
+
+    Scale: partitioned window, no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    nonurgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(nonurgent, ignorenulls=True).over(w).alias("first_nonurgent"),
+        F.last(nonurgent, ignorenulls=True).over(w).alias("last_nonurgent"),
+        F.first("o_orderpriority").over(w).alias("first_any"),
+    )
+
+
+@register(
+    "q_try_casts",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+           TRY_CAST(substr(p_brand, 7) AS INTEGER) AS brand_num,
+           TRY_CAST(p_name AS DOUBLE) AS name_as_double,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip
+    FROM part
+    """,
+    tags=("cast", "null-semantics"),
+)
+def q_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST semantics: malformed input yields NULL instead of an error —
+    load-bearing under Spark 4's default ANSI mode, where a plain CAST of
+    'Brand#13' to INT would fail the whole job. Both engines agree NULL on
+    failure, value on success (the numeric suffix round-trips).
+
+    Scale: map-only expression, no shuffle.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.substring("p_brand", 7, 100).try_cast("int").alias("brand_num"),
+        F.col("p_name").try_cast("double").alias("name_as_double"),
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+    )

@@ -85,3 +85,28 @@ def test_incremental_merge_upserts(spark, db):
     out = incremental_merge(spark, db, rel, delta, ["id"])
     got = {(r.id, r.v) for r in out.collect()}
     assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+
+def test_insert_overwrite_replaces_only_delta_partitions(spark, tmp_path):
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.incremental import incremental_insert_overwrite
+
+    catalog = FilesystemCatalog(str(tmp_path))
+    rel = catalog.relation("daily_facts")
+    base = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("day"), (F.col("id") * 2).alias("v")
+    )
+    incremental_insert_overwrite(spark, catalog, rel, base, ["day"])
+    assert spark.read.parquet(rel.path).count() == 100
+
+    # replace day=1 with a 5-row rebuild; other partitions untouched
+    rebuilt = spark.range(5).select(
+        (F.col("id") + 1000).alias("id"), F.lit(1).alias("day"), F.lit(0).alias("v")
+    )
+    incremental_insert_overwrite(spark, catalog, rel, rebuilt, ["day"])
+    back = spark.read.parquet(rel.path)
+    assert back.filter(F.col("day") == 1).count() == 5
+    assert back.filter(F.col("day") != 1).count() == 75
+    # idempotent: rerunning the same delta changes nothing
+    incremental_insert_overwrite(spark, catalog, rel, rebuilt, ["day"])
+    assert spark.read.parquet(rel.path).count() == 80
