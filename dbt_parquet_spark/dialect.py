@@ -80,11 +80,40 @@ _REWRITES = (
 )
 
 
+def _strip_comments(sql: str) -> str:
+    """Remove `--` line comments and `/* */` block comments, string-aware
+    (a `--` inside a quoted literal is data, and an apostrophe inside a
+    comment must NOT open a string — it would silently swallow the rest of
+    the statement from every later rewriting pass)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j  # keep the newline itself
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def translate_sql(sql: str) -> str:
     """Rewrite DuckDB-dialect fragments Spark's parser rejects or would
     silently mis-evaluate: bare VARCHAR/TEXT/HUGEINT types, len() of lists,
     QUALIFY clauses, and — critically — 1-based list subscripts (see module
-    docstring). Quote-aware: single-quoted literals pass through untouched."""
+    docstring). Quote-aware: single-quoted literals pass through untouched;
+    comments are stripped first (their apostrophes would otherwise be
+    parsed as string openers by every downstream pass)."""
+    sql = _strip_comments(sql)
     parts = re.split(r"('(?:[^']|'')*')", sql)  # odd indices are string literals
     for i in range(0, len(parts), 2):
         for _, pat, repl in _REWRITES:

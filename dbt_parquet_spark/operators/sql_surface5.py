@@ -325,3 +325,78 @@ def q_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").try_cast("double").alias("name_as_double"),
         F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
     )
+
+
+@register(
+    "q_array_funcs2",
+    oracle="""
+    WITH t AS (
+        SELECT n_nationkey,
+               string_split(n_name, '') AS chars,
+               range(1, n_nationkey + 2) AS seq
+        FROM nation
+    )
+    SELECT n_nationkey,
+           list_position(chars, 'A') AS pos_a,
+           len(list_filter(chars, c -> c = 'A')) AS n_a,
+           array_to_string(list_reverse_sort(chars), '') AS rev_sorted,
+           len(flatten([seq, seq])) AS n_doubled,
+           list_sum(seq) AS seq_sum
+    FROM t
+    """,
+    tags=("array",),
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery 2: position, filter-count, reverse sort,
+    flatten, integer list folding — over per-row character and integer
+    sequences (split('') and sequence() make the arrays from table data).
+
+    Mapping notes: DuckDB list_position is 1-based like array_position;
+    list_sum over range() folds BIGINTs — F.aggregate with a BIGINT zero
+    matches exactly (integer math, no float drift).
+
+    Scale: map-only columnar expressions.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    chars = F.split(F.col("n_name"), "")
+    # Spark's split('') yields a trailing empty string element vs DuckDB —
+    # normalize by filtering empties (same result both sides)
+    chars = F.filter(chars, lambda c: c != "")
+    seq = F.sequence(F.lit(1), F.col("n_nationkey") + 1)
+    return nation.select(
+        "n_nationkey",
+        F.array_position(chars, "A").alias("pos_a"),
+        F.size(F.filter(chars, lambda c: c == "A")).alias("n_a"),
+        F.array_join(F.reverse(F.array_sort(chars)), "").alias("rev_sorted"),
+        F.size(F.flatten(F.array(seq, seq))).alias("n_doubled"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
+    )
+
+
+@register(
+    "q_string_distance",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, 'Supplier#000000001') AS lev_to_first,
+           levenshtein(upper(s_name), s_name) AS lev_case,
+           length(s_name) AS name_len
+    FROM supplier
+    """,
+    tags=("string", "distance", "fuzzy"),
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions — the fuzzy-matching primitive (entity
+    resolution, typo-tolerant joins). Levenshtein is an exact integer
+    metric, so both engines agree bit-for-bit.
+
+    Scale: map-only, but O(len²) per comparison — at corpus scale always
+    BLOCK first (prefix/phonetic/LSH buckets) and verify with the distance
+    on candidates only, exactly like the dedup operators' shape.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.levenshtein("s_name", F.lit("Supplier#000000001")).alias("lev_to_first"),
+        F.levenshtein(F.upper("s_name"), F.col("s_name")).alias("lev_case"),
+        F.length("s_name").alias("name_len"),
+    )

@@ -191,3 +191,19 @@ def test_qualify_untouched_in_strings():
     from dbt_parquet_spark.dialect import translate_sql
 
     assert translate_sql("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t"
+
+
+def test_comments_with_apostrophes_do_not_break_rewrites():
+    from dbt_parquet_spark.dialect import translate_sql
+
+    sql = (
+        "-- keep each sensor's latest reading\n"
+        "SELECT sensor FROM readings\n"
+        "QUALIFY row_number() OVER (PARTITION BY sensor ORDER BY ts DESC) = 1"
+    )
+    out = translate_sql(sql)
+    assert "QUALIFY" not in out and "__qualify" in out
+    # a '--' inside a string literal is data, not a comment
+    assert translate_sql("SELECT '--x' AS s FROM t") == "SELECT '--x' AS s FROM t"
+    # block comments are stripped string-awarely
+    assert translate_sql("SELECT /* don't */ 1 AS x") == "SELECT   1 AS x"
