@@ -112,14 +112,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_extract", tags=("multimodal", "pandas_udf"))
+@register(
+    "q_multimodal_extract",
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS nb,
+               list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS INTEGER) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(list_sum(cps) AS DOUBLE) / nb AS byte_mean,
+           CAST(list_max(cps) AS INTEGER) AS byte_max,
+           CAST(1 + nb // 64 AS INTEGER) AS frame_count
+    FROM codes
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas: build a media table
     (binary payload + media_type + metadata struct), then run the Arrow-
     batched fake decoder per partition.
 
-    Rows-only driver check; tests/test_multimodal.py asserts deterministic
-    feature values and schema.
+    ORACLE-CHECKED despite the decoder being a stand-in: the fake decode is
+    pure integer byte math (sum/max/stride-count over the payload), and the
+    testdata text is ASCII, so DuckDB can restate it as code-point list
+    folds — byte_mean's single int/int IEEE divide is bit-identical. The
+    decode stays a clearly-marked fake (no codecs in this container); what
+    the oracle proves is that the binary plumbing and the Arrow batch path
+    deliver exactly the bytes the decoder should see. tests/
+    test_multimodal.py additionally asserts schema and determinism.
 
     Scale: mapInPandas streams Arrow batches executor-side — payloads never
     visit the driver; partition count = parallelism. For 100 TB of media,

@@ -64,3 +64,35 @@ def test_union_all_no_shuffle(spark):
 def test_window_single_shuffle_per_partitioning(spark):
     plan = _plan(spark, "q_window_running")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_bitmap_is_broadcast(spark):
+    # the bloom pre-filter must reach the probe side as a broadcast, and the
+    # probe scan must not shuffle before the filter
+    plan = _plan(spark, "q_bloom_semi_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_date_spine_joins_broadcast(spark):
+    # the tiny spine must broadcast against the daily aggregate — a shuffle
+    # of the fact side keyed by day is the wrong shape
+    plan = _plan(spark, "q_date_spine")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocabulary_has_no_unpartitioned_window(spark):
+    # the round-1 scale-killer: a global rank window moves the vocabulary to
+    # one task. Every window must be partitioned.
+    df = SPECS["q_vocabulary"].builder(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", analyzed):
+        spec = m.group(1)
+        # a partitioned window spec lists partition columns before the sort order
+        assert "ORDER BY" not in spec.split(",")[0].upper() or "#" in spec.split(",")[0], spec
+
+
+def test_salted_join_no_broadcast_of_large_side(spark):
+    # salting must not accidentally flip the large side into a broadcast
+    plan = _plan(spark, "q_salted_join")
+    assert "Exchange hashpartitioning" in plan  # the salted equi-join shuffles on (key, salt)
