@@ -194,3 +194,35 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "c_name", "o_totalprice"
     )
+
+
+@register(
+    "q_format_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 500
+    """,
+    tags=("formats", "json", "orc", "materialize"),
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format sink/source chain: parquet → JSON-lines → ORC → result.
+    The oracle is the identity SELECT, so the driver value-checks that BOTH
+    non-parquet formats round-trip the data losslessly (schema carried
+    explicitly through JSON, whose inference would widen types).
+
+    Scale: each hop is a distributed write/read (part-files per partition);
+    formats.py's atomic publish applies to all of them.
+    """
+    from ..sources.formats import read_json, read_orc, write_json, write_orc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    jdest = os.path.join(tmp, "docs_jsonl")
+    write_json(docs, jdest)
+    back_j = read_json(spark, jdest, schema=docs.schema)
+    odest = os.path.join(tmp, "docs_orc")
+    write_orc(back_j, odest)
+    return read_orc(spark, odest)

@@ -99,22 +99,28 @@ _PRIORITY = (
     "q_cooccurrence",
     "q_train_test_split",
     "q_contamination",
-    "q_histogram",
     # temporal joins (2)
     "q_asof_join",
     "q_range_join",
-    # streaming: batch twins + structured-streaming executions (7)
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_dedup",
+    # structured-streaming executions + batch sessionization. The tumbling/
+    # sliding/dedup batch twins sit OUTSIDE the window: their semantics are
+    # verified here through the streaming executions (identical oracles)
+    # and locally by tests/test_oracle_parity.py.
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
+    "q_stream_stream_join",
+    "q_stream_stateful_profile",
     "q_session_window",
-    # pipeline / multimodal (q_text_normalize is subsumed by the pipeline)
+    # round-2 flagships: iterative graph closure (recursive-CTE oracle) and
+    # the oracle-checked mapInPandas packing (recursive-CTE oracle)
+    "q_dedup_components",
+    "q_sequence_packing",
+    # pipeline / multimodal (q_text_normalize is subsumed by the pipeline;
+    # q_multimodal_extract value-checks the whole binary+Arrow decode path)
     "q_corpus_pipeline",
     "q_quality_score",
-    "q_multimodal_meta",
+    "q_multimodal_extract",
     # python extension points, each driver-checked via a deterministic
     # oracle: grouped-map UDF (exact moments), grouped-agg UDAF (rank-
     # trimmed exact mean), UDTF (integer chunking)

@@ -45,27 +45,32 @@ NORTH_STAR_IN_WINDOW = {
     "q_lang_id",
     "q_corpus_pipeline",
     "q_quality_score",
-    "q_multimodal_meta",
-    # python extension points, all oracle-backed
+    # binary + Arrow decode path, value-checked end to end
+    "q_multimodal_extract",
+    # python extension points, all oracle-backed (incl. the recursive-CTE-
+    # oracled mapInPandas packing and the iterative graph closure)
     "q_grouped_zscore",
     "q_trimmed_mean",
     "q_chunk_udtf",
-    # corpus accounting
+    "q_sequence_packing",
+    "q_dedup_components",
+    # corpus accounting (q_histogram sits outside: plain groupBy, covered
+    # by many in-window aggregations)
     "q_vocabulary",
     "q_cooccurrence",
     "q_train_test_split",
     "q_contamination",
-    "q_histogram",
     # temporal
     "q_asof_join",
     "q_range_join",
-    # streaming (incl. real structured-streaming executions)
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_dedup",
+    # ALL structured-streaming execution modes (windowed, stream-stream
+    # join, custom stateful) + batch sessionization; the tumbling/sliding/
+    # dedup batch twins sit outside (same oracles as the executions)
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
+    "q_stream_stream_join",
+    "q_stream_stateful_profile",
     "q_session_window",
 }
 
@@ -86,7 +91,7 @@ def test_contract_and_north_star_queries_inside_window():
 
 def test_registry_exposes_all_queries():
     specs = load_all()
-    assert len(specs) == 118
+    assert len(specs) == 119
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
