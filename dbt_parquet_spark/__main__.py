@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--models-dir", required=True)
     run_p.add_argument("--threads", type=int, default=4)
     run_p.add_argument("--single-file", action="store_true", help="reference-compatible one-file tables")
+    run_p.add_argument(
+        "--select",
+        default=None,
+        help="comma-separated models to run (dbt-style; +name includes ancestors)",
+    )
 
     seed_p = sub.add_parser("seed", help="load a CSV seed")
     common(seed_p)
@@ -61,8 +66,15 @@ def main(argv: list[str] | None = None) -> int:
         from .project import Project
 
         project = Project.from_dir(catalog, args.models_dir)
-        results = project.run(spark, threads=args.threads, single_file=args.single_file)
+        results = project.run(
+            spark,
+            threads=args.threads,
+            single_file=args.single_file,
+            select=args.select.split(",") if args.select else None,
+        )
         for name in project.dag_order():
+            if name not in results:
+                continue  # outside --select
             r = results[name]
             print(f"OK {name}: {r.rows} rows -> {r.relation.path}")
     elif args.cmd == "seed":

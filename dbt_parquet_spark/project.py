@@ -98,22 +98,51 @@ class Project:
         return list(ts.static_order())
 
     # -- execution ---------------------------------------------------------
+    def select_models(self, select: list[str]) -> list[str]:
+        """dbt-style selection: ``name`` picks a model; ``+name`` also picks
+        every transitive ancestor. Unknown names raise. Returns the selected
+        set; refs to UNSELECTED models resolve to their already-materialized
+        tables at run time (dbt's default behavior)."""
+        chosen: set[str] = set()
+
+        def ancestors(name: str) -> None:
+            for ref in self.models[name].refs:
+                if ref in self.models and ref not in chosen:
+                    chosen.add(ref)
+                    ancestors(ref)
+
+        for raw in select:
+            with_parents = raw.startswith("+")
+            name = raw.lstrip("+")
+            if name not in self.models:
+                raise KeyError(f"unknown model in --select: {name}")
+            chosen.add(name)
+            if with_parents:
+                ancestors(name)
+        return [n for n in self.models if n in chosen]
+
     def run(
         self,
         spark: SparkSession,
         threads: int = 4,
         single_file: bool = False,
+        select: list[str] | None = None,
     ) -> dict[str, RunResult]:
-        """Materialize every model in DAG order, parallelizing independent
-        models across ``threads`` (reference threads semantics). Source
-        views are registered up front (reference connections.py:79-88
-        registers all existing parquet on connect)."""
+        """Materialize every model (or the ``select``-ed subset) in DAG
+        order, parallelizing independent models across ``threads``
+        (reference threads semantics). Source views are registered up front
+        (reference connections.py:79-88 registers all existing parquet on
+        connect)."""
         from .dialect import register_duckdb_compat
 
         register_duckdb_compat(spark)  # DuckDB-dialect model SQL runs unchanged
         self.catalog.register_all_views(spark)
 
-        ts = graphlib.TopologicalSorter({n: set(m.refs) for n, m in self.models.items()})
+        names = self.select_models(select) if select else list(self.models)
+        selected = set(names)
+        ts = graphlib.TopologicalSorter(
+            {n: set(m.refs) & selected for n, m in self.models.items() if n in selected}
+        )
         ts.prepare()
         results: dict[str, RunResult] = {}
 

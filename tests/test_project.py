@@ -153,3 +153,28 @@ def test_model_with_qualify(spark, db):
     )
     assert project.run(spark)["heaviest"].rows == 1
     assert spark.table("heaviest").first().animals == "Centipede"
+
+
+def test_select_runs_only_chosen_models(spark, db):
+    """dbt-style --select: run a subset; refs to unselected models resolve
+    to their already-materialized tables; +name pulls in ancestors."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model(
+            "animals_str",
+            "SELECT CAST(n_legs AS STRING) AS n_legs, animals "
+            "FROM {{ source('source_schema', 'animals') }}",
+        )
+    )
+    project.add(Model("bipeds", "SELECT * FROM {{ ref('animals_str') }} WHERE n_legs = '2'"))
+    # full run materializes everything
+    assert set(project.run(spark)) == {"animals_str", "bipeds"}
+    # selecting just the leaf reruns ONLY it, reading the existing parent
+    assert set(project.run(spark, select=["bipeds"])) == {"bipeds"}
+    # +leaf pulls the ancestor back in
+    assert set(project.run(spark, select=["+bipeds"])) == {"animals_str", "bipeds"}
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        project.select_models(["nope"])
