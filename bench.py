@@ -93,15 +93,23 @@ def main() -> None:
     ).mode("overwrite").save()
 
     # Two runs per query, report the faster (steady-state; first run pays
-    # one-time file-listing/codegen for that plan).
+    # one-time file-listing/codegen for that plan). A throwing query costs
+    # one error row, never the artifact: the loop isolates per-query
+    # failures so the JSON line always carries whatever ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            run_query(specs[name].builder(spark, SF_DIR))
+            try:
+                run_query(specs[name].builder(spark, SF_DIR))
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -112,7 +120,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

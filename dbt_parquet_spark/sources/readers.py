@@ -62,7 +62,7 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan with ns-timestamp normalization.
+    """Parquet scan with timestamp normalization (ns and NTZ).
 
     Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the
     ``nanosAsLong`` escape hatch it surfaces as a raw long. We convert to
@@ -70,6 +70,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     truncation, so oracle comparisons are well-defined (SURVEY §7 risk
     register). Integer ``div``, NOT ``/``: float division loses precision at
     ns-since-epoch magnitudes.
+
+    Spark 4 also infers parquet timestamps without ``isAdjustedToUTC`` as
+    TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults
+    true), and NTZ columns reject ``withWatermark`` / ``cast(long)``. The
+    engine cannot assume its own session configs (callers pass their own
+    SparkSession), so this reader casts any NTZ column to TIMESTAMP. The
+    cast interprets the naive wall clock in the session timezone and the
+    naive rendering the oracle harness compares converts back in the same
+    timezone — wall-clock-preserving under ANY session tz (unlike disabling
+    NTZ inference, which reinterprets stored micros as UTC instants and
+    shifts the rendering under non-UTC sessions).
     """
     from pyspark.sql import functions as F
 
@@ -79,6 +90,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

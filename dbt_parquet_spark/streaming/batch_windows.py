@@ -334,7 +334,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # cast("timestamp") first: a no-op on LTZ, and the NTZ→LTZ bridge when a
+    # caller session infers parquet timestamps as TIMESTAMP_NTZ (cast(long)
+    # is invalid directly on NTZ).
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
     flagged = events.select(
         "user_id",
         "ts",

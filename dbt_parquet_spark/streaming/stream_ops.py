@@ -47,6 +47,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if dict(batch.dtypes).get("ts") == "timestamp" and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ guard (mirrors read_parquet): withWatermark rejects TIMESTAMP_NTZ
+    # event-time columns, so normalize any NTZ column to TIMESTAMP.
+    for c, t in stream.dtypes:
+        if t == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 

@@ -54,3 +54,21 @@ def test_ann_topk_is_deterministic(spark):
     a = q_ann_topk(spark, SF_ORACLE).collect()
     b = q_ann_topk(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_blocked_cosine_dedup_subset_of_exact(spark):
+    from dbt_parquet_spark.operators.similarity import (
+        q_embedding_cosine_dedup,
+        q_embedding_cosine_dedup_exact,
+    )
+
+    blocked = {(r.d1, r.d2) for r in q_embedding_cosine_dedup(spark, SF_ORACLE).collect()}
+    exact = {(r.d1, r.d2) for r in q_embedding_cosine_dedup_exact(spark, SF_ORACLE).collect()}
+    # Blocking only PRUNES candidates — every blocked pair must be a true
+    # near-dup (soundness), and some must survive (non-vacuous on this data).
+    assert blocked <= exact
+    assert blocked, "blocked near-dup returned no pairs — threshold/blocking broke"
+    # Recall on isotropic noise is pigeonhole-bound (~7% at cos>=0.35; on
+    # clustered corpora with cos>=0.95 near-dups it is ~0.96). Floor it so a
+    # blocking regression (e.g. wrong chunk math) fails loudly.
+    assert len(blocked) / len(exact) >= 0.05
