@@ -7,6 +7,7 @@
     python -m dbt_parquet_spark docs  --database DB
     python -m dbt_parquet_spark test  --database DB --models-dir DIR --model M --unique COL --not-null COL
     python -m dbt_parquet_spark sql   --database DB "SELECT ..."   (views pre-registered)
+    python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
 """
 
 from __future__ import annotations
@@ -42,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
 
     docs_p = sub.add_parser("docs", help="print the catalog (schema/table/column/type)")
     common(docs_p)
+    docs_p.add_argument(
+        "--json",
+        dest="json_path",
+        default=None,
+        help="also write a dbt-docs catalog.json artifact to this path",
+    )
 
     test_p = sub.add_parser("test", help="run generic tests against a model")
     common(test_p)
@@ -54,13 +61,29 @@ def main(argv: list[str] | None = None) -> int:
     common(sql_p)
     sql_p.add_argument("query")
 
+    shell_p = sub.add_parser(
+        "shell",
+        help="interactive DuckDB escape hatch with all relations as views "
+        "(reference impl.py:225-249)",
+    )
+    common(shell_p)
+
     args = p.parse_args(argv)
 
     from .catalog import FilesystemCatalog
+
+    catalog = FilesystemCatalog(args.database)
+
+    if args.cmd == "shell":
+        # Pure-DuckDB path (no Spark session): the escape hatch is embedded
+        # analytics over the same parquet files the engine materializes.
+        from .duck_bridge import interactive_shell
+
+        return interactive_shell(catalog)
+
     from .session import get_spark
 
     spark = get_spark("dbt_parquet_spark_cli")
-    catalog = FilesystemCatalog(args.database)
 
     if args.cmd == "run":
         from .project import Project
@@ -91,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"{row.table_schema or '(default)'}\t{row.table_name}\t"
                 f"{row.column_name}\t{row.column_type}"
             )
+        if args.json_path:
+            catalog.docs_artifact(spark, args.json_path)
+            print(f"OK docs artifact -> {args.json_path}")
     elif args.cmd == "test":
         from .project import Project
 

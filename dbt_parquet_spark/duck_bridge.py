@@ -34,15 +34,68 @@ def duckdb_query(
 
     con = duckdb.connect()
     if catalog is not None:
-        for schema in catalog.list_schemas():
-            for rel in catalog.list_relations(schema):
-                path = rel.path + ("/*.parquet" if _is_dir(rel.path) else "")
-                con.execute(
-                    f'CREATE OR REPLACE VIEW "{rel.view_name}" AS '
-                    f"SELECT * FROM parquet_scan('{path}')"
-                )
+        register_catalog_views(con, catalog)
     arrow_table = con.execute(sql).arrow()
     return spark.createDataFrame(arrow_table.to_pandas())
+
+
+def register_catalog_views(con, catalog: FilesystemCatalog) -> list[str]:
+    """Register every catalog relation as a DuckDB view over its parquet
+    path — the reference's connect-time view registration (reference
+    connections.py:79-88). Returns the registered view names."""
+    names = []
+    for schema in catalog.list_schemas():
+        for rel in catalog.list_relations(schema):
+            path = rel.path + ("/*.parquet" if _is_dir(rel.path) else "")
+            con.execute(
+                f'CREATE OR REPLACE VIEW "{rel.view_name}" AS '
+                f"SELECT * FROM parquet_scan('{path}')"
+            )
+            names.append(rel.view_name)
+    return names
+
+
+def interactive_shell(catalog: FilesystemCatalog, in_stream=None, out_stream=None) -> int:
+    """The reference's `dbt run-operation duckdb` escape hatch (reference
+    impl.py:225-249 + macros/duckdb.sql:1-7): drop the user into a live
+    DuckDB session with every catalog relation pre-registered as a view.
+
+    Reads one SQL statement per line (`.exit` / `.quit` / EOF ends the
+    session; `.tables` lists the registered views), prints each result via
+    DuckDB's table renderer. Streams are injectable for tests.
+    """
+    import sys
+
+    import duckdb
+
+    fin = in_stream if in_stream is not None else sys.stdin
+    fout = out_stream if out_stream is not None else sys.stdout
+    con = duckdb.connect()
+    views = register_catalog_views(con, catalog)
+    interactive = fin is sys.stdin and sys.stdin.isatty()
+    print(f"duckdb shell — {len(views)} relation(s) registered as views", file=fout)
+    while True:
+        if interactive:
+            print("duckdb> ", end="", file=fout, flush=True)
+        line = fin.readline()
+        if not line:
+            break
+        stmt = line.strip()
+        if not stmt:
+            continue
+        if stmt in (".exit", ".quit", "exit", "quit"):
+            break
+        if stmt == ".tables":
+            for v in sorted(views):
+                print(v, file=fout)
+            continue
+        try:
+            rel = con.sql(stmt)
+            if rel is not None:  # DDL/SET return None
+                print(rel, file=fout)
+        except Exception as exc:  # noqa: BLE001 — shell survives bad SQL
+            print(f"error: {exc}", file=fout)
+    return 0
 
 
 def to_duckdb(df: DataFrame, view_name: str = "spark_result"):

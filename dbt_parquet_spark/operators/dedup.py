@@ -39,30 +39,23 @@ def shingles(toks: Column, k: int = 5) -> Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Distinct (doc_id, shingle) rows via posexplode + window leads.
+    """Distinct (doc_id, shingle) rows — shuffle-free shingle assembly.
 
-    Deliberately NOT the array-expression form (``shingles()``): inside
-    nested lambda expressions Catalyst inlines the ``split(text)`` argument
-    into every element_at, re-tokenizing the document once per shingle
-    position (~100× redundant work, measured 5-7s for 5k docs). Exploding
-    once and assembling k-grams with LEAD computes the split exactly once
-    and is the shape that scales: one shuffle on doc_id, then narrow ops.
+    The naive array-expression form is a trap: inside nested lambdas
+    Catalyst inlines the ``split(text)`` argument into every element_at,
+    re-tokenizing the document once per shingle position (~100× redundant
+    work, measured 5-7s for 5k docs). Materializing the token ARRAY through
+    a persist first makes it a plain attribute reference, so ``shingles()``
+    (already per-doc-distinct via array_distinct) runs as narrow ops over
+    the cached arrays: split once, NO shuffle anywhere before the
+    downstream candidate groupBys. The earlier posexplode+window-LEAD form
+    paid a full corpus shuffle+sort here; this shape drops it, and the
+    cache (MEMORY_AND_DISK, ≈ tokenized corpus size) spills rather than
+    OOMs at scale.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(token_array()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
-        "doc_id",
-        "tok",
-        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)],
-    )
-    return (
-        leads.filter(F.col(f"t{k-1}").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"))
-        .distinct()
-    )
+    toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
+    return toks_df.select("doc_id", F.explode(shingles(F.col("toks"), k)).alias("s"))
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:

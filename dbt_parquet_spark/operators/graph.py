@@ -34,14 +34,29 @@ def connected_components(
     round), never data; labels stay distributed and persisted across rounds.
     Deterministic on any partitioning: min() is order-independent.
     """
-    sym = edges.select(
-        F.col("d1").alias("src"), F.col("d2").alias("dst")
-    ).unionAll(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-    sym = sym.persist()
+    # Symmetrize in ONE scan: explode each edge into both directions. The
+    # unionAll-of-two-selects form evaluates the (possibly expensive)
+    # upstream edge pipeline twice before the persist materializes — at
+    # sf0.1 that was ~1.5 s of recomputed n-gram joins per call.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    # Fused init + first propagation round: before any propagation every
+    # neighbor's label IS its id, so round-1 labels = min(v, min neighbors)
+    # — one aggregation over sym, no join. Every vertex appears as a dst
+    # (sym is symmetric), so this also enumerates the vertex set.
     labels = (
-        sym.select(F.col("src").alias(vertex_col))
-        .distinct()
-        .select(vertex_col, F.col(vertex_col).alias("component"))
+        sym.groupBy(F.col("dst").alias(vertex_col))
+        .agg(F.least(F.col(vertex_col), F.min("src")).alias("component"))
         .persist()
     )
     # Convergence = unchanged exact label sum: labels only ever decrease, so

@@ -180,3 +180,32 @@ def test_time_typed_seed_columns_stay_strings(spark, db, tmp_path):
     df = load_seed(spark, db, str(csv), rel)
     assert dict(df.dtypes)["shift_start"] == "string"
     assert {r.shift_start for r in df.collect()} == {"09:30:00", "17:45:10"}
+
+
+def test_docs_artifact_shape(spark, tmp_path):
+    """catalog.json artifact: dbt-docs schema shape, footer-only stats
+    (reference macros/catalog.sql consumer)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64()), "s": ["a", "b", "c"]}),
+        os.path.join(db, "t1.parquet"),
+    )
+    cat = FilesystemCatalog(db)
+    out = str(tmp_path / "catalog.json")
+    artifact = cat.docs_artifact(spark, out)
+    assert artifact["metadata"]["dbt_schema_version"].endswith("catalog/v1.json")
+    node = artifact["nodes"]["model.dbt_parquet_spark.t1"]
+    assert node["metadata"]["name"] == "t1"
+    assert node["columns"]["x"]["type"] == "bigint"
+    assert node["columns"]["s"]["index"] == 1
+    assert node["stats"]["num_rows"]["value"] == 3
+    with open(out) as fh:
+        assert json.load(fh) == artifact

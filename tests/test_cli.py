@@ -41,3 +41,32 @@ def test_cli_full_lifecycle(tmp_path):
         "--model", "animals_str", "--unique", "animals", "--not-null", "n_legs",
     )
     assert test.returncode == 0 and "PASS" in test.stdout
+
+
+def test_cli_shell_escape_hatch(tmp_path):
+    """The reference's run-operation duckdb escape hatch (impl.py:225-249):
+    `shell` opens DuckDB with every catalog relation registered as a view.
+    Driven non-interactively via stdin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(db, "nums.parquet"),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "dbt_parquet_spark", "shell", "--database", db],
+        input=".tables\nSELECT SUM(x) AS s FROM nums\nSELECT bogus FROM nowhere\nSELECT COUNT(*) AS n FROM nums\n.exit\n",
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "1 relation(s) registered" in proc.stdout
+    assert "nums" in proc.stdout          # .tables listing
+    assert "6" in proc.stdout             # SUM over the view
+    assert "error:" in proc.stdout        # bad SQL survives the session
+    assert "3" in proc.stdout             # shell still live afterwards
