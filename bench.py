@@ -59,6 +59,9 @@ EXTENSION_HEADLINE = [
     "q_dedup_components",
     "q_bloom_semi_join",
     "q_repetition_score",
+    "q_redact_pii",
+    "q_embedding_cosine_dedup",
+    "q_embedding_dedup_components",
 ]
 
 

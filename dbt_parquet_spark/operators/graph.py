@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .dedup import NGRAM_PAIRS_CTES, q_dedup_ngram_jaccard
+from .similarity import BLOCKED_COSINE_PAIRS_CTES
 
 
 def connected_components(
@@ -31,13 +32,22 @@ def connected_components(
     converges in O(log diameter) — the round structure here is the same.
 
     The driver-side loop holds only a convergence COUNTER (one long per
-    round), never data; labels stay distributed and persisted across rounds.
+    round), never data; labels stay distributed across rounds.
     Deterministic on any partitioning: min() is order-independent.
+
+    Lineage discipline: every per-round DataFrame is localCheckpoint'ed.
+    Without truncation, round N's logical plan embeds the full upstream
+    edge pipeline plus all N-1 prior rounds, and Catalyst re-analysis cost
+    grows per round (measured: rounds of 1.0→2.6 s on a 730-row cached
+    edge list, pure planning overhead) — the classic iterative-algorithm
+    trap. Checkpointing makes each round's plan a leaf; on a real cluster
+    swap localCheckpoint for reliable `checkpoint` with an HDFS dir if
+    executor loss during the (short) loop must be survivable.
     """
     # Symmetrize in ONE scan: explode each edge into both directions. The
     # unionAll-of-two-selects form evaluates the (possibly expensive)
-    # upstream edge pipeline twice before the persist materializes — at
-    # sf0.1 that was ~1.5 s of recomputed n-gram joins per call.
+    # upstream edge pipeline twice before materializing — at sf0.1 that was
+    # ~1.5 s of recomputed n-gram joins per call.
     sym = (
         edges.select(
             F.explode(
@@ -48,7 +58,7 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .persist()
+        .localCheckpoint()
     )
     # Fused init + first propagation round: before any propagation every
     # neighbor's label IS its id, so round-1 labels = min(v, min neighbors)
@@ -57,12 +67,12 @@ def connected_components(
     labels = (
         sym.groupBy(F.col("dst").alias(vertex_col))
         .agg(F.least(F.col(vertex_col), F.min("src")).alias("component"))
-        .persist()
+        .localCheckpoint()
     )
     # Convergence = unchanged exact label sum: labels only ever decrease, so
     # sum(new) == sum(old) ⇔ no label moved. DECIMAL(38) keeps the sum exact
-    # at any vertex count; ONE tiny aggregate job per round materializes the
-    # persisted labels as a side effect — no separate compare join.
+    # at any vertex count; the checkpoint already materialized the labels,
+    # so this is one tiny aggregate job over a leaf plan per round.
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0].s
     for _ in range(max_iter):
@@ -79,15 +89,13 @@ def connected_components(
                     "component"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(label_sum).collect()[0].s
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels
 
 
@@ -136,4 +144,55 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         comp.join(sizes, "component")
         .select("doc_id", F.col("component").alias("component_id"), "component_size")
+    )
+
+
+@register(
+    "q_embedding_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {BLOCKED_COSINE_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM cos_pairs
+        UNION
+        SELECT d2, d1 FROM cos_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    )
+    SELECT vec_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+    tags=("dedup", "graph", "components", "similarity"),
+)
+def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster dedup: connected components over the blocked
+    cosine near-dup pairs — the semantic-dedup pipeline's cluster
+    assignment (SemDeDup-style: keep one representative per embedding
+    cluster instead of per pairwise hit). Composes two independently
+    verified operators: q_embedding_cosine_dedup's candidate-blocked pairs
+    feed the same min-label propagation q_dedup_components uses for text.
+
+    Oracle: the identical closure as a DuckDB recursive CTE over the
+    identically blocked pair set — exact value parity, like the text twin.
+
+    Scale: pair generation is the blocked equi-join (no quadratic stage);
+    propagation is one shuffle per round with only a convergence scalar on
+    the driver. The 100 TB semantic-dedup recipe is exactly this plan with
+    the threshold raised to the production near-dup band.
+    """
+    from .similarity import q_embedding_cosine_dedup
+
+    pairs = q_embedding_cosine_dedup(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs, vertex_col="vec_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(sizes, "component")
+        .select("vec_id", F.col("component").alias("component_id"), "component_size")
     )

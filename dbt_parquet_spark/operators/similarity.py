@@ -121,6 +121,17 @@ _DUCK_CHUNK_DEFS = ", ".join(
 )
 _DUCK_CHUNK_MATCH = " OR ".join(f"a.c{c} = b.c{c}" for c in range(NEARDUP_CHUNKS))
 
+# Shared CTE block: the blocked near-dup pairs in DuckDB SQL, reused by the
+# q_embedding_cosine_dedup oracle below and by the embedding-cluster
+# components oracle (operators/graph.py), which closes over these edges.
+BLOCKED_COSINE_PAIRS_CTES = f"""sb AS (SELECT vec_id, embedding, {_DUCK_CHUNK_DEFS} FROM embeddings),
+    cos_pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM sb a JOIN sb b
+          ON a.vec_id < b.vec_id AND ({_DUCK_CHUNK_MATCH})
+        WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {BLOCKED_COSINE_THRESHOLD}
+    )"""
+
 
 @register(
     "q_embedding_cosine_dedup",

@@ -249,3 +249,54 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_c").cast("double") / F.col("n_tok")).alias("top_token_frac"),
         )
     )
+
+
+# Pattern-based redaction (PII-scrubbing shape). Patterns are data, not
+# code: each (name, regex) pair is applied in order with a bracketed
+# placeholder, the way email/phone/SSN scrubbers run over a real corpus.
+# The demo patterns target tokens that EXIST in the synthetic corpus so the
+# oracle check is non-vacuous (the corpus has no digits — real PII regexes
+# would trivially match nothing); swap in PII regexes for production.
+# Both engines use RE2-compatible syntax (\b word bounds) and
+# replace-all-occurrences semantics.
+REDACT_PATTERNS = (
+    ("NAME", r"\bcustomer\b"),
+    ("ID", r"\bkey\b"),
+)
+
+
+@register(
+    "q_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '{REDACT_PATTERNS[0][1]}', '[{REDACT_PATTERNS[0][0]}]', 'g'),
+               '{REDACT_PATTERNS[1][1]}', '[{REDACT_PATTERNS[1][0]}]', 'g') AS redacted,
+           len(regexp_extract_all(text, '{REDACT_PATTERNS[0][1]}'))
+             + len(regexp_extract_all(text, '{REDACT_PATTERNS[1][1]}')) AS n_redactions
+    FROM documents
+    """,
+    tags=("text", "redaction", "pipeline"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based scrubbing: apply an ordered list of (label, regex)
+    rules, replacing every match with a bracketed placeholder, and count
+    redactions per document — the compliance pass (emails, phones, ids)
+    every training corpus goes through before the tokenizer sees it.
+
+    Scale: map-only regexp_replace chain inside whole-stage codegen — no
+    shuffle, no Python; cost is linear in corpus bytes and the regex count.
+    At 100 TB the only knob that matters is keeping this JVM-side, which
+    built-in regexp_replace does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.col("text")
+    n_matches = F.lit(0)
+    for label, pat in REDACT_PATTERNS:
+        n_matches = n_matches + F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        redacted = F.regexp_replace(redacted, pat, f"[{label}]")
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_matches.alias("n_redactions"),
+    )
