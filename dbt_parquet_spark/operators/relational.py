@@ -136,20 +136,24 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 128-bit checked arithmetic per row (~2x whole-query cost measured at
     sf0.1). Exactness and overflow safety:
 
-    - Partial sums are grouped by (keys, spark_partition_id), so each long
-      partial covers ONE scan partition: <= ~1.3M rows (128 MB parquet
-      partitions) x <= ~1.1e11/row for the triple product (price<=1e7 cents
-      x 100 x 110) = 1.4e17, 64x under the int64 limit. ANSI mode (Spark 4
-      default) turns any violation into an error, never a silent wrap.
-    - The cross-partition merge sums the partials as DECIMAL(38) — exact at
+    - ONE scan (round-4: the old form scanned lineitem twice — once for
+      the sums, once for a COUNT(DISTINCT) branch; at 100 TB the scan
+      dominates, so halving scan I/O is the win even though the two
+      branches ran concurrently at local scale). Partial sums group by
+      (keys, l_orderkey): a long partial covers one ORDER — ≤ 7 lineitems
+      × ≤ ~1.1e11/row for the triple product (price ≤ 1e7 cents × 100 ×
+      110) ≈ 8e12, five orders of magnitude under int64. ANSI mode (Spark
+      4 default) turns any violation into an error, never a silent wrap.
+      Map-side partial aggregation still applies (orders are contiguous in
+      the scan), so the shuffle moves ~one row per order.
+    - The cross-order merge sums the partials as DECIMAL(38) — exact at
       any scale factor — and the final DECIMAL->DOUBLE conversion is the
       same one the oracle contract uses, so results are bit-identical to
       the all-DECIMAL formulation (asserted in tests/test_oracle_parity.py)
       and order-independent on 1 partition or 10,000.
-    - COUNT(DISTINCT) runs as its own branch (distinct counts cannot be
-      merged from per-partition partials) and broadcast-joins back on the
-      6-row group keys; the two branches are independent stages Spark runs
-      concurrently.
+    - COUNT(DISTINCT l_orderkey) falls out of the per-order grouping for
+      free: it is COUNT(*) of the first-level groups — no distinct-expand,
+      no second branch.
     """
     li = load_table(spark, sf_dir, "lineitem")
     filt = li.filter(
@@ -162,20 +166,20 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = filt.select(
         "l_returnflag",
         "l_linestatus",
+        "l_orderkey",
         qty_c.alias("qty_c"),
         price_c.alias("price_c"),
         (price_c * (F.lit(100) - disc_c)).alias("disc_u4"),
         (price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).alias("charge_u6"),
-        F.spark_partition_id().alias("pid"),
     )
-    partial = base.groupBy("l_returnflag", "l_linestatus", "pid").agg(
+    per_order = base.groupBy("l_returnflag", "l_linestatus", "l_orderkey").agg(
         F.sum("qty_c").alias("p_qty"),
         F.sum("price_c").alias("p_price"),
         F.sum("disc_u4").alias("p_disc"),
         F.sum("charge_u6").alias("p_charge"),
         F.count(F.lit(1)).alias("p_n"),
     )
-    merged = partial.groupBy("l_returnflag", "l_linestatus").agg(
+    merged = per_order.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum(F.col("p_qty").cast("decimal(38,0)")) / 100)
         .cast("decimal(38,2)")
         .alias("d_qty"),
@@ -189,11 +193,9 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("d_charge"),
         F.sum("p_n").alias("count_order"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    nord = filt.groupBy("l_returnflag", "l_linestatus").agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    return merged.join(F.broadcast(nord), ["l_returnflag", "l_linestatus"]).select(
+    return merged.select(
         "l_returnflag",
         "l_linestatus",
         F.col("d_qty").cast("double").alias("sum_qty"),

@@ -158,10 +158,15 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts candidate pairs ~63× (124 750 → 1 984 at sf0.01); on clustered
     real embeddings near-dup recall ≈ 1-(1-(1-θ/π)^8)^4.
 
-    Scale: the join is a plain shuffle on 4·N posting rows — no quadratic
-    stage anywhere; hot buckets are bounded by the 256-value chunk space ×
-    AQE skew splitting. The exact quadratic baseline survives as
-    q_embedding_cosine_dedup_exact (outside the verified window) for
+    Scale: the join is a plain shuffle on 4·N posting rows with no
+    quadratic STAGE, but candidate count is O(N²/2^bits · chunks) — at a
+    FIXED 8-bit chunk space, bucket occupancy grows linearly with corpus
+    size and the 10× scale sweep measures ~10.7× (PERF_r4.md). The knob is
+    NEARDUP_CHUNK_BITS: scale bits with log₂(N) (e.g. 20-24 bits per chunk
+    at 10⁹ docs) to hold per-bucket occupancy — and with it candidate
+    count per doc — constant. 8 bits here keeps the sf0.01 oracle check
+    non-vacuous on isotropic noise. The exact quadratic baseline survives
+    as q_embedding_cosine_dedup_exact (outside the verified window) for
     recall measurement.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -96,3 +96,37 @@ def test_salted_join_no_broadcast_of_large_side(spark):
     # salting must not accidentally flip the large side into a broadcast
     plan = _plan(spark, "q_salted_join")
     assert "Exchange hashpartitioning" in plan  # the salted equi-join shuffles on (key, salt)
+
+
+def test_blocked_cosine_dedup_no_quadratic_stage(spark):
+    """Round-4 gate: the windowed near-dup query must never regress to a
+    cartesian/nested-loop shape — candidates come from the posting-key
+    equi-join (d1<d2 is a residual condition on a hash join)."""
+    plan = _plan(spark, "q_embedding_cosine_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_redact_pii_no_shuffle(spark):
+    """Redaction is a map-only regexp chain — any exchange in the plan means
+    someone broke the narrow shape."""
+    plan = _plan(spark, "q_redact_pii")
+    assert "Exchange" not in plan
+
+
+def test_components_rounds_have_leaf_plans(spark):
+    """Lineage gate: connected_components must truncate per-round lineage
+    (localCheckpoint) — the returned labels' plan must NOT contain the
+    upstream edge pipeline (no parquet scan, no join), or round-over-round
+    planning cost grows with iteration count."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    labels = connected_components(edges, vertex_col="id")
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
