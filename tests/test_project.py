@@ -4,8 +4,12 @@ concurrent independent models (reference test_concurrency.py)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from dbt_parquet_spark.catalog import FilesystemCatalog
 from dbt_parquet_spark.diff import relations_equal
@@ -178,3 +182,36 @@ def test_select_runs_only_chosen_models(spark, db):
 
     with _pytest.raises(KeyError):
         project.select_models(["nope"])
+
+
+def test_corpus_example_project(spark, tmp_path):
+    """examples/corpus: the LLM-pipeline DAG (dedup -> quality -> split ->
+    vocab/stats) runs end-to-end through the project runner, with invariants
+    checked across stages."""
+    import shutil
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.project import Project
+
+    from .conftest import SF_SMALL
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    shutil.copy(os.path.join(SF_SMALL, "documents.parquet"), db)
+    catalog = FilesystemCatalog(db)
+    project = Project.from_dir(catalog, os.path.join(REPO, "examples/corpus/models"))
+    results = project.run(spark, threads=4)
+    assert set(results) == {"docs_dedup", "docs_quality", "docs_split", "vocab", "corpus_stats"}
+
+    n_source = spark.read.parquet(os.path.join(db, "documents.parquet")).count()
+    assert 0 < results["docs_dedup"].rows <= n_source
+    assert results["docs_quality"].rows <= results["docs_dedup"].rows
+    assert results["docs_split"].rows == results["docs_quality"].rows
+
+    catalog.register_all_views(spark)
+    stats = {r.split: r for r in spark.table("corpus_stats").collect()}
+    assert set(stats) <= {"train", "test"} and "train" in stats
+    assert sum(r.n_docs for r in stats.values()) == results["docs_split"].rows
+    # vocabulary frequencies must sum to the train-split token count
+    vocab_total = spark.table("vocab").groupBy().sum("freq").collect()[0][0]
+    assert vocab_total == stats["train"].n_tokens
