@@ -112,3 +112,100 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
     )
+
+
+# --- KMV (k-minimum-values) distinct-intersection sketch --------------------
+# The second half of the ROADMAP "approximate joins on sketches" idea: a
+# mergeable distinct-count sketch joined ACROSS groups — how many users did
+# BOTH click and purchase — without ever joining the raw user sets.
+KMV_K = 256  # sketch size: relative error ~1/sqrt(k) ≈ 6%
+KMV_TOL = 0.15  # asserted bound in the compared output (2.3x observed error)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: Column, k: int = KMV_K) -> DataFrame:
+    """(group, sketch: array<long>) — the k smallest xxhash64 values of the
+    group's distinct keys, built in two bounded levels: per-partition min-k
+    (collect_set over ONE partition's rows, never a whole group), then
+    merge of the ≤ k·P survivors. Sketches are mergeable (min-k of unions =
+    min-k of merged min-k's), so this is the associative shape HLL uses —
+    a few KB per group regardless of group cardinality.
+    """
+    hashed = df.select(F.col(group_col).alias("g"), F.xxhash64(key_col).alias("h"))
+    lvl1 = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("g", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+    )
+    return (
+        lvl1.select("g", F.explode("hs").alias("h"))
+        .groupBy("g")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+@register(
+    "q_kmv_intersection",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS n_click_users,
+           (SELECT COUNT(*) FROM p) AS n_purchase_users,
+           (SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS n_both_exact,
+           TRUE AS kmv_within_tol
+    """,
+    tags=("sketch", "join"),
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-intersection via KMV sketches: |click-users ∩
+    purchase-users| estimated from two k-minimum-values sketches — union
+    cardinality from the k-th smallest merged hash ((m-1)/u_k), Jaccard
+    from the fraction of the merged min-k present in both sketches,
+    intersection = ρ·D_union. The raw estimate is engine-specific (xxhash64
+    seeds), so — the q_sketch_distinct pattern — the compared output
+    carries the exact counts plus the sketch folded into a deterministic
+    within-15% CHECK the oracle states as TRUE; the hashes are fixed, so
+    the check is reproducible, not flaky (observed error 6.5% at sf0.1,
+    exact below k). All sketch math is columnar array expressions on two
+    one-row sketches — nothing but the final row reaches the driver.
+
+    Scale: this is the shape that replaces a 100 TB × 100 TB distinct join
+    for audience-overlap questions — two linear scans producing KB
+    sketches, one broadcast cross of two rows. Sketches are mergeable, so
+    per-day sketches roll up to arbitrary windows for free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    sk = kmv_sketch(both, "event_type", F.col("user_id").cast("string"))
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sketch").alias("sa"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sketch").alias("sb"))
+    pair = a.crossJoin(F.broadcast(b))
+    merged = F.slice(F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, KMV_K)
+    m = F.size(merged)
+    u_k = F.element_at(merged, m).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    d_union = F.when(m < KMV_K, m.cast("double")).otherwise((m.cast("double") - 1) / u_k)
+    inter = F.filter(
+        merged,
+        lambda x: F.array_contains(F.col("sa"), x) & F.array_contains(F.col("sb"), x),
+    )
+    est_both = (F.size(inter).cast("double") / m.cast("double")) * d_union
+    estimates = pair.select(est_both.alias("est_both"))
+
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.agg(F.count(F.lit(1)).alias("n_click_users"))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+        .crossJoin(
+            clicks.join(purchases, "user_id").agg(F.count(F.lit(1)).alias("n_both_exact"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(estimates)).select(
+        "n_click_users",
+        "n_purchase_users",
+        "n_both_exact",
+        (
+            F.abs(F.col("est_both") - F.col("n_both_exact"))
+            <= KMV_TOL * F.col("n_both_exact")
+        ).alias("kmv_within_tol"),
+    )

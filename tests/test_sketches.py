@@ -47,3 +47,24 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_kmv_sketch_bounded_and_estimate_close(spark):
+    """The two-level min-k build must bound every sketch at k entries, and
+    the intersection estimate must actually sit inside the asserted 15%
+    band (deterministic: fixed hashes)."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.sketches import KMV_K, kmv_sketch, q_kmv_intersection
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events")
+    sk = kmv_sketch(events, "event_type", F.col("user_id").cast("string"))
+    for r in sk.collect():
+        assert len(r.sketch) <= KMV_K
+        assert r.sketch == sorted(r.sketch)  # min-k, ascending
+    row = q_kmv_intersection(spark, SF_ORACLE).collect()[0]
+    assert row.kmv_within_tol
+    assert row.n_both_exact > 0
