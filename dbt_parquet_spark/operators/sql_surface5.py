@@ -341,7 +341,7 @@ def q_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(chars, c -> c = 'A')) AS n_a,
            array_to_string(list_reverse_sort(chars), '') AS rev_sorted,
            len(flatten([seq, seq])) AS n_doubled,
-           list_sum(seq) AS seq_sum
+           CAST(list_sum(seq) AS BIGINT) AS seq_sum
     FROM t
     """,
     tags=("array",),
@@ -352,8 +352,9 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences (split('') and sequence() make the arrays from table data).
 
     Mapping notes: DuckDB list_position is 1-based like array_position;
-    list_sum over range() folds BIGINTs — F.aggregate with a BIGINT zero
-    matches exactly (integer math, no float drift).
+    list_sum over range() folds BIGINTs into HUGEINT (float64 in pandas),
+    so the oracle CASTs it back to BIGINT to match F.aggregate's long —
+    the driver's value hash is dtype-representation-sensitive.
 
     Scale: map-only columnar expressions.
     """

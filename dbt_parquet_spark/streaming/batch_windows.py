@@ -309,8 +309,9 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -1,5 +1,26 @@
 """Replicates the driver's DuckDB-oracle comparison locally: row count +
-column names + order-insensitive, bit-exact value comparison."""
+column names + order-insensitive, dtype-representation-sensitive value
+comparison.
+
+Round-4 lesson (VERDICT r4 "What's wrong" #2): the driver hashes values
+AFTER both sides pass through pandas, so representation differences that
+pure-Python comparison hides are driver-red.  The canonical example:
+DuckDB's windowed ``SUM(INTEGER)`` returns HUGEINT, which ``fetchdf()``
+renders as float64 (``9549.0``), while Spark returns bigint (``9549``) —
+identical values, different hash.  The old comparator collected Python
+scalars from both sides (DuckDB ``fetchall()`` gives HUGEINT as ``int``)
+and canonicalized ``int`` and integral ``Decimal`` to the same token, so
+it said "ok" where the driver said "hash_match: false".
+
+This version goes through pandas on BOTH sides (``spark_df.toPandas()``
+vs ``duck_con.execute(sql).fetchdf()``) and keeps numeric *kind* in the
+canonical token: integer-kind → ``num:``, float-kind → ``float:``,
+Decimal → ``dec:``.  A Spark int64 column vs a DuckDB HUGEINT→float64
+column now fails locally, as it does on the driver.  The fix discipline
+this enforces: cast the oracle (``CAST(... AS BIGINT)`` /
+``CAST(... AS DOUBLE)``) so both engines agree on the representation,
+never rely on value-equality across kinds.
+"""
 
 from __future__ import annotations
 
@@ -7,34 +28,68 @@ import datetime
 import decimal
 import math
 
+import numpy as np
+import pandas as pd
+
 
 def _canon_cell(v):
-    if v is None:
+    # NULL / NaT first (pd.isna on scalars only — arrays handled below).
+    if v is None or v is pd.NaT:
         return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"num:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "float:nan"
-        return f"float:{v!r}"
+        return f"float:{f!r}"
     if isinstance(v, decimal.Decimal):
-        return f"num:{v.normalize()}"
-    if isinstance(v, bool):
-        return f"bool:{v}"
-    if isinstance(v, int):
-        return f"num:{v}"
-    if isinstance(v, (datetime.datetime, datetime.date)):
+        # Deliberately distinct from int/float kinds: if one engine hands
+        # pandas a Decimal and the other an int64/float64, the driver's
+        # hash differs — so must ours.
+        return f"dec:{v.normalize()}"
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        # pandas renders a midnight datetime64 cell as date-only under
+        # .astype(str) — and the driver-green q_seed_roundtrip (Spark DATE
+        # vs DuckDB DATE→datetime64) proves the driver's hash equates the
+        # two.  Emulate: midnight, tz-naive → date token.
+        if (
+            v.tzinfo is None
+            and v.hour == 0 and v.minute == 0 and v.second == 0
+            and v.microsecond == 0
+            and getattr(v, "nanosecond", 0) == 0
+        ):
+            return f"ts:{v.date().isoformat()}"
         return f"ts:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, datetime.date):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bin:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         items = sorted((_canon_cell(k), _canon_cell(x)) for k, x in v.items())
         return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
-    if hasattr(v, "isoformat"):  # pandas.Timestamp
+    if hasattr(v, "isoformat"):  # other datetime-likes
         return f"ts:{v.isoformat()}"
     return f"{type(v).__name__}:{v}"
 
 
-def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+def _canon_frame(pdf: pd.DataFrame) -> list[tuple]:
     """Sort columns by name (as the driver does), canonicalize cells, sort rows."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    out.sort()
+    return out
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Legacy entry point (pure-Python rows).  Kept for callers that already
+    hold collected rows; same canonical tokens as the pandas path."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
     out.sort()
@@ -42,18 +97,20 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_spark_duckdb(spark_df, duck_con, sql: str) -> tuple[bool, str]:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    res = duck_con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_con.execute(sql).fetchdf()
 
+    s_cols, d_cols = list(s_pdf.columns), list(d_pdf.columns)
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    cs, cd = canonical_rows(s_cols, s_rows), canonical_rows(d_cols, d_rows)
+    if len(s_pdf) != len(d_pdf):
+        return False, f"row count mismatch: spark={len(s_pdf)} duck={len(d_pdf)}"
+    cs, cd = _canon_frame(s_pdf), _canon_frame(d_pdf)
     if cs != cd:
         diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-        return False, f"value mismatch, first diffs: {diffs}"
+        dtypes = (
+            f" spark_dtypes={dict(s_pdf.dtypes.astype(str))}"
+            f" duck_dtypes={dict(d_pdf.dtypes.astype(str))}"
+        )
+        return False, f"value mismatch, first diffs: {diffs};{dtypes}"
     return True, "ok"
