@@ -38,8 +38,16 @@ def shingles(toks: Column, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Memo of the persisted (doc_id, shingle) DataFrame per (application, corpus
+# dir, k). Registry queries share one SparkSession; without the memo every
+# dedup query re-persisted the same lineage ("Asked to cache already cached
+# data" warnings) and cache entries accumulated unboundedly (ADVICE r4).
+_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Distinct (doc_id, shingle) rows — shuffle-free shingle assembly.
+    """Distinct (doc_id, shingle) rows, persisted + memoized per
+    (application, sf_dir, k) — shuffle-free shingle assembly.
 
     The naive array-expression form is a trap: inside nested lambdas
     Catalyst inlines the ``split(text)`` argument into every element_at,
@@ -50,12 +58,40 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     the cached arrays: split once, NO shuffle anywhere before the
     downstream candidate groupBys. The earlier posexplode+window-LEAD form
     paid a full corpus shuffle+sort here; this shape drops it, and the
-    cache (MEMORY_AND_DISK, ≈ tokenized corpus size) spills rather than
+    cache (MEMORY_AND_DISK, ≈ shingled corpus size) spills rather than
     OOMs at scale.
+
+    Cache lifecycle: the token cache is a build-time scaffold — it is
+    dropped as soon as the shingle rows are materialized; only the exploded
+    shingles stay cached (exactly one entry per corpus), shared by the
+    Jaccard, MinHash, and vocabulary paths. ``release_shingle_cache``
+    frees everything for long-lived sessions.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
-    return toks_df.select("doc_id", F.explode(shingles(F.col("toks"), k)).alias("s"))
+    exploded = toks_df.select(
+        "doc_id", F.explode(shingles(F.col("toks"), k)).alias("s")
+    ).persist()
+    # Materialize now so the token scaffold can be released immediately:
+    # every caller's first action needs the full shingle set anyway.
+    exploded.count()
+    toks_df.unpersist()
+    _SHINGLE_CACHE[key] = exploded
+    return exploded
+
+
+def release_shingle_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist and forget all memoized shingle DataFrames (for the given
+    application only, if ``spark`` is passed). Call between corpora in a
+    long-lived session to release executor memory/disk."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_SHINGLE_CACHE):
+        if app is None or key[0] == app:
+            _SHINGLE_CACHE.pop(key).unpersist()
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:
@@ -161,10 +197,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split skewed join partitions. The shape (explode → equi-join → verify)
     is exactly how it runs on 1000 executors.
     """
-    # persist: the exploded shingles feed three plan branches (candidate
-    # buckets + both verify sides); without it each branch re-runs the
-    # tokenize/window pipeline. MEMORY_AND_DISK default — safe at scale.
-    exploded = doc_shingles(spark, sf_dir).persist()
+    # doc_shingles is already persisted (and memoized across queries): the
+    # exploded shingles feed three plan branches (candidate buckets + both
+    # verify sides) without re-running the tokenize pipeline.
+    exploded = doc_shingles(spark, sf_dir)
     # Bucket key = the shingle itself; cap high enough to stay exact on any
     # plausible shingle frequency (matching the uncapped oracle SQL).
     cand = pairs_from_buckets(exploded, ["s"], max_bucket=1_000_000)
@@ -234,7 +270,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-collect expansion (pairs_from_buckets), not a self-join, so the
     signature pipeline runs exactly once and hot buckets are capped.
     """
-    exploded = doc_shingles(spark, sf_dir).persist()  # shared by sig + verify branches
+    exploded = doc_shingles(spark, sf_dir)  # persisted + memoized; shared by sig + verify branches
     hashed = exploded.select("doc_id", F.xxhash64("s").alias("h"))
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(NUM_PERM)]

