@@ -2,24 +2,35 @@
 table = one parquet path.
 
 Mirrors the reference's data model exactly (reference relation.py:8-48,
-util.py:9-44, README.md:28-31) with one deliberate extension: a "table" may
-be either a single file ``name.parquet`` (reference-compatible layout,
-reference relation.py:26-32) or a directory ``name.parquet/`` of part files
-(Spark-native layout — the reference's single-file restriction is its
-acknowledged scalability ceiling, reference README.md:49).
+util.py:9-44, README.md:28-31) with two deliberate extensions:
+
+- a "table" may be either a single file ``name.parquet`` (reference-
+  compatible layout, reference relation.py:26-32) or a directory
+  ``name.parquet/`` of part files (Spark-native layout — the reference's
+  single-file restriction is its acknowledged scalability ceiling,
+  reference README.md:49);
+- the database may live on ANY pyarrow.fs-reachable filesystem, not just
+  local disk: the reference hands its ``database`` config to PyFilesystem's
+  ``open_fs`` (reference connections.py:33-37) so any FS URL works; here
+  ``fs.resolve_database`` does the same over pyarrow.fs (local, ``s3://``,
+  ``gs://``, ``hdfs://``), which is the posture 100 TB actually requires —
+  catalog listings, drops, renames and atomic publishes against object
+  storage, with Spark reading the same URLs through its Hadoop connectors.
 
 All listing here is driver-side metadata work, exactly as in the reference
-(PyFilesystem listings, no SQL) — it never touches executors.
+(PyFilesystem listings, no SQL) — it never touches executors, and each
+listing is a single non-recursive LIST call on object stores.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from .fs import CatalogFS, resolve_database
 
 DEFAULT_SCHEMA = ""  # files directly under the database root (reference util.py:13-16)
 
@@ -27,7 +38,10 @@ DEFAULT_SCHEMA = ""  # files directly under the database root (reference util.py
 @dataclass(frozen=True)
 class Relation:
     """Addressing triple, per reference relation.py:51-70: a relation is
-    simultaneously (a) a path, (b) a view name, (c) a scannable source."""
+    simultaneously (a) a path, (b) a view name, (c) a scannable source.
+
+    ``database`` is the catalog's Spark-facing root (absolute local path or
+    scheme URL), so ``path`` is directly consumable by ``spark.read``."""
 
     database: str
     schema: str
@@ -35,7 +49,7 @@ class Relation:
 
     @property
     def path(self) -> str:
-        return os.path.join(self.database, self.schema, f"{self.table}.parquet")
+        return posixpath.join(self.database, self.schema, f"{self.table}.parquet")
 
     @property
     def view_name(self) -> str:
@@ -46,19 +60,35 @@ class Relation:
 
 
 class FilesystemCatalog:
-    """Catalog over one database directory."""
+    """Catalog over one database root (local directory or FS URL)."""
 
     def __init__(self, database: str):
-        self.database = os.path.abspath(database)  # reference connections.py:33-37 resolves too
+        self.io: CatalogFS = resolve_database(database)
+        # Spark-facing root: local databases normalize to the absolute path
+        # (reference connections.py:33-37 resolves too); URL databases keep
+        # their spelling (s3 normalized to the Hadoop connector's s3a).
+        if self.io.spark_prefix is None:
+            self.database = database.rstrip("/")  # metadata-only (memory://)
+        else:
+            self.database = self.io.spark_url(self.io.root)
+
+    def fs_path(self, rel: Relation) -> str:
+        """The relation's location as a pyarrow.fs path (IO spelling)."""
+        return self.io.join(self.io.root, rel.schema, f"{rel.table}.parquet")
+
+    def exists(self, rel: Relation) -> bool:
+        return self.io.exists(self.fs_path(rel))
 
     # -- listings (reference util.py:9-44) ---------------------------------
     def list_schemas(self) -> list[str]:
         """All subdirectories plus the default ('') schema
         (reference util.py:9-18)."""
         schemas = [DEFAULT_SCHEMA]
-        for entry in sorted(os.listdir(self.database)):
-            p = os.path.join(self.database, entry)
-            if os.path.isdir(p) and not entry.endswith(".parquet"):
+        if not self.io.isdir(self.io.root):
+            return schemas
+        for entry in self.io.listdir(self.io.root):
+            p = self.io.join(self.io.root, entry)
+            if self.io.isdir(p) and not entry.endswith(".parquet") and not entry.startswith("."):
                 schemas.append(entry)
         return schemas
 
@@ -67,13 +97,14 @@ class FilesystemCatalog:
 
     def list_relations(self, schema: str = DEFAULT_SCHEMA) -> list[Relation]:
         """``blah.parquet`` (file or part-file dir) ↔ identifier ``blah``
-        (reference util.py:21-44)."""
-        d = os.path.join(self.database, schema)
-        if not os.path.isdir(d):
+        (reference util.py:21-44). Dot-prefixed entries (in-flight tmp
+        writes, aside copies from a swap) are invisible."""
+        d = self.io.join(self.io.root, schema)
+        if not self.io.isdir(d):
             return []
         rels = []
-        for entry in sorted(os.listdir(d)):
-            if entry.endswith(".parquet"):
+        for entry in self.io.listdir(d):
+            if entry.endswith(".parquet") and not entry.startswith("."):
                 rels.append(Relation(self.database, schema, entry[: -len(".parquet")]))
         return rels
 
@@ -82,31 +113,35 @@ class FilesystemCatalog:
 
     # -- DDL as file ops (reference impl.py:59-149) ------------------------
     def create_schema(self, schema: str) -> None:
-        os.makedirs(os.path.join(self.database, schema), exist_ok=True)
+        self.io.makedirs(self.io.join(self.io.root, schema))
 
     def drop_schema(self, schema: str) -> None:
-        """rmtree — but refuse the default schema: the reference would wipe
-        the database root here (reference impl.py:142-147; SURVEY §4 wart)."""
+        """Recursive delete — but refuse the default schema: the reference
+        would wipe the database root here (reference impl.py:142-147;
+        SURVEY §4 wart)."""
         if schema == DEFAULT_SCHEMA:
             raise ValueError("refusing to drop the default schema (= database root)")
-        shutil.rmtree(os.path.join(self.database, schema), ignore_errors=True)
+        try:
+            self.io.rmtree(self.io.join(self.io.root, schema))
+        except FileNotFoundError:
+            pass
 
     def drop_relation(self, rel: Relation, spark: SparkSession | None = None) -> None:
         """Idempotent delete (reference impl.py:59-68)."""
-        if os.path.isdir(rel.path):
-            shutil.rmtree(rel.path)
-        elif os.path.exists(rel.path):
-            os.remove(rel.path)
+        self.io.remove_any(self.fs_path(rel))
         if spark is not None:
             spark.catalog.dropTempView(rel.view_name)
 
     def rename_relation(self, src: Relation, dst: Relation, spark: SparkSession | None = None) -> None:
         """File move + view re-registration (reference impl.py:75-85) — the
-        atomic-publish building block for write-then-swap materialization."""
-        os.makedirs(os.path.dirname(dst.path), exist_ok=True)
-        if os.path.exists(dst.path):
+        atomic-publish building block for write-then-swap materialization.
+        (Atomic on local/HDFS renames; copy+delete on object stores — see
+        materialize._swap_into_place for ordering.)"""
+        dst_path = self.fs_path(dst)
+        self.io.makedirs(posixpath.dirname(dst_path))
+        if self.io.exists(dst_path):
             self.drop_relation(dst, spark)
-        os.rename(src.path, dst.path)
+        self.io.rename(self.fs_path(src), dst_path)
         if spark is not None:
             spark.catalog.dropTempView(src.view_name)
             self.register_view(spark, dst)
@@ -170,25 +205,31 @@ class FilesystemCatalog:
         metadata reads, no Spark job, so generating docs over a 100 TB lake
         costs one footer read per table, not a scan.
         """
-        import glob
         import json
 
         import pyarrow.parquet as pq
 
-        def footer_stats(path: str) -> tuple[int, int]:
-            files = (
-                sorted(glob.glob(os.path.join(path, "*.parquet")))
-                if os.path.isdir(path)
-                else [path]
-            )
-            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            nbytes = sum(os.path.getsize(f) for f in files)
+        def footer_stats(fs_path: str) -> tuple[int, int]:
+            if self.io.isdir(fs_path):
+                files = [
+                    self.io.join(fs_path, e)
+                    for e in self.io.listdir(fs_path)
+                    if e.endswith(".parquet")
+                ]
+            else:
+                files = [fs_path]
+            rows = 0
+            nbytes = 0
+            for f in files:
+                with self.io.open_input(f) as fh:
+                    rows += pq.ParquetFile(fh).metadata.num_rows
+                nbytes += self.io.getsize(f)
             return rows, nbytes
 
         nodes: dict = {}
         for schema in self.list_schemas():
             for rel in self.list_relations(schema):
-                n_rows, n_bytes = footer_stats(rel.path)
+                n_rows, n_bytes = footer_stats(self.fs_path(rel))
                 columns = {
                     fld.name: {
                         "type": fld.dataType.simpleString(),

@@ -1,0 +1,155 @@
+"""Filesystem abstraction for the catalog/materialize layer.
+
+The reference abstracts its catalog filesystem via PyFilesystem — the
+``database`` config is an FS URL handed to ``open_fs`` (reference
+connections.py:33-37), so its catalog works over any backend PyFilesystem
+speaks. This is the Spark-side analog, built on the public ``pyarrow.fs``
+API (local, ``s3://``, ``gs://``, ``hdfs://`` — whatever pyarrow was built
+with), so listing / drop / rename / atomic-publish work on object storage,
+matching the 100 TB posture where data lives on a lake, not a local disk.
+
+Two spellings per location:
+
+- the **fs path**: what ``pyarrow.fs.FileSystem`` methods take (for S3 this
+  is ``bucket/db/t.parquet`` — no scheme);
+- the **Spark URL**: what ``spark.read`` takes (``s3a://bucket/db/...``).
+
+``CatalogFS`` owns both: IO methods take fs paths, ``spark_url`` converts.
+Only the database ROOT is ever parsed; everything below it is plain
+``/``-joined, so the mapping cannot drift mid-tree.
+
+``memory://`` maps to pyarrow's in-process mock filesystem (one shared
+instance per process) — metadata-only (Spark cannot read it), used to test
+the abstraction without network; any real deployment uses a scheme Spark's
+Hadoop connectors also speak.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+import pyarrow.fs as pafs
+
+# One shared in-memory FS per process: pyarrow's _MockFileSystem stores per
+# instance, so resolve("memory://...") must hand every caller the same one.
+_MEMORY_FS: pafs.FileSystem | None = None
+
+
+def _memory_fs() -> pafs.FileSystem:
+    global _MEMORY_FS
+    if _MEMORY_FS is None:
+        _MEMORY_FS = pafs._MockFileSystem()
+    return _MEMORY_FS
+
+
+@dataclass
+class CatalogFS:
+    """pyarrow.fs-backed IO for one database root.
+
+    ``root`` is the database root as an fs path; ``spark_prefix`` prepended
+    to an fs path yields the Spark-readable URL (empty for local paths,
+    ``None`` when the backend is not Spark-readable, e.g. ``memory://``).
+    """
+
+    fs: pafs.FileSystem
+    root: str
+    spark_prefix: str | None = ""
+
+    # -- path algebra -------------------------------------------------------
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*[p for p in parts if p != ""])
+
+    def spark_url(self, fs_path: str) -> str:
+        if self.spark_prefix is None:
+            raise ValueError(
+                "this filesystem backend is metadata-only (not Spark-readable); "
+                "use a local path, s3://, gs:// or hdfs:// database"
+            )
+        return self.spark_prefix + fs_path
+
+    # -- IO (all take fs paths) --------------------------------------------
+    def _info(self, path: str) -> pafs.FileInfo:
+        return self.fs.get_file_info(path)
+
+    def exists(self, path: str) -> bool:
+        return self._info(path).type != pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        return self._info(path).type == pafs.FileType.Directory
+
+    def isfile(self, path: str) -> bool:
+        return self._info(path).type == pafs.FileType.File
+
+    def listdir(self, path: str) -> list[str]:
+        """Base names of the directory's entries, sorted (one LIST call on
+        object stores — never a recursive walk)."""
+        sel = pafs.FileSelector(path, recursive=False)
+        return sorted(posixpath.basename(i.path) for i in self.fs.get_file_info(sel))
+
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def rmtree(self, path: str) -> None:
+        self.fs.delete_dir(path)
+
+    def remove_any(self, path: str) -> None:
+        """Idempotent file-or-directory delete."""
+        t = self._info(path).type
+        if t == pafs.FileType.Directory:
+            self.fs.delete_dir(path)
+        elif t != pafs.FileType.NotFound:
+            self.fs.delete_file(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move src to dst. Atomic on local/HDFS (a rename); on object
+        stores pyarrow implements move as copy+delete — see
+        ``materialize._swap_into_place`` for the publish-ordering story."""
+        self.fs.move(src, dst)
+
+    def getsize(self, path: str) -> int:
+        return self._info(path).size or 0
+
+    def open_input(self, path: str):
+        return self.fs.open_input_file(path)
+
+    def open_output(self, path: str):
+        return self.fs.open_output_stream(path)
+
+
+def resolve_database(database: str) -> CatalogFS:
+    """Map a database string (plain path or FS URL) to a CatalogFS.
+
+    - plain path / ``file://`` → LocalFileSystem on the absolute path
+      (Spark reads the same path directly);
+    - ``memory://`` → shared in-process mock FS, metadata-only;
+    - ``s3://``/``s3a://`` → pyarrow S3; Spark URL spelled ``s3a://`` (the
+      Hadoop S3 connector scheme);
+    - anything else (``gs://``, ``hdfs://host:port/...``) → whatever
+      ``pyarrow.fs.FileSystem.from_uri`` yields, Spark URL keeping the
+      original scheme+authority.
+    """
+    parsed = urlparse(database)
+    if parsed.scheme in ("", "file"):
+        root = os.path.abspath(parsed.path if parsed.scheme == "file" else database)
+        return CatalogFS(pafs.LocalFileSystem(), root, spark_prefix="")
+    if parsed.scheme == "memory":
+        root = (parsed.netloc + parsed.path).strip("/")
+        fs = _memory_fs()
+        fs.create_dir(root, recursive=True)
+        return CatalogFS(fs, root, spark_prefix=None)
+    if parsed.scheme in ("s3", "s3a"):
+        uri = "s3://" + database.split("://", 1)[1]
+        fs, root = pafs.FileSystem.from_uri(uri)
+        return CatalogFS(fs, root, spark_prefix="s3a://")
+    fs, root = pafs.FileSystem.from_uri(database)
+    # Reconstruct spark URLs with the original scheme+authority; from_uri
+    # keeps bucket-in-path schemes' (gs) bucket inside root, while
+    # authority-ful schemes (hdfs) drop host:port into the FS object.
+    if parsed.netloc and not root.startswith(parsed.netloc):
+        prefix = f"{parsed.scheme}://{parsed.netloc}"
+    else:
+        prefix = f"{parsed.scheme}://"
+    return CatalogFS(fs, root, spark_prefix=prefix)

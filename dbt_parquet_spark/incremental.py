@@ -14,8 +14,6 @@ between reprocessing a day and reprocessing a lake:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import FilesystemCatalog, Relation
@@ -28,7 +26,7 @@ def incremental_append(
 ) -> DataFrame:
     """Append-only incremental load. Scale: writes ONLY the delta (new part
     files in the table directory) — never reads or rewrites history."""
-    if not os.path.exists(rel.path):
+    if not catalog.exists(rel):
         return create_table_as(spark, catalog, rel, delta, single_file=False)
     delta.write.mode("append").parquet(rel.path)
     return catalog.register_view(spark, rel)
@@ -51,7 +49,7 @@ def incremental_merge(
     correct primitive on plain parquet, and partition-scoped merges bound
     the rewrite to affected partitions.
     """
-    if not os.path.exists(rel.path):
+    if not catalog.exists(rel):
         return create_table_as(spark, catalog, rel, delta, single_file=False)
     old = read_parquet(spark, rel.path)
     kept = old.join(delta.select(*unique_key).distinct(), unique_key, "left_anti")

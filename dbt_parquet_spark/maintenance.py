@@ -1,11 +1,13 @@
 """Table maintenance — the operational jobs a 100 TB parquet lake needs that
 the reference's single-file model never confronts: small-file compaction and
 footer-based statistics.
+
+All filesystem access goes through the catalog's ``CatalogFS`` (pyarrow.fs),
+so stats and compaction sizing work identically on local disk and object
+storage.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -31,19 +33,23 @@ def compact(
     computed from actual on-disk size; the rewrite republishes atomically
     (write-to-temp + rename) so readers never see a half-compacted table.
     """
-    size = _path_bytes(rel.path)
+    size = _path_bytes(catalog, rel)
     n_files = max(1, round(size / target_file_bytes))
     df = read_parquet(spark, rel.path).repartition(n_files)
     return create_table_as(spark, catalog, rel, df, single_file=False)
 
 
-def _path_bytes(path: str) -> int:
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+def _table_files(catalog: FilesystemCatalog, rel: Relation) -> list[str]:
+    """The relation's parquet data files, as fs paths (single file or the
+    part files of a directory table)."""
+    io, fs_path = catalog.io, catalog.fs_path(rel)
+    if io.isdir(fs_path):
+        return [io.join(fs_path, f) for f in io.listdir(fs_path) if f.endswith(".parquet")]
+    return [fs_path]
+
+
+def _path_bytes(catalog: FilesystemCatalog, rel: Relation) -> int:
+    return sum(catalog.io.getsize(f) for f in _table_files(catalog, rel))
 
 
 STATS_SCHEMA = T.StructType(
@@ -66,24 +72,17 @@ def table_stats(spark: SparkSession, catalog: FilesystemCatalog) -> DataFrame:
     the reference's catalog macro (reference macros/catalog.sql:1-36)."""
     import pyarrow.parquet as pq
 
+    io = catalog.io
     rows = []
     for schema in catalog.list_schemas():
         for rel in catalog.list_relations(schema):
-            files = (
-                [rel.path]
-                if os.path.isfile(rel.path)
-                else [
-                    os.path.join(rel.path, f)
-                    for f in sorted(os.listdir(rel.path))
-                    if f.endswith(".parquet")
-                ]
-            )
-            n_rows = n_groups = 0
+            files = _table_files(catalog, rel)
+            n_rows = n_groups = total = 0
             for f in files:
-                md = pq.read_metadata(f)
+                with io.open_input(f) as fh:
+                    md = pq.ParquetFile(fh).metadata
                 n_rows += md.num_rows
                 n_groups += md.num_row_groups
-            rows.append(
-                (schema, rel.table, n_rows, len(files), _path_bytes(rel.path), n_groups)
-            )
+                total += io.getsize(f)
+            rows.append((schema, rel.table, n_rows, len(files), total, n_groups))
     return spark.createDataFrame(rows, STATS_SCHEMA)

@@ -11,46 +11,55 @@ Two layouts:
 - ``single_file=False`` — Spark-native (default): ``table.parquet/`` is a
   directory of part files written by all executors in parallel. This is the
   100 TB path; readers address it identically.
+
+All file manipulation goes through the catalog's ``CatalogFS`` (pyarrow.fs),
+so the same publish sequence runs against local disk, HDFS, or object
+storage — matching the reference's PyFilesystem posture (reference
+connections.py:33-37). Spark itself writes via its Hadoop connectors to the
+``spark_url`` spelling of the same location.
 """
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
+import posixpath
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import FilesystemCatalog, Relation
+from .fs import CatalogFS
 
 
-def _swap_into_place(src: str, dest: str) -> None:
-    """Publish src at dest without a moment where NEITHER version exists:
-    move the old version aside, rename src into place, then delete the
-    aside copy. A crash mid-sequence leaves either the old or the new
+def _swap_into_place(io: CatalogFS, src: str, dest: str) -> None:
+    """Publish src at dest (fs paths) without a moment where NEITHER version
+    exists: move the old version aside, rename src into place, then delete
+    the aside copy. A crash mid-sequence leaves either the old or the new
     version addressable (the aside copy is recoverable by name), never a
     missing table — the write-then-swap guarantee the reference's rename
-    pattern implies (reference impl.py:75-85)."""
+    pattern implies (reference impl.py:75-85).
+
+    On local/HDFS both moves are atomic renames. On object stores a "move"
+    is copy+delete, so the swap is not instantaneous — the ordering still
+    guarantees a readable version at every step, but for serving tables on
+    S3 prefer a manifest/table-format layer on top."""
     aside = None
-    if os.path.exists(dest):
-        aside = os.path.join(
-            os.path.dirname(dest), f".old_{os.path.basename(dest)}_{uuid.uuid4().hex[:8]}"
-        )
-        os.rename(dest, aside)
-    os.rename(src, dest)
+    if io.exists(dest):
+        aside = io.join(posixpath.dirname(dest), f".old_{posixpath.basename(dest)}_{uuid.uuid4().hex[:8]}")
+        io.rename(dest, aside)
+    io.rename(src, dest)
     if aside is not None:
-        if os.path.isdir(aside):
-            shutil.rmtree(aside)
-        else:
-            os.remove(aside)
+        io.remove_any(aside)
 
 
-def _publish_single_file(tmp_dir: str, dest: str) -> None:
-    parts = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+def _publish_single_file(io: CatalogFS, tmp_dir: str, dest: str) -> None:
+    parts = [
+        io.join(tmp_dir, e)
+        for e in io.listdir(tmp_dir)
+        if e.startswith("part-") and e.endswith(".parquet")
+    ]
     assert len(parts) == 1, f"expected one part file, got {parts}"
-    _swap_into_place(parts[0], dest)
-    shutil.rmtree(tmp_dir)
+    _swap_into_place(io, parts[0], dest)
+    io.rmtree(tmp_dir)
 
 
 def create_table_as(
@@ -65,15 +74,19 @@ def create_table_as(
     register view. Writes go to a temp name then swap (atomic publish per
     reference impl.py:75-85 rename pattern) so a failed write never clobbers
     the previous table version."""
+    io = catalog.io
     df = spark.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
-    os.makedirs(os.path.dirname(rel.path), exist_ok=True)
-    tmp = os.path.join(os.path.dirname(rel.path), f".tmp_{rel.table}_{uuid.uuid4().hex[:8]}")
+    fs_dest = catalog.fs_path(rel)
+    parent = posixpath.dirname(fs_dest)
+    io.makedirs(parent)
+    fs_tmp = io.join(parent, f".tmp_{rel.table}_{uuid.uuid4().hex[:8]}")
+    spark_tmp = io.spark_url(fs_tmp)  # raises on metadata-only FS (memory://)
     if single_file:
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _publish_single_file(tmp, rel.path)
+        df.coalesce(1).write.mode("overwrite").parquet(spark_tmp)
+        _publish_single_file(io, fs_tmp, fs_dest)
     else:
-        df.write.mode("overwrite").parquet(tmp)
-        _swap_into_place(tmp, rel.path)
+        df.write.mode("overwrite").parquet(spark_tmp)
+        _swap_into_place(io, fs_tmp, fs_dest)
     if register:
         return catalog.register_view(spark, rel)
     return spark.read.parquet(rel.path)

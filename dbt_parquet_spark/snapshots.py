@@ -45,12 +45,10 @@ def snapshot(
     versions (valid_to set) pass through untouched — with the history
     partitioned by validity status only the current slice is read.
     """
-    import os
-
     ts = F.lit(as_of).cast("timestamp")
     src = _hashed(source, key, tracked)
 
-    if not os.path.exists(rel.path):
+    if not catalog.exists(rel):
         first = src.select(
             key, *tracked, "_content_hash", ts.alias(VALID_FROM), F.lit(None).cast("timestamp").alias(VALID_TO)
         )

@@ -209,3 +209,97 @@ def test_docs_artifact_shape(spark, tmp_path):
     assert node["stats"]["num_rows"]["value"] == 3
     with open(out) as fh:
         assert json.load(fh) == artifact
+
+
+# -- second filesystem scheme: the catalog layer must work off local disk ----
+# (reference posture: `database` is any PyFilesystem URL, connections.py:33-37;
+# here: any pyarrow.fs URL. memory:// is pyarrow's in-process FS — Spark can't
+# read it, so these tests cover the metadata surface: listing, DDL, rename,
+# atomic publish — the ops VERDICT r4 flagged as hard-bound to os/shutil.)
+
+import uuid as _uuid
+
+import pyarrow as _pa
+import pyarrow.parquet as _pq
+
+
+def _mem_catalog():
+    return FilesystemCatalog(f"memory://db_{_uuid.uuid4().hex[:8]}")
+
+
+def _write_table(cat, rel, n=3):
+    with cat.io.open_output(cat.fs_path(rel)) as f:
+        _pq.write_table(_pa.table({"x": list(range(n))}), f)
+
+
+@pytest.fixture(params=["local", "memory"])
+def any_db(request, tmp_path):
+    if request.param == "local":
+        return FilesystemCatalog(str(tmp_path))
+    return _mem_catalog()
+
+
+def test_schema_listing_roundtrip_any_fs(any_db):
+    assert any_db.list_schemas() == [""]
+    any_db.create_schema("my_schema")
+    assert any_db.list_schemas() == ["", "my_schema"]
+    assert any_db.schema_exists("my_schema")
+    any_db.drop_schema("my_schema")
+    assert any_db.list_schemas() == [""]
+    any_db.drop_schema("never_existed")  # idempotent on any fs
+
+
+def test_relation_listing_rename_drop_any_fs(any_db):
+    cat = any_db
+    cat.create_schema("s")
+    a, b = cat.relation("a", "s"), cat.relation("b", "s")
+    _write_table(cat, a)
+    assert [r.table for r in cat.list_relations("s")] == ["a"]
+    assert cat.exists(a) and not cat.exists(b)
+    cat.rename_relation(a, b)
+    assert [r.table for r in cat.list_relations("s")] == ["b"]
+    assert not cat.exists(a) and cat.exists(b)
+    cat.drop_relation(b)
+    cat.drop_relation(b)  # idempotent (reference impl.py:59-68)
+    assert cat.list_relations("s") == []
+
+
+def test_hidden_entries_invisible_any_fs(any_db):
+    cat = any_db
+    _write_table(cat, cat.relation("real"))
+    _write_table(cat, cat.relation(".tmp_real_abc123"))
+    _write_table(cat, cat.relation(".old_real_def456"))
+    assert [r.table for r in cat.list_relations("")] == ["real"]
+
+
+def test_swap_publish_any_fs(any_db):
+    """The write-then-swap sequence must run through CatalogFS alone: old
+    version aside, new into place, aside removed — file content proves which
+    version is live."""
+    from dbt_parquet_spark.materialize import _swap_into_place
+
+    cat = any_db
+    dest_rel, tmp_rel = cat.relation("t"), cat.relation(".tmp_t_1")
+    _write_table(cat, dest_rel, n=3)
+    _write_table(cat, tmp_rel, n=7)
+    _swap_into_place(cat.io, cat.fs_path(tmp_rel), cat.fs_path(dest_rel))
+    with cat.io.open_input(cat.fs_path(dest_rel)) as f:
+        assert _pq.ParquetFile(f).metadata.num_rows == 7
+    assert [r.table for r in cat.list_relations("")] == ["t"]  # no aside/tmp
+
+
+def test_memory_fs_is_metadata_only(spark):
+    """CTAS against a non-Spark-readable backend must fail with a clear
+    error, not corrupt anything."""
+    cat = _mem_catalog()
+    with pytest.raises(ValueError, match="metadata-only"):
+        create_table_as(spark, cat, cat.relation("t"), spark.range(3))
+
+
+def test_memory_fs_shared_across_instances():
+    """Two catalogs on the same memory database must see the same store
+    (pyarrow mock FS is per-instance; resolve_database must share one)."""
+    name = f"memory://shared_{_uuid.uuid4().hex[:8]}"
+    c1, c2 = FilesystemCatalog(name), FilesystemCatalog(name)
+    _write_table(c1, c1.relation("t"))
+    assert [r.table for r in c2.list_relations("")] == ["t"]
