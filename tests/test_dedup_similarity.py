@@ -72,3 +72,65 @@ def test_blocked_cosine_dedup_subset_of_exact(spark):
     # clustered corpora with cos>=0.95 near-dups it is ~0.96). Floor it so a
     # blocking regression (e.g. wrong chunk math) fails loudly.
     assert len(blocked) / len(exact) >= 0.05
+
+
+def test_neardup_bits_pin_and_scaling(spark):
+    """(a) The static ORACLE_BITS must equal what the driver's sf0.01
+    corpus resolves to — if the testdata is ever regenerated at a different
+    size, this surfaces the oracle/runtime divergence locally. (b) At the
+    bigger corpus the auto-scaled width must hold the per-doc candidate
+    rate non-increasing (the whole point of scaling bits with log2 N —
+    fixed bits measured ~linear growth in r4's sweep)."""
+    from dbt_parquet_spark.operators.similarity import (
+        ORACLE_BITS,
+        blocked_candidates,
+        neardup_chunk_bits,
+    )
+    from dbt_parquet_spark.sources.readers import load_table
+
+    n_small = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert neardup_chunk_bits(n_small) == ORACLE_BITS
+
+    sf_big = "/root/testdata/sf0.1"
+    n_big = load_table(spark, sf_big, "embeddings").count()
+    bits_big = neardup_chunk_bits(n_big)
+    assert bits_big > ORACLE_BITS  # 2000 vectors -> wider chunks
+
+    rate_small = blocked_candidates(spark, SF_ORACLE).count() / n_small
+    rate_big = blocked_candidates(spark, sf_big).count() / n_big
+    assert rate_big <= rate_small * 1.1, (
+        f"per-doc candidate rate grew: {rate_small:.2f} -> {rate_big:.2f}"
+    )
+
+
+def test_blocked_dedup_oracle_parity_at_scaled_bits(spark):
+    """The Spark plan and the regenerated oracle SQL must agree at a corpus
+    size where the auto-scaled width differs from ORACLE_BITS — proving the
+    'both sides generated from the same bits' property holds off the
+    driver's scale, not just at it."""
+    import duckdb
+
+    from dbt_parquet_spark.operators.similarity import (
+        blocked_cosine_pairs_sql,
+        neardup_chunk_bits,
+        q_embedding_cosine_dedup,
+    )
+    from dbt_parquet_spark.sources.readers import load_table, table_path
+
+    from .oracle_utils import compare_spark_duckdb
+
+    sf_big = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"parquet_scan('{table_path(sf_big, 'embeddings')}')"
+    )
+    bits = neardup_chunk_bits(load_table(spark, sf_big, "embeddings").count())
+    sql = f"""
+    WITH {blocked_cosine_pairs_sql(bits)}
+    SELECT d1, d2 FROM cos_pairs
+    """
+    ok, msg = compare_spark_duckdb(
+        q_embedding_cosine_dedup(spark, sf_big).select("d1", "d2"), con, sql
+    )
+    assert ok, msg
