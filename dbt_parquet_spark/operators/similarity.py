@@ -93,21 +93,42 @@ NEARDUP_CHUNKS = 4
 # linearly with N (the r4 10× sweep measured ~10.7× candidates). Holding
 # occupancy ≈ N/2^bits constant means bits = ceil(log2 N) - const:
 NEARDUP_MIN_BITS = 8  # floor: keeps the sf0.01 oracle check non-vacuous
-NEARDUP_MAX_BITS = 16  # ceiling: 4 chunks × 16 sign dims = all 64 dims
+# Up to 16 bits/chunk (4 × 16 = 64) the sign bits are raw embedding dims;
+# beyond that _sign_chunks switches to seeded random-hyperplane signs (the
+# q_ann_lsh construction) — same equi-join shape, unbounded width. 24 bits
+# covers ~2^25 ≈ 33M vectors at occupancy ≈2; raise if your corpus is bigger.
+NEARDUP_MAX_BITS = 24
+EMBED_DIM = 64
+NEARDUP_SEED = 9173  # hyperplane seed — part of the operator's identity
 _OCCUPANCY_LOG2 = 1  # target ≈2 vectors per bucket
 
 
 def neardup_chunk_bits(n_vectors: int) -> int:
     """Sign bits per chunk for a corpus of n vectors: ceil(log2 n) - 1,
-    clamped to [8, 16] — per-bucket occupancy (≈ n/2^bits ∈ (1, 2]) and with
+    clamped to [8, 24] — per-bucket occupancy (≈ n/2^bits ∈ (1, 2]) and with
     it expected candidates PER DOC (≈ chunks·n/2^(bits+1)) stay constant as
-    the corpus grows, instead of growing linearly. Beyond 16 bits (n ≫ 2^17,
-    all 64 raw dims consumed) swap raw-dim signs for seeded random-hyperplane
-    signs — same join shape, unbounded bits (the q_ann_lsh construction)."""
+    the corpus grows, instead of growing linearly."""
     import math
 
     bits = math.ceil(math.log2(max(n_vectors, 2))) - _OCCUPANCY_LOG2
     return min(NEARDUP_MAX_BITS, max(NEARDUP_MIN_BITS, bits))
+
+
+def _use_planes(bits: int, dim: int = EMBED_DIM) -> bool:
+    return NEARDUP_CHUNKS * bits > dim
+
+
+def _neardup_planes(bits: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """chunks·bits deterministic hyperplanes (seed-sequence per plane index,
+    so plane i is identical regardless of how many planes exist). Driver-side
+    constants — a few KB broadcast as literals at any data scale, and
+    reproducible in the oracle SQL as the same decimal literals."""
+    import numpy as np
+
+    return [
+        np.random.default_rng([NEARDUP_SEED, i]).standard_normal(dim).tolist()
+        for i in range(NEARDUP_CHUNKS * bits)
+    ]
 
 
 # The REGISTERED oracle is a static string, so it is generated at the bit
@@ -124,22 +145,48 @@ BLOCKED_COSINE_THRESHOLD = 0.35
 
 
 def _sign_chunks(col, bits: int):
-    """Spark chunk values: chunk c = Σ_j [embedding[c·bits+j] > 0]·2^j."""
+    """Spark chunk values. Raw-dim mode (chunks·bits ≤ dim):
+    chunk c = Σ_j [embedding[c·bits+j] > 0]·2^j. Hyperplane mode (wider):
+    bit (c,j) = [dot(embedding, plane_{c·bits+j}) > 0] — the sequential-fold
+    ``dot`` is bit-identical to the oracle's list_sum/list_transform, so
+    both modes stay oracle-replicable."""
+    if not _use_planes(bits):
+        out = []
+        for c in range(NEARDUP_CHUNKS):
+            val = F.lit(0)
+            for j in range(bits):
+                idx = c * bits + j + 1  # 1-based, matching DuckDB
+                val = val + F.when(F.element_at(col, idx) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            out.append(val)
+        return out
+    planes = _neardup_planes(bits)
     out = []
     for c in range(NEARDUP_CHUNKS):
         val = F.lit(0)
         for j in range(bits):
-            idx = c * bits + j + 1  # 1-based, matching DuckDB
-            val = val + F.when(F.element_at(col, idx) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            p = planes[c * bits + j]
+            proj = dot(col, F.array(*[F.lit(float(x)) for x in p]))
+            val = val + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         out.append(val)
     return out
 
 
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
 def _duck_sign_chunk(col: str, c: int, bits: int) -> str:
-    terms = [
-        f"(CASE WHEN {col}[{c * bits + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(bits)
-    ]
+    if not _use_planes(bits):
+        terms = [
+            f"(CASE WHEN {col}[{c * bits + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+    planes = _neardup_planes(bits)
+    terms = []
+    for j in range(bits):
+        proj = _DOT.format(a=col, b=_plane_literal(planes[c * bits + j]))
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -169,6 +216,20 @@ def blocked_cosine_pairs_sql(bits: int) -> str:
 # q_embedding_cosine_dedup oracle below and by the embedding-cluster
 # components oracle (operators/graph.py), which closes over these edges.
 BLOCKED_COSINE_PAIRS_CTES = blocked_cosine_pairs_sql(ORACLE_BITS)
+
+
+def sign_chunk_values(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """(vec_id, c0..c3) — every vector's chunk values at the given width.
+    Exposed so tests can check Spark↔DuckDB chunk parity in BOTH modes
+    (raw-dim and hyperplane) by value, independent of whether buckets
+    collide at test scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    chunks = _sign_chunks(F.col("embedding"), bits)
+    return emb.select("vec_id", *[chunks[c].alias(f"c{c}") for c in range(NEARDUP_CHUNKS)])
+
+
+def sign_chunk_values_sql(bits: int) -> str:
+    return f"SELECT vec_id, {_duck_chunk_defs(bits)} FROM embeddings"
 
 
 def blocked_candidates(spark: SparkSession, sf_dir: str, bits: int | None = None) -> DataFrame:

@@ -134,3 +134,31 @@ def test_blocked_dedup_oracle_parity_at_scaled_bits(spark):
         q_embedding_cosine_dedup(spark, sf_big).select("d1", "d2"), con, sql
     )
     assert ok, msg
+
+
+def test_sign_chunk_parity_both_modes(spark):
+    """Chunk values must match DuckDB bit-for-bit in raw-dim mode (bits=8)
+    AND hyperplane mode (bits=17 > 64/4 raw-dim ceiling) — value-level
+    parity, meaningful even where 2^17 buckets can't collide at test
+    scale. The hyperplane fold uses the same sequential-double dot the
+    cosine oracle already proves bit-identical."""
+    import duckdb
+
+    from dbt_parquet_spark.operators.similarity import (
+        sign_chunk_values,
+        sign_chunk_values_sql,
+    )
+    from dbt_parquet_spark.sources.readers import table_path
+
+    from .oracle_utils import compare_spark_duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"parquet_scan('{table_path(SF_ORACLE, 'embeddings')}')"
+    )
+    for bits in (8, 17):
+        ok, msg = compare_spark_duckdb(
+            sign_chunk_values(spark, SF_ORACLE, bits), con, sign_chunk_values_sql(bits)
+        )
+        assert ok, f"bits={bits}: {msg}"

@@ -72,3 +72,58 @@ def test_stream_to_table_materializes(spark, db, tmp_path):
     want = read_parquet(spark, os.path.join(SF_SMALL, "events.parquet"))
     assert out.count() == want.count()
     assert relations_equal(want, out)
+
+
+def test_cluster_by_makes_row_groups_selective(spark, tmp_path):
+    """After cluster_by(key), a point predicate on the key should touch few
+    row groups (footer min/max excludes the rest); before, arrival-order
+    row groups all span the key domain. Also: same rows, atomic republish."""
+    from dbt_parquet_spark.maintenance import cluster_by, row_group_stats
+
+    cat = FilesystemCatalog(str(tmp_path))
+    rel = cat.relation("events_like")
+    # arrival-order data: key cycles, so every row group spans [0, 50)
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 50).alias("user_id"),
+            F.col("id").alias("event_id"),
+            (F.rand(7) * 100).alias("value"),
+        )
+        .repartition(8)
+    )
+    create_table_as(spark, cat, rel, df, single_file=False)
+    # content fingerprint BEFORE the rewrite (the lazy DataFrame would read
+    # the swapped-away files after cluster_by republishes)
+    before_fp = (
+        read_parquet(spark, rel.path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("user_id", "event_id", "value").cast("long")).alias("h"),
+        )
+        .collect()[0]
+    )
+
+    def touched(point):
+        return sum(
+            1
+            for _, _, lo, hi in row_group_stats(cat, rel, "user_id")
+            if lo is not None and lo <= point <= hi
+        )
+
+    groups_before = len(row_group_stats(cat, rel, "user_id"))
+    touched_before = touched(25)
+    assert touched_before == groups_before  # arrival order: no skipping at all
+
+    clustered = cluster_by(spark, cat, rel, ["user_id"], target_file_bytes=64 * 1024)
+    after_fp = clustered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("user_id", "event_id", "value").cast("long")).alias("h"),
+    ).collect()[0]
+    assert (before_fp.n, before_fp.h) == (after_fp.n, after_fp.h)  # content preserved
+    stats = row_group_stats(cat, rel, "user_id")
+    assert len(stats) > 1  # multiple groups, else skipping is vacuous
+    # clustered: a point predicate touches a small fraction of row groups
+    assert touched(25) <= max(1, len(stats) // 4), (
+        f"clustering not selective: {touched(25)}/{len(stats)} groups contain key 25"
+    )
