@@ -130,3 +130,20 @@ def test_components_rounds_have_leaf_plans(spark):
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_blocked_candidates_equi_join_in_hyperplane_mode(spark):
+    """Round-5 gate: at hyperplane widths (bits > 16, corpus beyond the
+    raw-dim ceiling) the candidate generator must still be a posting-key
+    equi-join — the projections are map-side expressions, never a reason
+    for a nested-loop/cartesian shape."""
+    from dbt_parquet_spark.operators.similarity import blocked_candidates
+
+    plan = (
+        blocked_candidates(spark, SF_ORACLE, bits=17)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
