@@ -39,12 +39,38 @@ def compact(
     return create_table_as(spark, catalog, rel, df, single_file=False)
 
 
+def zorder_key(cols: list[str], bits_per_col: int = 16):
+    """Bit-interleaved (Morton) key over integer columns — the multi-key
+    clustering order. Sorting by column A then B gives B no locality at
+    all; sorting by the interleaved key gives EVERY key column row-group
+    locality simultaneously (each column contributes alternating bits, so
+    nearby z-values agree on the high bits of all columns). Pure column
+    expressions (shifts/masks) — map-side, codegen'd, no UDF.
+
+    Columns are masked to ``bits_per_col`` low bits (16 default → 64k
+    distinct cluster cells per column; raise for finer keys). For
+    non-integer keys, hash or bucketize to ints first.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for j in range(bits_per_col):
+            bit = F.shiftright(v, j).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseXOR(  # disjoint target bits → XOR == OR
+                F.shiftleft(bit, j * len(cols) + ci)
+            )
+    return key
+
+
 def cluster_by(
     spark: SparkSession,
     catalog: FilesystemCatalog,
     rel: Relation,
     cols: list[str],
     target_file_bytes: int = TARGET_FILE_BYTES,
+    zorder: bool = False,
 ) -> DataFrame:
     """Rewrite a table range-partitioned AND sorted by ``cols`` so parquet
     row-group min/max statistics become selective — the sort-based data-
@@ -62,10 +88,25 @@ def cluster_by(
     exchange on a sampled key distribution), sortWithinPartitions orders
     within each file so row groups inside a file are disjoint too. Atomic
     republish via the standard write-then-swap.
+
+    ``zorder=True`` clusters on the bit-interleaved ``zorder_key(cols)``
+    instead of the lexicographic (col1, col2, …) order: lexicographic
+    clustering makes only the FIRST column selective; z-order gives every
+    listed column simultaneous row-group locality (Delta/Iceberg
+    OPTIMIZE ZORDER semantics on plain parquet).
     """
     size = _path_bytes(catalog, rel)
     n_files = max(1, round(size / target_file_bytes))
-    df = read_parquet(spark, rel.path).repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    df = read_parquet(spark, rel.path)
+    if zorder and len(cols) > 1:
+        df = (
+            df.withColumn("__zkey", zorder_key(cols))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     return create_table_as(spark, catalog, rel, df, single_file=False)
 
 

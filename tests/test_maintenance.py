@@ -127,3 +127,46 @@ def test_cluster_by_makes_row_groups_selective(spark, tmp_path):
     assert touched(25) <= max(1, len(stats) // 4), (
         f"clustering not selective: {touched(25)}/{len(stats)} groups contain key 25"
     )
+
+
+def test_zorder_cluster_makes_both_columns_selective(spark, tmp_path):
+    """Lexicographic cluster_by([a, b]) leaves b unselective (every a-range
+    spans all of b); z-order gives BOTH columns row-group locality. Assert
+    the z-ordered table skips on each column independently, and beats
+    lexicographic on the second column."""
+    from dbt_parquet_spark.maintenance import cluster_by, row_group_stats
+
+    cat = FilesystemCatalog(str(tmp_path))
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.hash("id").bitwiseAND(F.lit(0x7FFF))).alias("a"),
+            (F.hash(F.col("id") + 1).bitwiseAND(F.lit(0x7FFF))).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+
+    def touched(rel, column, point):
+        st = row_group_stats(cat, rel, column)
+        return sum(1 for _, _, lo, hi in st if lo is not None and lo <= point <= hi), len(st)
+
+    lex = cat.relation("lex")
+    create_table_as(spark, cat, lex, df, single_file=False)
+    cluster_by(spark, cat, lex, ["a", "b"], target_file_bytes=64 * 1024)
+    zo = cat.relation("zo")
+    create_table_as(spark, cat, zo, df, single_file=False)
+    cluster_by(spark, cat, zo, ["a", "b"], target_file_bytes=64 * 1024, zorder=True)
+
+    point = 0x4000  # mid-domain
+    lex_a, lex_n = touched(lex, "a", point)
+    zo_a, zo_n = touched(zo, "a", point)
+    lex_b, _ = touched(lex, "b", point)
+    zo_b, _ = touched(zo, "b", point)
+    assert lex_n > 4 and zo_n > 4  # enough groups for skipping to be meaningful
+    assert lex_a <= max(1, lex_n // 4)  # first column: lexicographic is selective
+    # second column: lexicographic spans everything, z-order must skip
+    assert lex_b >= lex_n * 3 // 4, f"expected lex b-unselective, got {lex_b}/{lex_n}"
+    assert zo_b < lex_b, f"z-order no better than lex on b: {zo_b}/{zo_n} vs {lex_b}/{lex_n}"
+    assert zo_b <= zo_n * 3 // 4, f"z-order b not selective: {zo_b}/{zo_n}"
+    assert zo_a <= zo_n * 3 // 4, f"z-order a not selective: {zo_a}/{zo_n}"
