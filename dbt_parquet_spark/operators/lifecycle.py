@@ -149,6 +149,36 @@ def q_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cluster_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("materialize", "clustering"),
+)
+def q_cluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustering round-trip: materialize events, rewrite it with
+    maintenance.cluster_by(user_id) (range-repartition + sort, atomic
+    republish), and return the clustered table — the oracle is the original
+    content, so the driver verifies the clustering rewrite is LOSSLESS
+    end-to-end while tests/test_maintenance.py verifies it actually makes
+    row-group stats selective.
+
+    Scale: clustering is the data-skipping lever for plain parquet — see
+    maintenance.cluster_by / SCALE.md "Sort clustering".
+    """
+    from ..maintenance import cluster_by
+
+    tmp = tempfile.mkdtemp(prefix="cluster_db_")
+    catalog = FilesystemCatalog(tmp)
+    rel = catalog.relation("events_clustered")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    create_table_as(spark, catalog, rel, events, single_file=False, register=False)
+    return cluster_by(spark, catalog, rel, ["user_id"], target_file_bytes=1 << 20)
+
+
+@register(
     "q_bucketed_join",
     oracle="""
     SELECT o_orderkey, o_custkey, c_name, o_totalprice

@@ -91,7 +91,7 @@ def test_contract_and_north_star_queries_inside_window():
 
 def test_registry_exposes_all_queries():
     specs = load_all()
-    assert len(specs) == 123  # r4: +q_embedding_cosine_dedup_exact, +q_redact_pii, +q_embedding_dedup_components, +q_kmv_intersection
+    assert len(specs) == 124  # r5: +q_cluster_roundtrip
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
