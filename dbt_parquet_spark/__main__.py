@@ -8,6 +8,7 @@
     python -m dbt_parquet_spark test  --database DB --models-dir DIR --model M --unique COL --not-null COL
     python -m dbt_parquet_spark sql   --database DB "SELECT ..."   (views pre-registered)
     python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
+    python -m dbt_parquet_spark maintain --database DB [--stats | --table T (--compact | --cluster-by C1,C2 [--zorder])]
 """
 
 from __future__ import annotations
@@ -67,6 +68,30 @@ def main(argv: list[str] | None = None) -> int:
         "(reference impl.py:225-249)",
     )
     common(shell_p)
+
+    maint_p = sub.add_parser(
+        "maintain",
+        help="table maintenance: compact small files or sort-cluster for row-group skipping",
+    )
+    common(maint_p)
+    maint_p.add_argument("--table", default=None, help="target table (not needed for --stats)")
+    maint_p.add_argument("--schema", default="")
+    maint_p.add_argument(
+        "--compact", action="store_true", help="rewrite into ~128MB files"
+    )
+    maint_p.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated key columns to sort-cluster by",
+    )
+    maint_p.add_argument(
+        "--zorder",
+        action="store_true",
+        help="use bit-interleaved (Morton) order over the --cluster-by columns",
+    )
+    maint_p.add_argument(
+        "--stats", action="store_true", help="print footer-only table stats and exit"
+    )
 
     args = p.parse_args(argv)
 
@@ -135,6 +160,32 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         catalog.register_all_views(spark)
         spark.sql(args.query).show(50, truncate=False)
+    elif args.cmd == "maintain":
+        from .maintenance import cluster_by, compact, table_stats
+
+        if args.stats:
+            for r in table_stats(spark, catalog).collect():
+                print(
+                    f"{r.table_schema or '(default)'}\t{r.table_name}\t"
+                    f"rows={r.n_rows}\tfiles={r.n_files}\tbytes={r.total_bytes}\t"
+                    f"row_groups={r.n_row_groups}"
+                )
+            return 0
+        if not args.table:
+            print("maintain: --table is required for --compact/--cluster-by", file=sys.stderr)
+            return 2
+        rel = catalog.relation(args.table, args.schema)
+        if args.cluster_by:
+            cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+            df = cluster_by(spark, catalog, rel, cols, zorder=args.zorder)
+            order = "zorder" if args.zorder and len(cols) > 1 else "sorted"
+            print(f"OK cluster {rel.view_name} by {','.join(cols)} ({order}): {df.count()} rows")
+        elif args.compact:
+            df = compact(spark, catalog, rel)
+            print(f"OK compact {rel.view_name}: {df.count()} rows")
+        else:
+            print("maintain: pass --stats, --compact, or --cluster-by COLS", file=sys.stderr)
+            return 2
     return 0
 
 

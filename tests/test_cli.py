@@ -70,3 +70,23 @@ def test_cli_shell_escape_hatch(tmp_path):
     assert "6" in proc.stdout             # SUM over the view
     assert "error:" in proc.stdout        # bad SQL survives the session
     assert "3" in proc.stdout             # shell still live afterwards
+
+
+def test_cli_maintain(tmp_path):
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    seed = _cli("seed", "--database", db, "--csv", "examples/animals/seeds/animals.csv")
+    assert seed.returncode == 0
+
+    stats = _cli("maintain", "--database", db, "--stats")
+    assert stats.returncode == 0
+    assert any("animals" in l and "rows=4" in l for l in stats.stdout.splitlines())
+
+    cl = _cli("maintain", "--database", db, "--table", "animals", "--cluster-by", "n_legs")
+    assert cl.returncode == 0 and "OK cluster animals by n_legs (sorted): 4 rows" in cl.stdout
+
+    cp = _cli("maintain", "--database", db, "--table", "animals", "--compact")
+    assert cp.returncode == 0 and "OK compact animals: 4 rows" in cp.stdout
+
+    bad = _cli("maintain", "--database", db)
+    assert bad.returncode == 2

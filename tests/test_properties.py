@@ -84,3 +84,54 @@ def test_shingle_blocking_is_sound(spark, texts):
     )
     got_pairs = {(r.d1, r.d2) for r in pairs_from_buckets(exploded, ["s"], max_bucket=10**6).collect()}
     assert got_pairs == expected_pairs
+
+
+def test_zorder_key_matches_reference_and_is_monotone(spark):
+    """zorder_key must equal the classic bit-interleave (python reference)
+    and be monotone in each coordinate (spreading bits is order-preserving)
+    — the property that makes min/max row-group pruning sound on every
+    z-ordered column."""
+    import random
+
+    from dbt_parquet_spark.maintenance import zorder_key
+
+    def ref_morton(a: int, b: int, bits: int = 16) -> int:
+        out = 0
+        for j in range(bits):
+            out |= ((a >> j) & 1) << (2 * j)
+            out |= ((b >> j) & 1) << (2 * j + 1)
+        return out
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    pairs += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(["a", "b"]).alias("z")).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == ref_morton(a, b), (a, b)
+    # monotone in each coordinate
+    s = sorted(pairs)
+    for (a1, b1), (a2, b2) in zip(s, s[1:]):
+        if a1 <= a2 and b1 <= b2:
+            assert ref_morton(a1, b1) <= ref_morton(a2, b2)
+
+
+def test_neardup_chunk_bits_monotone_and_clamped():
+    from dbt_parquet_spark.operators.similarity import (
+        NEARDUP_MAX_BITS,
+        NEARDUP_MIN_BITS,
+        neardup_chunk_bits,
+    )
+
+    prev = None
+    for n in [1, 10, 500, 512, 513, 2000, 10**5, 10**7, 10**9, 10**12]:
+        bits = neardup_chunk_bits(n)
+        assert NEARDUP_MIN_BITS <= bits <= NEARDUP_MAX_BITS
+        if prev is not None:
+            assert bits >= prev  # monotone non-decreasing in corpus size
+        prev = bits
+    assert neardup_chunk_bits(500) == 8
+    assert neardup_chunk_bits(10**12) == NEARDUP_MAX_BITS
