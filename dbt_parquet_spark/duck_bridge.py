@@ -46,7 +46,12 @@ def register_catalog_views(con, catalog: FilesystemCatalog) -> list[str]:
     names = []
     for schema in catalog.list_schemas():
         for rel in catalog.list_relations(schema):
-            path = rel.path + ("/*.parquet" if _is_dir(rel.path) else "")
+            # Directory check through the catalog FS (works for URL-rooted
+            # databases too); DuckDB itself reads rel.path, so remote
+            # schemes additionally need the matching DuckDB extension
+            # (httpfs for s3://) loaded in the session.
+            is_dir = catalog.io.isdir(catalog.fs_path(rel))
+            path = rel.path + ("/*.parquet" if is_dir else "")
             con.execute(
                 f'CREATE OR REPLACE VIEW "{rel.view_name}" AS '
                 f"SELECT * FROM parquet_scan('{path}')"
@@ -107,9 +112,3 @@ def to_duckdb(df: DataFrame, view_name: str = "spark_result"):
     pdf = df.toPandas()  # driver-sized by contract
     con.register(view_name, pdf)
     return con
-
-
-def _is_dir(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path)
