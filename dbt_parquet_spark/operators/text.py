@@ -300,3 +300,59 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         n_matches.alias("n_redactions"),
     )
+
+
+@register(
+    "q_term_saliency",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks WHERE tok <> '' GROUP BY tok)
+    SELECT doc_id, tok, tf, df, score, rank FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok ASC
+               ) AS rank
+        FROM tf JOIN df USING (tok)
+    ) ranked
+    WHERE rank <= 3
+    """,
+    tags=("text", "corpus", "tfidf"),
+)
+def q_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, scored tf/df — the tf-idf family
+    with reciprocal document frequency as the idf weight. Deliberately
+    log-free: ln() differs in the last ulp across engines, while an
+    int/int IEEE division is bit-identical, so the score is oracle-
+    hashable (the ranking is the same as tf·idf for any monotone idf(df)
+    when comparing a term against itself across docs; for cross-term
+    ranking 1/df is the hyperbolic member of the idf family).
+
+    Scale: one shuffle for (doc, term) counts; the term-level df aggregate
+    is vocabulary-sized and joins back on the term key (Spark broadcasts it
+    when small, hash-shuffles when the vocabulary is huge — both correct);
+    the top-k window repartitions by doc_id. No driver-side state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        tf.join(df, "tok")
+        .select("doc_id", "tok", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

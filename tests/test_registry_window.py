@@ -91,7 +91,7 @@ def test_contract_and_north_star_queries_inside_window():
 
 def test_registry_exposes_all_queries():
     specs = load_all()
-    assert len(specs) == 124  # r5: +q_cluster_roundtrip
+    assert len(specs) == 125  # r5: +q_cluster_roundtrip, +q_term_saliency
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
