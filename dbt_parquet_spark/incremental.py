@@ -22,14 +22,39 @@ from .sources.readers import read_parquet
 
 
 def incremental_append(
-    spark: SparkSession, catalog: FilesystemCatalog, rel: Relation, delta: DataFrame
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    delta: DataFrame,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Append-only incremental load. Scale: writes ONLY the delta (new part
-    files in the table directory) — never reads or rewrites history."""
+    files in the table directory) — never reads or rewrites history.
+
+    ``schema_evolution=True`` allows the delta to carry NEW columns (the
+    evolving-event-schema case every long-lived pipeline hits): parquet
+    part files may disagree on schema, and readers union them with
+    ``mergeSchema`` — old rows surface NULL for new columns, no rewrite of
+    history. Column REMOVAL/retype is not silently accepted: without the
+    flag, a delta whose columns differ from the live table is rejected
+    loudly rather than appended as a schema fork.
+    """
     if not catalog.exists(rel):
         return create_table_as(spark, catalog, rel, delta, single_file=False)
+    if not schema_evolution:
+        live_cols = set(read_parquet(spark, rel.path).columns)
+        delta_cols = set(delta.columns)
+        if delta_cols != live_cols:
+            raise ValueError(
+                f"append schema mismatch for {rel.view_name}: delta columns "
+                f"{sorted(delta_cols)} != table columns {sorted(live_cols)}; "
+                "pass schema_evolution=True to append new columns (readers "
+                "then union schemas via mergeSchema)"
+            )
     delta.write.mode("append").parquet(rel.path)
-    return catalog.register_view(spark, rel)
+    df = read_parquet(spark, rel.path, merge_schema=schema_evolution)
+    df.createOrReplaceTempView(rel.view_name)
+    return df
 
 
 def incremental_merge(

@@ -61,8 +61,14 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     ]
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """Parquet scan with timestamp normalization (ns and NTZ).
+
+    ``merge_schema=True`` unions the schemas of all part files (columns
+    absent in older files read as NULL) — the read side of append-time
+    schema evolution (incremental.incremental_append). Off by default:
+    schema merging footer-reads every file, which is wasted work on
+    stable-schema tables.
 
     Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the
     ``nanosAsLong`` escape hatch it surfaces as a raw long. We convert to
@@ -87,7 +93,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for c, t in df.dtypes:

@@ -110,3 +110,30 @@ def test_insert_overwrite_replaces_only_delta_partitions(spark, tmp_path):
     # idempotent: rerunning the same delta changes nothing
     incremental_insert_overwrite(spark, catalog, rel, rebuilt, ["day"])
     assert spark.read.parquet(rel.path).count() == 80
+
+
+def test_incremental_append_schema_evolution(spark, db):
+    from pyspark.sql import functions as F
+
+    rel = db.relation("evolving")
+    v1 = spark.range(5).select("id", F.lit("a").alias("source"))
+    incremental_append(spark, db, rel, v1)
+
+    # new column without the flag: rejected loudly, nothing written
+    v2 = spark.range(5, 8).select(
+        "id", F.lit("b").alias("source"), F.lit(0.5).alias("quality")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        incremental_append(spark, db, rel, v2)
+    from dbt_parquet_spark.sources.readers import read_parquet
+
+    assert read_parquet(spark, rel.path).count() == 5
+
+    # with the flag: appended; merged read unions schemas, old rows NULL
+    out = incremental_append(spark, db, rel, v2, schema_evolution=True)
+    assert out.count() == 8
+    assert set(out.columns) == {"id", "source", "quality"}
+    assert out.filter(F.col("quality").isNull()).count() == 5
+    assert out.filter(F.col("quality") == 0.5).count() == 3
