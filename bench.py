@@ -62,6 +62,7 @@ EXTENSION_HEADLINE = [
     "q_redact_pii",
     "q_embedding_cosine_dedup",
     "q_embedding_dedup_components",
+    "q_term_saliency",
 ]
 
 
