@@ -303,3 +303,13 @@ def test_memory_fs_shared_across_instances():
     c1, c2 = FilesystemCatalog(name), FilesystemCatalog(name)
     _write_table(c1, c1.relation("t"))
     assert [r.table for r in c2.list_relations("")] == ["t"]
+
+
+def test_resolve_database_file_scheme(tmp_path):
+    from dbt_parquet_spark.fs import resolve_database
+
+    io = resolve_database(f"file://{tmp_path}")
+    assert io.root == str(tmp_path)
+    assert io.spark_url(io.root) == str(tmp_path)  # local: plain path for Spark
+    io2 = resolve_database(str(tmp_path))
+    assert io2.root == str(tmp_path)
