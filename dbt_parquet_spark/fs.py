@@ -132,7 +132,8 @@ def resolve_database(database: str) -> CatalogFS:
       original scheme+authority.
     """
     parsed = urlparse(database)
-    if parsed.scheme in ("", "file"):
+    # Single-letter "schemes" are Windows drive letters (C:\data), not URLs.
+    if parsed.scheme in ("", "file") or len(parsed.scheme) == 1:
         root = os.path.abspath(parsed.path if parsed.scheme == "file" else database)
         return CatalogFS(pafs.LocalFileSystem(), root, spark_prefix="")
     if parsed.scheme == "memory":

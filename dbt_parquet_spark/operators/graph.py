@@ -75,6 +75,7 @@ def connected_components(
     # so this is one tiny aggregate job over a leaf plan per round.
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0].s
+    new_sum = prev_sum
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
