@@ -10,7 +10,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -337,4 +337,121 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+    )
+
+
+# --- Duplicated-span scrubbing (passage-level dedup) -------------------------
+# Document-level dedup (everything above) drops whole near-identical docs;
+# real corpora also carry REPEATED PASSAGES inside otherwise-unique documents
+# (boilerplate, licenses, navigation chrome). The reference treatment is
+# suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"); a suffix array is not a distributed-
+# join shape, so the scalable form used here is its fixed-span approximation:
+# positioned k-token spans as posting keys, corpus-wide document frequency,
+# and removal of every token covered by a span seen in >= SPAN_MIN_DOCS
+# distinct documents. Overlapping frequent spans merge naturally because
+# coverage is a position SET.
+SPAN_K = 5
+SPAN_MIN_DOCS = 2
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(sp)+1),
+            i -> {{'pos': i, 'tok': sp[i]}})) AS pt
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, pg.pos AS pos,
+               {" || ' ' || ".join(f"sp[pg.pos+{o}]" for o in range(SPAN_K))} AS gram
+        FROM (
+            SELECT doc_id, sp, unnest(list_transform(range(1, len(sp) - {SPAN_K - 2}),
+                i -> {{'pos': i}})) AS pg
+            FROM base
+        )
+    ),
+    freq AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+        ) WHERE df >= {SPAN_MIN_DOCS}
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + off.o AS pos
+        FROM grams g JOIN freq USING (gram),
+             (SELECT unnest(range(0, {SPAN_K})) AS o) off
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(c.pos) AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.pt.tok END,
+                               ' ' ORDER BY t.pt.pos), '') AS cleaned_text
+    FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pt.pos = c.pos
+    GROUP BY t.doc_id
+    """,
+    tags=("dedup", "span", "text"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage scrub: remove every token covered by a {SPAN_K}-token
+    span that occurs in >= SPAN_MIN_DOCS distinct documents, and emit the
+    reconstructed clean text plus removal accounting. The distributed
+    approximation of suffix-array ExactSubstr dedup — fixed-length spans
+    turn "shared substring" into an equi-join key.
+
+    Shape: posexplode tokens once (one split per doc), positioned spans via
+    LEAD over (doc_id, pos) — the token rows are reused for spans, coverage,
+    and reconstruction, so the document text is tokenized exactly once.
+    Span document-frequency is a groupBy(gram) with a map-side partial
+    distinct; coverage expands each frequent positioned span into its
+    {SPAN_K} positions (explode of a constant-size sequence); reconstruction
+    is an ordered collect_list of the uncovered tokens per document.
+
+    Scale: no stage is quadratic — spans shuffle by gram (skew capped by the
+    gram keyspace; a df cap like pairs_from_buckets' applies if boilerplate
+    grams dominate), coverage and reconstruction shuffle by doc_id. The
+    window sort and the final groupBy share the doc_id partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # (doc_id, pos, tok): split runs once per document inside the generator.
+    tok = docs.select(
+        "doc_id", F.posexplode(token_array()).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", o).over(w) for o in range(1, SPAN_K)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .filter(F.col("full"))
+        .drop("full")
+    )
+    freq = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SPAN_MIN_DOCS)
+        .select("gram")
+    )
+    cov = (
+        grams.join(freq, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_K - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    joined = tok.join(cov, ["doc_id", "pos"], "left")
+    kept = F.when(F.col("covered").isNull(), F.struct("pos", "tok"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("covered").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["tok"])
+        ).alias("cleaned_text"),
     )
