@@ -228,3 +228,110 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= KMV_TOL * F.col("n_both_exact")
         ).alias("kmv_within_tol"),
     )
+
+
+# --- Pairwise source-overlap via KMV sketch join -----------------------------
+# The all-pairs form of the KMV idea: vocabulary overlap between every pair
+# of corpus sources (which feeds dedup prioritization and mixture design)
+# WITHOUT joining the raw vocabularies all-pairs. Exact counts stay in the
+# compared output; the sketch contributes a distribution-safe union-estimate
+# bound (the q_kmv_intersection pattern — tight per-draw bands live in
+# pytest, where the draw is fixed).
+SOURCE_KMV_TOL = 0.25  # ~4 sigma of the union estimate at k=256
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH sv AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+              || ' ' || string_split(text, ' ')[i+4]
+        ))) AS gram
+        FROM documents
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM sv a JOIN sv b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ca.source AS source_a, cb.source AS source_b,
+           ca.n AS n_distinct_a, cb.n AS n_distinct_b,
+           COALESCE(c.n_common, 0) AS n_common_exact,
+           TRUE AS kmv_union_within_tol
+    FROM counts ca JOIN counts cb ON ca.source < cb.source
+    LEFT JOIN common c ON c.source_a = ca.source AND c.source_b = cb.source
+    """,
+    tags=("sketch", "join", "corpus", "dedup"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-vocabulary overlap between corpus sources: for every
+    source pair, the exact distinct-5-gram counts and shared-gram count,
+    plus a KMV union-cardinality estimate folded into a deterministic
+    within-SOURCE_KMV_TOL check (the oracle states it as TRUE; the 25% band
+    is ~4 sigma at k=256, green on any data draw — per-draw tightness is
+    asserted in tests/test_sketches.py).
+
+    Scale: per-source vocabularies are posting lists; the exact common
+    count is an equi-join on the gram (shuffle by 5-gram key, map-side
+    distinct), NOT an all-pairs vocabulary product, and the pair skeleton /
+    sketch join is S rows (sources), broadcast. At 100 TB the exact leg is
+    the expensive one — drop it and keep the sketch columns, which cost one
+    linear scan per source and KB-sized merges, mergeable across days.
+    """
+    from .dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sv = (
+        doc_shingles(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", F.col("s").alias("gram"))
+        .distinct()
+    )
+    counts = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sv.select(F.col("source").alias("source_a"), "gram")
+    b = sv.select(F.col("source").alias("source_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sk = kmv_sketch(sv, "source", F.col("gram"))
+    pairs = (
+        counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_distinct_a"))
+        .join(
+            F.broadcast(
+                counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_distinct_b"))
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(common, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(sk.select(F.col("source").alias("source_a"), F.col("sketch").alias("sa"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sk.select(F.col("source").alias("source_b"), F.col("sketch").alias("sb"))),
+            "source_b",
+        )
+    )
+    merged = F.slice(F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, KMV_K)
+    m = F.size(merged)
+    u_k = F.element_at(merged, m).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    d_union = F.when(m < KMV_K, m.cast("double")).otherwise((m.cast("double") - 1) / u_k)
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common_exact")
+    exact_union = F.col("n_distinct_a") + F.col("n_distinct_b") - F.coalesce(F.col("n_common"), F.lit(0))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_distinct_a",
+        "n_distinct_b",
+        n_common,
+        (F.abs(d_union - exact_union) <= SOURCE_KMV_TOL * exact_union).alias(
+            "kmv_union_within_tol"
+        ),
+    )

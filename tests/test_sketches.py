@@ -78,3 +78,56 @@ def test_kmv_sketch_bounded_and_estimate_close(spark):
     # tight band on the fixed draw: raw estimate within 15% of exact
     est = kmv_intersection_estimate(spark, SF_ORACLE).collect()[0].est_both
     assert abs(est - row.n_both_exact) <= 0.15 * row.n_both_exact
+
+
+def test_source_overlap_kmv_tight_band(spark):
+    """Per-draw calibration for q_source_overlap: on the FIXED sf0.01 draw
+    the raw KMV union estimates are much tighter than the 25% band the
+    compared output asserts (measured: median 2.8%, max 11.1%). Bounds here
+    are ~1.4x the measured max / 2x the measured median, so a regression in
+    the sketch math fails loudly while data-draw variance cannot."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.dedup import doc_shingles
+    from dbt_parquet_spark.operators.sketches import KMV_K, kmv_sketch
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    sv = (
+        doc_shingles(spark, SF_ORACLE)
+        .join(docs, "doc_id")
+        .select("source", F.col("s").alias("gram"))
+        .distinct()
+    )
+    counts = {
+        r.source: r.n
+        for r in sv.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sketches = {
+        r.source: sorted(r.sketch)
+        for r in kmv_sketch(sv, "source", F.col("gram")).collect()
+    }
+    a = sv.select(F.col("source").alias("sa"), "gram")
+    b = sv.select(F.col("source").alias("sb"), "gram")
+    common = {
+        (r.sa, r.sb): r.c
+        for r in a.join(b, "gram")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    errs = []
+    srcs = sorted(counts)
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            exact_union = counts[s1] + counts[s2] - common.get((s1, s2), 0)
+            merged = sorted(set(sketches[s1]) | set(sketches[s2]))[:KMV_K]
+            m = len(merged)
+            if m < KMV_K:
+                est = float(m)
+            else:
+                est = (m - 1) / (merged[-1] / 2.0**64 + 0.5)
+            errs.append(abs(est - exact_union) / exact_union)
+    errs.sort()
+    assert errs[len(errs) // 2] <= 0.06  # median
+    assert errs[-1] <= 0.15  # max
