@@ -523,3 +523,163 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
+
+
+# --- Product quantization (PQ) — the compressed-corpus ANN path --------------
+# IVF (above) prunes WHICH vectors are scored; PQ compresses HOW each vector
+# is stored/scored: split the 64-dim embedding into PQ_M subvectors, learn a
+# tiny per-subspace codebook, and replace every vector with PQ_M byte codes.
+# Approximate inner product = sum of subspace code-centroid dot products
+# (asymmetric distance computation), then exact-cosine rerank of the top
+# candidates. FAISS IVF-PQ's layout expressed as DataFrames.
+PQ_M = 16  # subspaces (4 dims each)
+PQ_K = 16  # centroids per subspace codebook
+PQ_ITERS = 3
+PQ_SUB = EMBED_DIM // PQ_M
+PQ_RERANK = 50  # exact-rerank candidate pool per query
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (PQ_M x PQ_K x PQ_SUB), trained as ONE
+    distributed job per iteration over the exploded (vec_id, m, sub) rows —
+    assignment is a columnar argmin against the (tiny, literal) current
+    codebooks, update is a per-(m, code, dim) mean. Only PQ_M*PQ_K*PQ_SUB
+    doubles (the codebooks) ever reach the driver. Deterministic: init =
+    lowest-vec_id subvectors, fixed iteration count. In production this
+    trains on a corpus SAMPLE; the encode pass below is the full-corpus one.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sub"),
+    )
+    init = subs.filter(F.col("vec_id") < PQ_K).collect()
+    books = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in init:
+        books[r.m][r.vec_id] = [float(x) for x in r.sub]
+    for _ in range(PQ_ITERS):
+        books_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
+                for m in range(PQ_M)
+            ]
+        )
+        cents_m = F.element_at(books_lit, F.col("m") + 1)
+        dists = F.transform(cents_m, lambda c: _l2sq(F.col("sub"), c))
+        assigned = subs.select(
+            "m", "sub", (F.array_position(dists, F.array_min(dists)) - 1).alias("code")
+        )
+        new = (
+            assigned.select("m", "code", F.posexplode("sub").alias("dim", "x"))
+            .groupBy("m", "code", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+            .select("m", "code", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+            .collect()
+        )
+        upd = {(r.m, r.code): list(r.centroid) for r in new}
+        books = [
+            [upd.get((m, k), books[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
+        ]
+    return [[[float(x) for x in c] for c in b] for b in books]
+
+
+@register("q_ann_ivf_pq", tags=("similarity", "ann", "pq"))
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with exact rerank: encode every vector as PQ_M
+    codebook codes, score query-vs-corpus by asymmetric distance (sum of
+    per-subspace query-centroid dot products — the query side stays exact,
+    only the corpus side is quantized), keep the top PQ_RERANK candidates
+    per query, rerank those with exact cosine, return the top TOP_K with
+    exact scores (same schema as q_ann_topk, so recall is directly
+    measurable).
+
+    Rows-only driver check (codebooks are parameter-specific); pytest
+    measures recall vs the exact baseline and asserts the returned cos_sim
+    values are the true cosines (soundness of the rerank stage).
+
+    Scale: THE memory/IO lever for corpus-scale ANN — the scored corpus
+    representation is PQ_M small ints per vector (4 bytes here vs 256 for
+    the raw floats, a 64x scan-volume cut); codebooks are KBs broadcast as
+    literals. The PQ scan is map-only against broadcast queries; only
+    TOP-PQ_RERANK survivors are joined back to raw vectors (an equi-join on
+    vec_id) for the exact pass. Compose with q_ann_ivf's cell pruning (scan
+    only probed cells' codes) for the full IVF-PQ layout.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = train_pq_codebooks(spark, sf_dir)
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
+            for m in range(PQ_M)
+        ]
+    )
+
+    def sub(col, m):
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    # Encode: corpus rows shrink to (vec_id, codes: array<int>).
+    # NB: the centroid-distance lambda must stay single-argument — a
+    # two-parameter lambda (e.g. binding m via a default arg) is interpreted
+    # by F.transform as (element, index) and silently receives the ARRAY
+    # INDEX as the second value.
+    def _dists(m: int):
+        s = sub(F.col("embedding"), m)
+        return F.transform(F.element_at(books_lit, m + 1), lambda c: _l2sq(s, c))
+
+    codes = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                (F.array_position(_dists(m), F.array_min(_dists(m))).cast("int") - 1)
+                for m in range(PQ_M)
+            ]
+        ).alias("codes"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # ADC scan: approx dot = sum over subspaces of dot(q_sub, centroid[code]).
+    approx = None
+    for m in range(PQ_M):
+        cent = F.element_at(
+            F.element_at(books_lit, m + 1), F.element_at("codes", m + 1) + 1
+        )
+        term = dot(sub(F.col("qe"), m), cent)
+        approx = term if approx is None else approx + term
+    scanned = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), approx.alias("approx_dot"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    cand = (
+        scanned.select("query_id", "qe", "neighbor_id", F.row_number().over(wa).alias("r"))
+        .filter(F.col("r") <= PQ_RERANK)
+        .drop("r")
+    )
+    reranked = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("embedding")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        reranked.select(
+            "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

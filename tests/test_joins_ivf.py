@@ -50,3 +50,30 @@ def test_ivf_sound_and_scores_exact(spark):
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.15, f"IVF recall below structural floor: {recall}"
+
+
+def test_pq_sound_and_high_recall(spark):
+    """PQ (q_ann_ivf_pq) scores its final top-k with EXACT cosine (the
+    quantization only selects the rerank pool), so returned scores must be
+    true cosines; and because the PQ approximate dot uses ALL dimensions
+    (unlike cell-pruning IVF), recall survives even on this isotropic-noise
+    corpus — measured 1.0 at 16x4-dim codebooks with a 50-candidate rerank
+    pool. The floor is set at 0.8 to allow draw variance at other SFs."""
+    import numpy as np
+
+    from dbt_parquet_spark.operators.similarity import q_ann_ivf_pq
+
+    exact_rows = q_ann_topk(spark, SF_ORACLE).collect()
+    emb = load_table(spark, SF_ORACLE, "embeddings").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    pq_rows = q_ann_ivf_pq(spark, SF_ORACLE).collect()
+    for r in pq_rows:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - want) < 1e-9
+        assert r.query_id != r.neighbor_id
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    assert len(pq) == len(exact)
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.8, f"PQ recall regression: {recall}"
