@@ -147,3 +147,31 @@ def test_blocked_candidates_equi_join_in_hyperplane_mode(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_no_cartesian_and_pruned_scan(spark):
+    # span postings join on the gram key; there must be no cartesian/NL join
+    # anywhere, and the documents scan must not read `text` twice via
+    # separate unpruned scans (doc_id+text only).
+    plan = _plan(spark, "q_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read and "source" not in read  # column pruning
+
+
+def test_source_overlap_pair_skeleton_broadcast(spark):
+    # the S-row pair skeleton and sketch joins must broadcast; the only wide
+    # shuffles are the gram-keyed distinct/join legs.
+    plan = _plan(spark, "q_source_overlap")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_scan_joins_codes_not_vectors(spark):
+    # the ADC scan side must be the codes projection crossed with the tiny
+    # broadcast query set — no shuffle of the raw embedding column before
+    # the rerank join.
+    plan = _plan(spark, "q_ann_ivf_pq")
+    assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast queries
+    assert "CartesianProduct" not in plan
