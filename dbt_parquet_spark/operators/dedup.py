@@ -10,7 +10,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -84,14 +84,40 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return exploded
 
 
+# Memo of persisted (doc_id, toks: array<string>) — the scaffold for
+# operators that need POSITIONED access to tokens (span dedup). Kept
+# separate from the shingle cache: doc_shingles releases its token scaffold
+# once the exploded shingles are materialized, while positioned consumers
+# need the arrays live across several plan branches of one job (persist is
+# the projection barrier that stops Catalyst inlining split() into every
+# element_at — see doc_shingles docstring).
+_TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks: array<string>), persisted + memoized per
+    (application, sf_dir): one row per document, split exactly once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
+    _TOKEN_CACHE[key] = toks_df
+    return toks_df
+
+
 def release_shingle_cache(spark: SparkSession | None = None) -> None:
-    """Unpersist and forget all memoized shingle DataFrames (for the given
-    application only, if ``spark`` is passed). Call between corpora in a
-    long-lived session to release executor memory/disk."""
+    """Unpersist and forget all memoized shingle/token DataFrames (for the
+    given application only, if ``spark`` is passed). Call between corpora in
+    a long-lived session to release executor memory/disk."""
     app = spark.sparkContext.applicationId if spark is not None else None
     for key in list(_SHINGLE_CACHE):
         if app is None or key[0] == app:
             _SHINGLE_CACHE.pop(key).unpersist()
+    for key in list(_TOKEN_CACHE):
+        if app is None or key[0] == app:
+            _TOKEN_CACHE.pop(key).unpersist()
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:
@@ -400,37 +426,38 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation of suffix-array ExactSubstr dedup — fixed-length spans
     turn "shared substring" into an equi-join key.
 
-    Shape: posexplode tokens once (one split per doc), positioned spans via
-    LEAD over (doc_id, pos) — the token rows are reused for spans, coverage,
-    and reconstruction, so the document text is tokenized exactly once.
-    Span document-frequency is a groupBy(gram) with a map-side partial
-    distinct; coverage expands each frequent positioned span into its
-    {SPAN_K} positions (explode of a constant-size sequence); reconstruction
-    is an ordered collect_list of the uncovered tokens per document.
+    Shape: positioned spans are array expressions over the PERSISTED token
+    arrays (doc_token_arrays — one split per doc, narrow; the first
+    posexplode+LEAD draft re-ran the explode+window sort once per plan
+    branch and was 5x slower). Span document-frequency is a groupBy(gram)
+    with map-side partial distinct; the covered-position SET is aggregated
+    per doc (collect_set — overlapping frequent spans merge here), then
+    joined back to the one-row-per-doc token arrays, so reconstruction is a
+    narrow indexed array filter — no token-level shuffle and no final
+    groupBy at all.
 
-    Scale: no stage is quadratic — spans shuffle by gram (skew capped by the
-    gram keyspace; a df cap like pairs_from_buckets' applies if boilerplate
-    grams dominate), coverage and reconstruction shuffle by doc_id. The
-    window sort and the final groupBy share the doc_id partitioning.
+    Scale: no stage is quadratic — spans shuffle by gram (skew capped by
+    the gram keyspace; a df cap like pairs_from_buckets' applies if
+    boilerplate grams dominate), coverage shuffles once by doc_id, and the
+    final join moves one row per DOC on each side. Output partitioning =
+    input docs partitioning.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # (doc_id, pos, tok): split runs once per document inside the generator.
-    tok = docs.select(
-        "doc_id", F.posexplode(token_array()).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", o).over(w) for o in range(1, SPAN_K)]
-    grams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
-            leads[-1].isNotNull().alias("full"),
-        )
-        .filter(F.col("full"))
-        .drop("full")
+    toks_df = doc_token_arrays(spark, sf_dir)
+    gram_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + off) for off in range(SPAN_K)]
     )
+    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram"))
+    grams = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (SPAN_K - 1)), pg_struct
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
     freq = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -441,17 +468,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.join(freq, "gram")
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_K - 1))).alias("pos"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_K - 1))).alias("p"),
         )
-        .distinct()
-        .withColumn("covered", F.lit(1))
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
     )
-    joined = tok.join(cov, ["doc_id", "pos"], "left")
-    kept = F.when(F.col("covered").isNull(), F.struct("pos", "tok"))
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count("covered").alias("n_removed"),
-        F.concat_ws(
-            " ", F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["tok"])
-        ).alias("cleaned_text"),
+    joined = toks_df.join(cov, "doc_id", "left")
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(covered, (i + 1).cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
     )

@@ -275,12 +275,16 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~4 sigma at k=256, green on any data draw — per-draw tightness is
     asserted in tests/test_sketches.py).
 
-    Scale: per-source vocabularies are posting lists; the exact common
-    count is an equi-join on the gram (shuffle by 5-gram key, map-side
-    distinct), NOT an all-pairs vocabulary product, and the pair skeleton /
-    sketch join is S rows (sources), broadcast. At 100 TB the exact leg is
-    the expensive one — drop it and keep the sketch columns, which cost one
-    linear scan per source and KB-sized merges, mergeable across days.
+    Scale: per-source vocabularies are posting lists, and the whole exact
+    leg is ONE shuffle by the gram key: groupBy(gram) -> collect_set(source)
+    (map-side partial set-merge, set size bounded by S sources), then each
+    gram's source set expands to its pairs with array expressions — the
+    pairs_from_buckets shape, NOT a vocabulary self-join (the first draft's
+    distinct + self-join re-evaluated the vocabulary three times and cost
+    2.5x). Per-source totals fall out of the same grouped table. The pair
+    skeleton / sketch join is S rows, broadcast. At 100 TB drop the exact
+    leg and keep the sketch columns, which cost one linear scan per source
+    and KB-sized merges, mergeable across days.
     """
     from .dedup import doc_shingles
 
@@ -289,15 +293,27 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingles(spark, sf_dir)
         .join(docs, "doc_id")
         .select("source", F.col("s").alias("gram"))
-        .distinct()
     )
-    counts = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sv.select(F.col("source").alias("source_a"), "gram")
-    b = sv.select(F.col("source").alias("source_b"), "gram")
+    by_gram = sv.groupBy("gram").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    counts = (
+        by_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    srcs = F.col("srcs")
+    pair_arrays = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        by_gram.filter(F.size("srcs") > 1)
+        .select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sk = kmv_sketch(sv, "source", F.col("gram"))
