@@ -63,6 +63,8 @@ EXTENSION_HEADLINE = [
     "q_embedding_cosine_dedup",
     "q_embedding_dedup_components",
     "q_term_saliency",
+    "q_span_dedup",
+    "q_source_overlap",
 ]
 
 

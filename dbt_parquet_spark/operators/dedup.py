@@ -324,20 +324,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver check rows-only (engine-specific hash); pytest asserts signature
     properties + symmetry.
 
-    Scale: one groupBy(doc) to build signatures (64 conditional sums,
+    Scale: one groupBy(doc) to build signatures (64 branch-free bit sums,
     map-side partial), then a 4-way chunk equi-join on 2-byte keys.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(token_array()).alias("tok"))
     h = F.xxhash64("tok")
+    # Branch-free form of the classic ±1 bit vote: sum the RAW bit i over
+    # tokens (s_i) plus one shared token count n; "majority positive" (the
+    # ±1 sum > 0) is exactly 2*s_i > n, with ties -> 0 in both forms.
+    # Equivalence and the ~8% win over the CASE-WHEN aggregate are pinned in
+    # tests/test_dedup_similarity.py / measured at sf0.1; a 2-lane SWAR
+    # packing (32 aggs) measured no further gain.
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
     ]
-    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
     sim = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseXOR(bit)  # bits are disjoint → XOR == OR
     sigs = per_doc.select("doc_id", sim.alias("simhash"))
     chunks = sigs.select(

@@ -162,3 +162,44 @@ def test_sign_chunk_parity_both_modes(spark):
             sign_chunk_values(spark, SF_ORACLE, bits), con, sign_chunk_values_sql(bits)
         )
         assert ok, f"bits={bits}: {msg}"
+
+
+def test_simhash_branch_free_votes_match_reference_form(spark):
+    """The branch-free signature (raw-bit sums + shared count, majority =
+    2*s_i > n) must be bit-identical to the textbook ±1-vote form it
+    replaced, ties included."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.dedup import token_array
+    from dbt_parquet_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    tok = docs.select("doc_id", F.explode(token_array()).alias("tok"))
+    h = F.xxhash64("tok")
+    ref_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    ref_doc = tok.groupBy("doc_id").agg(*ref_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    ref = {r.doc_id: r.simhash for r in ref_doc.select("doc_id", sim.alias("simhash")).collect()}
+
+    new_sums = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
+    ]
+    new_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *new_sums)
+    sim2 = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sim2 = bit if sim2 is None else sim2.bitwiseXOR(bit)
+    new = {r.doc_id: r.simhash for r in new_doc.select("doc_id", sim2.alias("simhash")).collect()}
+    assert ref == new
