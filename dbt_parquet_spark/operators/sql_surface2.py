@@ -298,3 +298,47 @@ def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region_code", "r_name")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on every
+    later day they return — the day-N retention triangle of product
+    analytics (q_funnel's sibling). COUNT(*) is exact-distinct because the
+    activity leg is already (user, day)-distinct.
+
+    Scale: cohort assignment and daily activity are both single shuffles on
+    user_id, the join is user_id-co-partitioned (the same exchange feeds
+    both sides, so Catalyst reuses it), and the final (cohort, offset)
+    aggregation moves one row per active user-day. No windows, no
+    self-join of raw events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user_day = events.select("user_id", F.to_date("ts").alias("day"))
+    cohorts = by_user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = by_user_day.distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
