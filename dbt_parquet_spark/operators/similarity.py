@@ -537,6 +537,12 @@ PQ_K = 16  # centroids per subspace codebook
 PQ_ITERS = 3
 PQ_SUB = EMBED_DIM // PQ_M
 PQ_RERANK = 50  # exact-rerank candidate pool per query
+# Codebook training runs on at most ~this many vectors: a deterministic
+# hash-sample caps the per-iteration k-means cost at a CONSTANT regardless
+# of corpus size (FAISS trains on a sample the same way); the encode pass
+# below is always full-corpus. At sf0.01 (500 vectors) the sample is the
+# whole corpus, so tests and recall measurements are unaffected.
+PQ_TRAIN_MAX = 2048
 
 
 def _l2sq(a, b):
@@ -553,10 +559,18 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     assignment is a columnar argmin against the (tiny, literal) current
     codebooks, update is a per-(m, code, dim) mean. Only PQ_M*PQ_K*PQ_SUB
     doubles (the codebooks) ever reach the driver. Deterministic: init =
-    lowest-vec_id subvectors, fixed iteration count. In production this
-    trains on a corpus SAMPLE; the encode pass below is the full-corpus one.
+    lowest-vec_id subvectors, fixed iteration count, and a deterministic
+    xxhash64 sample caps the training set at ~PQ_TRAIN_MAX vectors (footer
+    count -> keep-1-in-ceil(n/max)), so training cost is constant in corpus
+    size while the encode pass stays full-corpus.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()  # parquet footer count, no data scan
+    if n > PQ_TRAIN_MAX:
+        keep_1_in = -(-n // PQ_TRAIN_MAX)  # ceil
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(keep_1_in)) == 0
+        )
     subs = emb.select(
         "vec_id",
         F.posexplode(
@@ -565,10 +579,14 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
             )
         ).alias("m", "sub"),
     )
-    init = subs.filter(F.col("vec_id") < PQ_K).collect()
+    # init = the PQ_K lowest vec_ids PRESENT (the sample may not contain
+    # ids 0..PQ_K-1), mapped to codebook slots in id order
+    init_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()]
+    slot = {v: i for i, v in enumerate(init_ids)}
+    init = subs.filter(F.col("vec_id").isin(init_ids)).collect()
     books = [[None] * PQ_K for _ in range(PQ_M)]
     for r in init:
-        books[r.m][r.vec_id] = [float(x) for x in r.sub]
+        books[r.m][slot[r.vec_id]] = [float(x) for x in r.sub]
     for _ in range(PQ_ITERS):
         books_lit = F.array(
             *[
