@@ -449,33 +449,41 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     final join moves one row per DOC on each side. Output partitioning =
     input docs partitioning.
     """
-    toks_df = doc_token_arrays(spark, sf_dir)
+    return span_scrub(doc_token_arrays(spark, sf_dir))
+
+
+def span_scrub(
+    toks_df: DataFrame, k: int = SPAN_K, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """The span-scrub core over a (doc_id, toks: array<string>) DataFrame —
+    exposed separately so the property suite can drive it with synthetic
+    corpora against a pure-python reference (test_properties.py). The
+    caller is responsible for persisting toks_df if its lineage is
+    expensive (q_span_dedup passes the memoized doc_token_arrays)."""
     gram_at = lambda i: F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), i + off) for off in range(SPAN_K)]
+        " ", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
     )
     pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram"))
     grams = toks_df.select(
         "doc_id",
         F.explode(
             F.when(
-                F.size("toks") >= SPAN_K,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (SPAN_K - 1)), pg_struct
-                ),
+                F.size("toks") >= k,
+                F.transform(F.sequence(F.lit(1), F.size("toks") - (k - 1)), pg_struct),
             ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
     freq = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= SPAN_MIN_DOCS)
+        .filter(F.col("df") >= min_docs)
         .select("gram")
     )
     cov = (
         grams.join(freq, "gram")
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_K - 1))).alias("p"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
         )
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("cov"))

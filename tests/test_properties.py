@@ -135,3 +135,42 @@ def test_neardup_chunk_bits_monotone_and_clamped():
         prev = bits
     assert neardup_chunk_bits(500) == 8
     assert neardup_chunk_bits(10**12) == NEARDUP_MAX_BITS
+
+
+span_corpora = st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(span_corpora)
+def test_span_scrub_matches_python_reference(spark, corpora):
+    """span_scrub == brute-force python reference on tiny random corpora:
+    positioned k-grams, document frequency >= min_docs, covered-position
+    union, ordered reconstruction — including <k-token docs and the
+    all-covered empty-string case."""
+    from dbt_parquet_spark.operators.dedup import span_scrub
+
+    K, MIN_DOCS = 3, 2
+    rows = [(i, list(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id: long, toks: array<string>")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in span_scrub(df, k=K, min_docs=MIN_DOCS).collect()}
+
+    # python reference
+    from collections import defaultdict
+    df_count = defaultdict(set)
+    for i, toks in rows:
+        for p in range(len(toks) - K + 1):
+            df_count[tuple(toks[p:p + K])].add(i)
+    frequent = {g for g, docs in df_count.items() if len(docs) >= MIN_DOCS}
+    for i, toks in rows:
+        covered = set()
+        for p in range(len(toks) - K + 1):
+            if tuple(toks[p:p + K]) in frequent:
+                covered.update(range(p, p + K))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        want = (len(toks), len(covered), " ".join(kept))
+        assert got[i] == want, (i, toks, got[i], want)
