@@ -157,3 +157,89 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload", "media_type").mapInPandas(
         extract_features, schema=FEATURE_SCHEMA
     )
+
+
+# --- Frame sampling (video-style payloads) -----------------------------------
+FRAME_BYTES = 32  # fake "frame" size inside a payload
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frame_bytes", T.IntegerType(), False),
+        T.StructField("frame_sum", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: one payload row in, one row per SAMPLED frame out
+    (a 1->N generator through the Arrow channel — the other direction from
+    extract_features' 1->1). The per-frame byte slice + checksum stands in
+    for a real frame decode; frame boundaries are pure offset arithmetic
+    exactly like fixed-GOP video sampling."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                fb = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["n_frame_bytes"].append(len(fb))
+                out["frame_sum"].append(int(sum(fb)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                "n_frame_bytes": pd.array(out["n_frame_bytes"], dtype="int32"),
+                "frame_sum": pd.array(out["frame_sum"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH codes AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, nb, cps,
+               unnest(list_filter(range(0, CAST(ceil(nb / {FRAME_BYTES}.0) AS INTEGER)),
+                                  i -> i % {FRAME_STRIDE} = 0)) AS fi
+        FROM codes
+    )
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(least({FRAME_BYTES}, nb - fi*{FRAME_BYTES}) AS INTEGER) AS n_frame_bytes,
+           CAST(list_sum(cps[fi*{FRAME_BYTES}+1 : least(fi*{FRAME_BYTES}+{FRAME_BYTES}, nb)]) AS BIGINT) AS frame_sum
+    FROM frames
+    """,
+    tags=("multimodal", "pandas_udf", "frames"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads — the video leg of the
+    multimodal plumbing: each payload expands to one row per kept frame
+    (every {FRAME_STRIDE}th {FRAME_BYTES}-byte slice) through a mapInPandas
+    generator, proving the 1->N Arrow batch path (extract_features proves
+    1->1). ORACLE-CHECKED like q_multimodal_extract: the fake frame decode
+    is pure offset/byte arithmetic, restated in DuckDB as code-point list
+    slices over the same ASCII payloads, so the driver value-verifies the
+    exact bytes each frame sees. Swap the slice+checksum for an ffmpeg
+    keyframe decode and nothing else changes.
+
+    Scale: frames never visit the driver; output row count is
+    payload_bytes/(FRAME_BYTES*FRAME_STRIDE) per doc, and partition-local
+    expansion keeps memory bounded by one Arrow batch of frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        sample_frames, schema=FRAME_SCHEMA
+    )
