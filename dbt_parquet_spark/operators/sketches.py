@@ -282,9 +282,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_from_buckets shape, NOT a vocabulary self-join (the first draft's
     distinct + self-join re-evaluated the vocabulary three times and cost
     2.5x). Per-source totals fall out of the same grouped table. The pair
-    skeleton / sketch join is S rows, broadcast. At 100 TB drop the exact
-    leg and keep the sketch columns, which cost one linear scan per source
-    and KB-sized merges, mergeable across days.
+    skeleton / sketch join is S rows, broadcast. Known bound: the per-gram
+    expansion is quadratic in that gram's SOURCE df, fine while sources are
+    coarse (corpora, crawls — tens to hundreds); with high-cardinality
+    sources (source = web domain), cap hot grams with
+    ``filter(size(srcs) <= B)`` and log the dropped mass (the
+    pairs_from_buckets discipline) — or, at 100 TB, drop the exact leg
+    entirely and keep the sketch columns, which cost one linear scan per
+    source and KB-sized merges, mergeable across days.
     """
     from .dedup import doc_shingles
 

@@ -324,18 +324,23 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics (q_funnel's sibling). COUNT(*) is exact-distinct because the
     activity leg is already (user, day)-distinct.
 
-    Scale: cohort assignment and daily activity are both single shuffles on
-    user_id, the join is user_id-co-partitioned (the same exchange feeds
-    both sides, so Catalyst reuses it), and the final (cohort, offset)
-    aggregation moves one row per active user-day. No windows, no
-    self-join of raw events.
+    Scale: ONE wide shuffle. Each user's distinct active days collapse
+    map-side into a set (bounded by the calendar — a year of daily activity
+    is ~365 entries); cohort = array_min of that set, offsets are array
+    math, so no cohort/activity join exists at all (the join formulation
+    costs 3 exchanges — PLANS.md caught it). The final (cohort, offset)
+    rollup moves one row per active user-day.
     """
     events = load_table(spark, sf_dir, "events")
-    by_user_day = events.select("user_id", F.to_date("ts").alias("day"))
-    cohorts = by_user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = by_user_day.distinct()
+    per_user = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
     return (
-        activity.join(cohorts, "user_id")
+        per_user.select(
+            F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+        )
         .groupBy(
             "cohort_day",
             F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
