@@ -356,3 +356,99 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_union_within_tol"
         ),
     )
+
+
+# --- Count-min-sketch heavy hitters ------------------------------------------
+# The mergeable FREQUENCY sketch next to KMV's distinct sketch: fixed
+# D x W counters estimate any token's count with est >= exact (always — a
+# structural CMS property, deterministic and therefore oracle-checkable)
+# and est <= exact + total/W with high probability (pytest, per-draw).
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+TOP_TOKENS = 10
+
+
+def cms_counters(toks: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """(row, col, c): the D x W count-min counter table — one narrow explode
+    (D entries per token) + one groupBy capped at D*W rows regardless of
+    corpus size; partials merge map-side, and per-day counter tables merge
+    by addition (the mergeable-sketch property)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"cms{d}|"), F.col(tok_col))),
+                    F.lit(CMS_WIDTH),
+                ).alias("col"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        toks.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.row").alias("row"), F.col("e.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    SELECT tok, n, TRUE AS cms_ge_exact FROM (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok
+        ORDER BY n DESC, tok ASC
+        LIMIT {TOP_TOKENS}
+    ) top
+    """,
+    tags=("sketch", "frequency", "corpus"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch: exact top-{TOP_TOKENS} token
+    counts (the oracle-checked leg) with each token's CMS estimate folded
+    into the deterministic one-sided guarantee est >= exact — TRUE by
+    construction for ANY data and parameters, so the row is stable across
+    draws (unlike error-band checks, which live in pytest:
+    est - exact <= total/CMS_WIDTH on the fixed sf0.01 draw).
+
+    Scale: the counter table is D*W rows (4096) no matter the corpus — the
+    shape that replaces a full groupBy(token) when only frequent-item
+    queries are needed at 100 TB; counter tables merge by addition across
+    partitions/days. The probe joins the tiny top-k candidate set against
+    the capped counter table per hash row and takes the min.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(TOP_TOKENS)
+    )
+    counters = cms_counters(toks)
+    probes = exact_top.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.concat(F.lit(f"cms{d}|"), F.col("tok"))),
+                            F.lit(CMS_WIDTH),
+                        ).alias("col"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("e"),
+    ).select("tok", "n", F.col("e.row").alias("row"), F.col("e.col").alias("col"))
+    est = (
+        probes.join(counters, ["row", "col"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select("tok", "n", (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"))

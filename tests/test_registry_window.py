@@ -92,8 +92,9 @@ def test_contract_and_north_star_queries_inside_window():
 def test_registry_exposes_all_queries():
     specs = load_all()
     # r5: +q_cluster_roundtrip, +q_term_saliency, +q_span_dedup,
-    # +q_source_overlap, +q_ann_ivf_pq, +q_retention, +q_multimodal_frames
-    assert len(specs) == 130
+    # +q_source_overlap, +q_ann_ivf_pq, +q_retention, +q_multimodal_frames,
+    # +q_heavy_hitters
+    assert len(specs) == 131
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -131,3 +131,40 @@ def test_source_overlap_kmv_tight_band(spark):
     errs.sort()
     assert errs[len(errs) // 2] <= 0.06  # median
     assert errs[-1] <= 0.15  # max
+
+
+def test_cms_overestimate_within_width_bound(spark):
+    """CMS structural guarantees on the fixed sf0.01 draw: est >= exact for
+    every probed token (always true by construction), and the one-row
+    error bound est - exact <= total_tokens / CMS_WIDTH (holds whp; on the
+    fixed draw it must hold outright or the sketch math regressed)."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counters,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    total = toks.count()
+    exact = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counters = {(r.row, r.col): r.c for r in cms_counters(toks).collect()}
+    assert len(counters) <= CMS_DEPTH * CMS_WIDTH
+    assert sum(c for (row, _), c in counters.items() if row == 0) == total
+
+    probes = toks.distinct().select(
+        "tok",
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"cms{d}|"), F.col("tok"))), F.lit(CMS_WIDTH)
+            ).alias(f"col{d}")
+            for d in range(CMS_DEPTH)
+        ],
+    ).collect()
+    bound = total / CMS_WIDTH
+    for r in probes:
+        est = min(counters[(d, r[f"col{d}"])] for d in range(CMS_DEPTH))
+        assert est >= exact[r.tok]
+        assert est - exact[r.tok] <= bound, (r.tok, est, exact[r.tok], bound)
