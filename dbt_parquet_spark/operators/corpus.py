@@ -431,3 +431,80 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "source", (whole + extra).cast("long").alias("n_epochs")
     )
+
+
+# --- Temperature-weighted source sampling ------------------------------------
+# The data-mix primitive (T5 / Pile style): sample each source at a rate
+# rising sub-linearly with its size so big sources stop dominating —
+# rate_i = min(1, TEMP_C / sqrt(n_i)) is tau=0.5 temperature sampling with
+# the normalizer folded into a constant (as production mixes do: rates are
+# fixed per source ahead of the run). sqrt and divide are correctly-rounded
+# IEEE in both engines and each rate depends only on that source's count
+# (no cross-source float SUM whose accumulation order could differ), so the
+# whole operator is oracle-exact.
+TEMP_C = 2.0
+_HEX6_TERMS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+
+@register(
+    "q_temperature_sample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source, CAST({_HEX6_TERMS} AS BIGINT) AS hv
+        FROM documents
+    ),
+    rates AS (
+        SELECT source, COUNT(*) AS n_docs,
+               least(1.0, {TEMP_C} / sqrt(COUNT(*))) AS sample_rate
+        FROM documents GROUP BY source
+    )
+    SELECT r.source, r.n_docs, r.sample_rate,
+           CAST(COALESCE(SUM(CASE WHEN h.hv < r.sample_rate * 16777216.0
+                                  THEN 1 END), 0) AS BIGINT) AS n_sampled
+    FROM rates r JOIN hashed h ON h.source = r.source
+    GROUP BY r.source, r.n_docs, r.sample_rate
+    """,
+    tags=("corpus", "sampling", "mixing"),
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (tau=0.5) source sampling, fully deterministic: each doc
+    draws a uniform from the first 6 md5-hex chars of its id (the
+    q_train_test_split hashing family — reproducible on any engine,
+    stable under reruns and resharding) and survives iff u < its source's
+    rate. The compared output is the per-source accounting (doc counts,
+    rate, sampled count); the kept rows themselves are the same filter
+    without the final rollup.
+
+    Scale: one groupBy(source) for rates (S rows, broadcast back), one
+    map-side hash + filter over the corpus — no shuffle of the documents
+    at all when the rollup is dropped. Deterministic hashing means
+    resampling after corpus growth keeps previously-kept docs kept
+    (rate monotonicity aside), the property epoch-mix pipelines rely on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    rates = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.least(F.lit(1.0), F.lit(TEMP_C) / F.sqrt(F.count(F.lit(1)))).alias(
+            "sample_rate"
+        ),
+    )
+    hashed = docs.select("source", hv.alias("hv"))
+    return (
+        hashed.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "sample_rate")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("hv") < F.col("sample_rate") * 16777216.0, 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )
