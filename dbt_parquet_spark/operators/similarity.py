@@ -615,8 +615,8 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     return [[[float(x) for x in c] for c in b] for b in books]
 
 
-@register("q_ann_ivf_pq", tags=("similarity", "ann", "pq"))
-def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_ann_pq", tags=("similarity", "ann", "pq"))
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN with exact rerank: encode every vector as PQ_M
     codebook codes, score query-vs-corpus by asymmetric distance (sum of
     per-subspace query-centroid dot products — the query side stays exact,

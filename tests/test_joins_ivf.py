@@ -53,7 +53,7 @@ def test_ivf_sound_and_scores_exact(spark):
 
 
 def test_pq_sound_and_high_recall(spark):
-    """PQ (q_ann_ivf_pq) scores its final top-k with EXACT cosine (the
+    """PQ (q_ann_pq) scores its final top-k with EXACT cosine (the
     quantization only selects the rerank pool), so returned scores must be
     true cosines; and because the PQ approximate dot uses ALL dimensions
     (unlike cell-pruning IVF), recall survives even on this isotropic-noise
@@ -61,12 +61,12 @@ def test_pq_sound_and_high_recall(spark):
     pool. The floor is set at 0.8 to allow draw variance at other SFs."""
     import numpy as np
 
-    from dbt_parquet_spark.operators.similarity import q_ann_ivf_pq
+    from dbt_parquet_spark.operators.similarity import q_ann_pq
 
     exact_rows = q_ann_topk(spark, SF_ORACLE).collect()
     emb = load_table(spark, SF_ORACLE, "embeddings").toPandas()
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
-    pq_rows = q_ann_ivf_pq(spark, SF_ORACLE).collect()
+    pq_rows = q_ann_pq(spark, SF_ORACLE).collect()
     for r in pq_rows:
         a, b = vecs[r.query_id], vecs[r.neighbor_id]
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))

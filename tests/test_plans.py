@@ -172,6 +172,6 @@ def test_pq_scan_joins_codes_not_vectors(spark):
     # the ADC scan side must be the codes projection crossed with the tiny
     # broadcast query set — no shuffle of the raw embedding column before
     # the rerank join.
-    plan = _plan(spark, "q_ann_ivf_pq")
+    plan = _plan(spark, "q_ann_pq")
     assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast queries
     assert "CartesianProduct" not in plan

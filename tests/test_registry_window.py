@@ -92,7 +92,7 @@ def test_contract_and_north_star_queries_inside_window():
 def test_registry_exposes_all_queries():
     specs = load_all()
     # r5: +q_cluster_roundtrip, +q_term_saliency, +q_span_dedup,
-    # +q_source_overlap, +q_ann_ivf_pq, +q_retention, +q_multimodal_frames,
+    # +q_source_overlap, +q_ann_pq, +q_retention, +q_multimodal_frames,
     # +q_heavy_hitters, +q_temperature_sample
     assert len(specs) == 132
     # round-1 fixed rows stay inside the verified window too
