@@ -347,3 +347,47 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("analytics", "sequence", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix: per-user chronological LEAD pairs
+    rolled up into (from, to) counts — the Markov-chain / user-path
+    primitive behind funnel discovery and next-event models (the sequence
+    sibling of q_funnel/q_retention).
+
+    Scale: one shuffle on user_id (the window), partition-local sort, then
+    a small (|event_types|^2-row) rollup with map-side partials; the
+    distinct-user count shuffles the (from, to, user) triples once. No
+    self-join of the events table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
