@@ -391,3 +391,56 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_full_outer",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           (c.day IS NULL) AS purchase_only,
+           (p.day IS NULL) AS click_only
+    FROM c FULL OUTER JOIN p ON c.day = p.day
+    """,
+    tags=("join", "outer"),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with key coalescing — the reconciliation shape
+    (days present on either side survive; missing sides zero-filled, and
+    the sidedness flags make the NULL-extension itself part of the
+    compared output). Registry-level coverage for the join type the SCD2
+    snapshot merge uses internally (snapshots.py).
+
+    Scale: both inputs pre-aggregate to one row per day before the join,
+    so the outer join moves |days| rows however large events is; the two
+    aggregations share the events scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    cc, pp = c.alias("c"), p.alias("p")
+    return cc.join(pp, F.col("c.day") == F.col("p.day"), "full_outer").select(
+        F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        F.col("c.day").isNull().alias("purchase_only"),
+        F.col("p.day").isNull().alias("click_only"),
+    )
