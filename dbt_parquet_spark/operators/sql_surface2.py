@@ -444,3 +444,48 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.day").isNull().alias("purchase_only"),
         F.col("p.day").isNull().alias("click_only"),
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE days(day) AS (
+        SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        UNION ALL
+        SELECT day + 1 FROM days
+        WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    )
+    SELECT d.day, COUNT(e.event_id) AS n_events
+    FROM days d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+    GROUP BY d.day
+    """,
+    tags=("cte", "recursive", "sql"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE executed BY SPARK (4.x finally supports it): a
+    recursive date spine from min to max event day, left-joined so
+    zero-activity days survive. Historically this surface was
+    DuckDB-only (every graph/packing oracle here uses recursive CTEs while
+    the Spark side used iteration or sequence()); this query pins that the
+    engine now runs the construct natively.
+
+    Scale note: recursion materializes one row per STEP on a single
+    lineage — right for spines and shallow hierarchies; corpus-scale
+    transitive closure stays on the checkpointed label-propagation path
+    (operators/graph.py), which parallelizes each round.
+    """
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(day) AS (
+            SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events_rcte)
+            UNION ALL
+            SELECT DATE_ADD(day, 1) FROM days
+            WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM events_rcte)
+        )
+        SELECT d.day, COUNT(e.event_id) AS n_events
+        FROM days d LEFT JOIN events_rcte e ON CAST(e.ts AS DATE) = d.day
+        GROUP BY d.day
+        """
+    )
