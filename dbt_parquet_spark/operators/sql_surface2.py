@@ -489,3 +489,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.day
         """
     )
+
+
+@register(
+    "q_quantified",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+        SELECT o_totalprice FROM orders WHERE o_totalprice < 150000
+    )
+    AND o_custkey = ANY (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "quantified"),
+)
+def q_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (`> ALL`, `= ANY`) — a surface Spark's parser
+    still lacks, expressed via the standard rewrites: `> ALL (q)` ⇔
+    `> (SELECT MAX of q)` (non-empty q; NULL-safe here because
+    o_totalprice is non-null) and `= ANY (q)` ⇔ a left-semi join. The
+    oracle runs the NATIVE quantified SQL in DuckDB, so the rewrite is
+    value-verified, not argued.
+
+    Scale: the ALL-side collapses to a broadcast one-row aggregate; the
+    ANY-side is a semi join — both the shapes the rewrite should produce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    max_p = orders.filter(F.col("o_totalprice") < 150000).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    neg = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        orders.crossJoin(F.broadcast(max_p))
+        .filter(F.col("o_totalprice") > F.col("mx"))
+        .join(neg, "o_custkey", "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
