@@ -30,7 +30,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 from tests.oracle_utils import compare_spark_duckdb
 # the queries whose determinism depends on aggregation order
 names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
-         "q_corr_exact", "q_ann_topk", "q_dedup_ngram_jaccard", "q_histogram"]
+         "q_corr_exact", "q_ann_topk", "q_dedup_ngram_jaccard", "q_histogram",
+         # round-5 additions whose outputs pass through collect_set /
+         # collect_list (order must be neutralized by sorting) or
+         # rate-threshold floats
+         "q_span_dedup", "q_source_overlap", "q_temperature_sample",
+         "q_heavy_hitters", "q_retention"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
