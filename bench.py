@@ -65,6 +65,11 @@ EXTENSION_HEADLINE = [
     "q_term_saliency",
     "q_span_dedup",
     "q_source_overlap",
+    "q_retention",
+    "q_event_transitions",
+    "q_heavy_hitters",
+    "q_temperature_sample",
+    "q_multimodal_frames",
 ]
 
 
