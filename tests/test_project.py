@@ -215,3 +215,41 @@ def test_corpus_example_project(spark, tmp_path):
     # vocabulary frequencies must sum to the train-split token count
     vocab_total = spark.table("vocab").groupBy().sum("freq").collect()[0][0]
     assert vocab_total == stats["train"].n_tokens
+
+
+def test_analytics_example_project(spark, tmp_path):
+    """examples/analytics: the events DAG (activity spine -> retention;
+    QUALIFY top-k; transitions) runs through the runner with the dialect
+    rewrites (::DATE, GROUP BY ALL, QUALIFY) applied, and cross-model
+    invariants hold."""
+    import shutil
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.project import Project
+
+    from .conftest import SF_SMALL
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    shutil.copy(os.path.join(SF_SMALL, "events.parquet"), db)
+    catalog = FilesystemCatalog(db)
+    project = Project.from_dir(catalog, os.path.join(REPO, "examples/analytics/models"))
+    results = project.run(spark, threads=4)
+    assert set(results) == {"daily_activity", "retention", "top_spend_days", "transitions"}
+
+    catalog.register_all_views(spark)
+    events = spark.read.parquet(os.path.join(db, "events.parquet"))
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+
+    # retention offset-0 counts every user exactly once
+    from pyspark.sql import functions as F
+
+    ret = spark.table("retention")
+    assert ret.filter(F.col("offset_days") == 0).groupBy().sum("n_active").collect()[0][0] == n_users
+    # each user contributes (events_i - 1) transitions
+    trans_total = spark.table("transitions").groupBy().sum("n").collect()[0][0]
+    assert trans_total == n_events - n_users
+    # top_spend_days: at most 3 rows per user
+    top = spark.table("top_spend_days")
+    assert top.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 3
