@@ -21,9 +21,13 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """AS-OF join: for every left row, attach the right row with the
-    greatest ``right_time`` ≤ ``left_time`` within the same ``key``.
+    greatest ``right_time`` ≤ ``left_time`` within the same ``key``
+    (``direction="backward"``, the default), or the smallest
+    ``right_time`` ≥ ``left_time`` (``direction="forward"`` — the
+    pandas merge_asof direction family).
 
     Implementation is the scalable union+window composition (NOT a
     cross-product of time ranges): tag both sides, union, sort within key by
@@ -53,10 +57,12 @@ def asof_join(
     )
     unioned = lt.unionByName(rt)
     # right rows sort before left rows at equal times (tag 0 < 1) → a right
-    # row AT the left timestamp matches (ASOF's ≤ semantics).
+    # row AT the left timestamp matches (ASOF's ≤/≥ semantics). Forward
+    # direction = the same carry over reversed time order.
+    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_is_left"))
+        .orderBy(t_order, F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -165,4 +171,51 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
+    )
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+    WITH last_orders AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           lo.o_orderdate AS next_orderdate,
+           lo.o_orderkey AS next_orderkey
+    FROM events e
+    ASOF LEFT JOIN last_orders lo
+      ON e.user_id = lo.o_custkey AND e.ts <= lo.o_orderdate
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event gets the customer's NEXT order-day
+    at-or-after the event time (lead-time / time-to-conversion lookups —
+    pandas merge_asof direction='forward'). Oracle is DuckDB's native ASOF
+    with the inequality flipped; the Spark composition is the same
+    union+window carry over reversed time order (asof_join
+    direction='forward') — still one shuffle + one partition sort.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    last_orders = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    out = asof_join(
+        events,
+        last_orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderdate", "o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("next_orderdate"),
+        F.col("o_orderkey").alias("next_orderkey"),
     )

@@ -32,3 +32,25 @@ def test_asof_matches_bruteforce(spark, evs, refs):
         candidates = [(rt, k * 1000 + rt) for rk, rt in refs if rk == k and rt <= t]
         want = max(candidates)[1] if candidates else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(event_rows, ref_rows)
+def test_asof_forward_matches_bruteforce(spark, evs, refs):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(evs)], "k: long, t: long, eid: long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in refs], "k: long, t: long, payload: long"
+    ) if refs else spark.createDataFrame([], "k: long, t: long, payload: long")
+
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="t",
+        payload=["payload"], direction="forward",
+    )
+    got = {r.eid: r.payload for r in out.collect()}
+
+    for i, (k, t) in enumerate(evs):
+        candidates = [(rt, k * 1000 + rt) for rk, rt in refs if rk == k and rt >= t]
+        want = min(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, t, got[i], want)
