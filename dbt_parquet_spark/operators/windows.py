@@ -125,3 +125,97 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_value"),
     )
+
+
+@register(
+    "q_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM events WHERE event_type = 'purchase' AND user_id < 40
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, unnest(list_transform(range(0,
+                   CAST(date_diff('day', mn, mx) AS INTEGER) + 1),
+                   i -> mn + CAST(i AS INTEGER))) AS day
+        FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id)
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.spend,
+               LAST_VALUE(d.spend IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               LAST_VALUE(d.day IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+               FIRST_VALUE(d.spend IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(d.day IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day, (spend IS NOT NULL) AS observed,
+           CASE WHEN spend IS NOT NULL THEN spend
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                        / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+           END AS spend_filled
+    FROM joined
+    """,
+    tags=("window", "timeseries", "interpolate"),
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LINEAR interpolation: per-user daily
+    spend on a dense date spine, missing days filled from the nearest
+    observed neighbors on each side (IGNORE NULLS carry windows), weighted
+    by day distance. Bit-exact across engines: the fill expression
+    prev + (next-prev) * (d1/d2) is the same IEEE tree on both sides, with
+    the day distances as exact ints. user_id < 40 keeps the compared spine
+    at ~1.1k rows (662 of them interpolated at sf0.01 — non-vacuous).
+
+    Scale: the spine explodes one row per (user, day-in-range) — bounded
+    by calendar x users, not events; both carry windows and the final
+    projection share ONE shuffle on user_id with partition-local sorts.
+    """
+    from ..functions.exact import dec
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("double").alias("spend"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    obs_day = F.when(F.col("spend").isNotNull(), F.col("day"))
+    w_prev = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    prev_v = F.last("spend", ignorenulls=True).over(w_prev)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_v = F.first("spend", ignorenulls=True).over(w_next)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev_d).cast("double") / F.datediff(
+        next_d, prev_d
+    ).cast("double")
+    filled = F.when(F.col("spend").isNotNull(), F.col("spend")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("spend").isNotNull().alias("observed"),
+        filled.alias("spend_filled"),
+    )
