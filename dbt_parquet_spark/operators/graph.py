@@ -10,7 +10,7 @@ distributed iterative algorithm instead — the honest 100 TB shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -210,4 +210,80 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         comp.join(sizes, "component")
         .select("vec_id", F.col("component").alias("component_id"), "component_size")
+    )
+
+
+@register(
+    "q_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM ngram_pairs
+        UNION
+        SELECT d2, d1 FROM ngram_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    quality AS (
+        SELECT doc_id,
+               least(len(string_split(text, ' ')) / 60.0, 1.0)
+                 * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' ')), 1.0) AS quality
+        FROM documents
+    )
+    SELECT component_id, doc_id AS canonical_doc_id, quality, component_size
+    FROM (
+        SELECT c.component_id, c.doc_id, q.quality,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS component_size,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN quality q USING (doc_id)
+    ) ranked
+    WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "canonical"),
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the step AFTER clustering that
+    every dedup pipeline actually ships: per duplicate cluster, keep the
+    highest-quality member (quality formula = q_quality_score's
+    length-sweet-spot x lexical-diversity, computed here as JVM column
+    expressions; doc_id tiebreak). Closes the loop
+    near-dup pairs -> components -> one kept doc per cluster.
+
+    Scale: components is the checkpointed label propagation; the quality
+    leg is map-only over the (small) set of clustered docs after a
+    broadcast-able join; the argmax is one window over cluster-partitioned
+    rows. Nothing touches unclustered docs — they are kept implicitly.
+    """
+    from ..sources.readers import load_table
+
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    quality = (
+        F.least(n / F.lit(60.0), F.lit(1.0))
+        * F.least(F.size(F.array_distinct(toks)).cast("double") / n, F.lit(1.0))
+    )
+    q = docs.select("doc_id", quality.alias("quality"))
+    joined = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "quality",
+            "component_size",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
