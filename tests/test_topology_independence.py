@@ -35,7 +35,9 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          # collect_list (order must be neutralized by sorting) or
          # rate-threshold floats
          "q_span_dedup", "q_source_overlap", "q_temperature_sample",
-         "q_heavy_hitters", "q_retention"]
+         "q_heavy_hitters", "q_retention",
+         # window-carry / iterative additions
+         "q_interpolate", "q_asof_forward", "q_canonical_docs"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
