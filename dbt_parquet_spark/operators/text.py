@@ -356,3 +356,54 @@ def q_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "q_quality_rules",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_len
+        FROM documents
+    )
+    SELECT doc_id,
+           (n_tok BETWEEN 20 AND 100000) AS word_count_ok,
+           (avg_len >= 2.0 AND avg_len <= 12.0) AS avg_token_len_ok,
+           (CAST(n_distinct AS DOUBLE) / n_tok >= 0.2) AS diversity_ok,
+           ((n_tok BETWEEN 20 AND 100000)
+            AND (avg_len >= 2.0 AND avg_len <= 12.0)
+            AND (CAST(n_distinct AS DOUBLE) / n_tok >= 0.2)) AS passes
+    FROM s
+    """,
+    tags=("text", "quality", "filter"),
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality FILTER verdicts (Gopher-rules style): named
+    boolean checks per document — word-count bounds, mean-token-length
+    band, lexical-diversity floor — plus the combined pass flag. The
+    per-rule flags are the production shape (filter-reason accounting /
+    ablation), complementing q_quality_score's scalar. All checks are
+    integer or int/int-double comparisons → bit-deterministic.
+
+    Scale: narrow map-only projection, whole-stage codegen, no shuffle;
+    the downstream keep-filter is `WHERE passes`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    avg_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_tok
+    word_ok = (n_tok >= 20) & (n_tok <= 100000)
+    len_ok = (avg_len >= 2.0) & (avg_len <= 12.0)
+    div_ok = F.size(F.array_distinct(toks)).cast("double") / n_tok >= 0.2
+    return docs.select(
+        "doc_id",
+        word_ok.alias("word_count_ok"),
+        len_ok.alias("avg_token_len_ok"),
+        div_ok.alias("diversity_ok"),
+        (word_ok & len_ok & div_ok).alias("passes"),
+    )

@@ -95,8 +95,8 @@ def test_registry_exposes_all_queries():
     # +q_source_overlap, +q_ann_pq, +q_retention, +q_multimodal_frames,
     # +q_heavy_hitters, +q_temperature_sample, +q_event_transitions,
     # +q_full_outer, +q_recursive_cte, +q_quantified, +q_asof_forward,
-    # +q_interpolate, +q_canonical_docs
-    assert len(specs) == 139
+    # +q_interpolate, +q_canonical_docs, +q_quality_rules
+    assert len(specs) == 140
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
