@@ -103,15 +103,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Two runs per query, report the faster (steady-state; first run pays
-    # one-time file-listing/codegen for that plan). A throwing query costs
-    # one error row, never the artifact: the loop isolates per-query
-    # failures so the JSON line always carries whatever ran.
+    # Min-of-3 per query INSIDE one invocation, so a single driver draw is
+    # low-variance (round-5 lesson: one draw drifted +21% vs a local
+    # min-of-3 with identical plans). Repeats are capped for slow queries
+    # (>4 s best-of-2 stops there, not 3) to keep total wall-time sane —
+    # the cap is deliberately ABOVE the scaffold-cache build cost so a
+    # query whose first run pays a shared persist still gets its
+    # steady-state third run (q_dedup_components lesson). A throwing
+    # query costs one error row, never the artifact: the loop isolates
+    # per-query failures so the JSON line always carries whatever ran.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(3):
             t0 = time.perf_counter()
             try:
                 run_query(specs[name].builder(spark, SF_DIR))
@@ -119,6 +124,8 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
             best = min(best, time.perf_counter() - t0)
+            if attempt >= 1 and best > 4.0:
+                break
         if name not in errors:
             timings[name] = round(best, 3)
 

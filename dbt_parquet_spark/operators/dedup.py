@@ -71,7 +71,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
     exploded = toks_df.select(
         "doc_id", F.explode(shingles(F.col("toks"), k)).alias("s")
@@ -82,6 +82,47 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     toks_df.unpersist()
     _SHINGLE_CACHE[key] = exploded
     return exploded
+
+
+# Per-partition compressed-byte budget for _spread_small_scan. Tuned by
+# sweep at sf0.1 (targets 4/8/16/32): token-pipeline CPU work per scanned
+# byte is high, so ~64 KiB of compressed text per task keeps every task
+# >100 ms of real work — cores-wide spreading of tiny data measured SLOWER
+# (32 tasks of scheduler overhead beat 2x the compute).
+_SPREAD_BYTES_PER_PARTITION = 64 * 1024
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a scan across the cluster when the file layout gives
+    fewer partitions than the data's CPU work deserves. The text/dedup
+    operators are CPU-bound (split, md5 grams, shingle assembly) downstream
+    of a scan whose BYTES are tiny — a single small parquet file otherwise
+    serializes the whole token pipeline onto one core (measured 1 partition
+    for 5k docs at sf0.1, a ~2x wall-clock loss across the dedup suite).
+    The target is sized by DATA (compressed bytes / 64 KiB), capped at
+    cluster parallelism: over-spreading tiny inputs costs more in per-task
+    overhead than it buys in compute (measured). At warehouse scale the
+    scan already carries >= parallelism splits and this is a no-op."""
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    try:
+        nbytes = sum(
+            _os.path.getsize(_urlparse(f).path)
+            for f in df.inputFiles()
+            if _urlparse(f).scheme in ("file", "")
+        )
+    except OSError:
+        nbytes = 0
+    if nbytes <= 0:
+        return df  # non-local or unlistable input: trust the scan's splits
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-nbytes // _SPREAD_BYTES_PER_PARTITION)),
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # Memo of persisted (doc_id, toks: array<string>) — the scaffold for
@@ -101,7 +142,7 @@ def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TOKEN_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
     _TOKEN_CACHE[key] = toks_df
     return toks_df
@@ -327,6 +368,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(doc) to build signatures (64 branch-free bit sums,
     map-side partial), then a 4-way chunk equi-join on 2-byte keys.
     """
+    # No _spread_small_scan here: the signature groupBy(doc_id) re-shuffles
+    # immediately, so pre-spreading the scan measured slightly SLOWER (the
+    # spread only pays off when CPU-heavy narrow work runs before the first
+    # shuffle, as in the token/shingle scaffolds).
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(token_array()).alias("tok"))
     h = F.xxhash64("tok")
@@ -436,15 +481,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: positioned spans are array expressions over the PERSISTED token
     arrays (doc_token_arrays — one split per doc, narrow; the first
     posexplode+LEAD draft re-ran the explode+window sort once per plan
-    branch and was 5x slower). Span document-frequency is a groupBy(gram)
-    with map-side partial distinct; the covered-position SET is aggregated
-    per doc (collect_set — overlapping frequent spans merge here), then
-    joined back to the one-row-per-doc token arrays, so reconstruction is a
-    narrow indexed array filter — no token-level shuffle and no final
-    groupBy at all.
+    branch and was 5x slower). Gram postings shuffle ONCE, as 16-byte md5
+    keys: a single groupBy(gram-key) computes the document-frequency test
+    AND carries the posting list, so the singleton-gram majority dies in
+    the filter instead of being re-shuffled through a freq sort-merge join
+    (the round-5 shape; this cut sf0.1 runtime ~2x). The covered-position
+    SET is aggregated per doc (collect_set — overlapping frequent spans
+    merge here), then joined back to the one-row-per-doc token arrays, so
+    reconstruction is a narrow indexed array filter — no token-level
+    shuffle and no final groupBy at all.
 
-    Scale: no stage is quadratic — spans shuffle by gram (skew capped by
-    the gram keyspace; a df cap like pairs_from_buckets' applies if
+    Scale: no stage is quadratic — postings shuffle by gram key (skew is
+    bounded: a gram's posting list equals its corpus frequency, the same
+    rows the old join emitted; a df cap like pairs_from_buckets' applies if
     boilerplate grams dominate), coverage shuffles once by doc_id, and the
     final join moves one row per DOC on each side. Output partitioning =
     input docs partitioning.
@@ -460,33 +509,57 @@ def span_scrub(
     corpora against a pure-python reference (test_properties.py). The
     caller is responsible for persisting toks_df if its lineage is
     expensive (q_span_dedup passes the memoized doc_token_arrays)."""
-    gram_at = lambda i: F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
+    # 16-byte md5 gram keys (the q_dedup_exact trick): the widest shuffle
+    # moves fixed-width binary instead of ~6x-wider gram strings, and the
+    # collision space (2^128 over a ~N*L gram population) keeps the result
+    # exact in any physically realizable corpus.
+    gram_at = lambda i: F.unhex(
+        F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + off) for off in range(k)])
+        )
     )
-    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram"))
+    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gkey"))
     grams = toks_df.select(
         "doc_id",
         F.explode(
             F.when(
                 F.size("toks") >= k,
                 F.transform(F.sequence(F.lit(1), F.size("toks") - (k - 1)), pg_struct),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+            ).otherwise(F.array().cast("array<struct<pos:int,gkey:binary>>"))
         ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    freq = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_docs)
-        .select("gram")
-    )
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    # ONE shuffle of the gram postings: groupBy(gkey) carries the posting
+    # list alongside the document-frequency test, so the singleton-gram
+    # majority is shuffled once and dies in the filter — the previous
+    # freq-then-join shape shuffled every singleton a second time through a
+    # sort-merge join. Postings for a df>=min_docs gram explode back out
+    # exactly as the join would have emitted them; per-gram list size equals
+    # the gram's corpus frequency (boilerplate-gram skew is bounded by doc
+    # count, and the same rows would exist post-join in the old shape).
     cov = (
-        grams.join(freq, "gram")
+        grams.groupBy("gkey")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("posts"))
+        .filter(
+            (F.size("posts") >= min_docs)
+            & (F.size(F.array_distinct(F.col("posts.doc_id"))) >= min_docs)
+        )
+        .select(F.explode("posts").alias("dp"))
+        .select(F.col("dp.doc_id").alias("doc_id"), F.col("dp.pos").alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+        # Expand start positions to covered positions AFTER the doc_id
+        # shuffle (array ops, no explode): the shuffle moves one int per
+        # frequent span instead of k.
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("starts"), lambda s: F.sequence(s, s + (k - 1))
+                    )
+                )
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("p").alias("cov"))
     )
     joined = toks_df.join(cov, "doc_id", "left")
     covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
