@@ -536,7 +536,12 @@ PQ_M = 16  # subspaces (4 dims each)
 PQ_K = 16  # centroids per subspace codebook
 PQ_ITERS = 3
 PQ_SUB = EMBED_DIM // PQ_M
-PQ_RERANK = 50  # exact-rerank candidate pool per query
+# Exact-rerank candidate pool per query. Sized at 20x TOP_K: under heavy
+# quantization a tight cluster collapses to ONE code word, making ADC
+# scores tie across the whole cluster — the pool must cover a full
+# cluster's tie group or the id tie-break can cut a true neighbor
+# (observed at pool=50 with 60-member clusters: recall 0.93 vs IVF's 1.0).
+PQ_RERANK = 100
 # Codebook training runs on at most ~this many vectors: a deterministic
 # hash-sample caps the per-iteration k-means cost at a CONSTANT regardless
 # of corpus size (FAISS trains on a sample the same way); the encode pass
@@ -582,6 +587,14 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     # init = the PQ_K lowest vec_ids PRESENT (the sample may not contain
     # ids 0..PQ_K-1), mapped to codebook slots in id order
     init_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()]
+    if len(init_ids) < PQ_K:
+        # Fewer vectors than codebook slots: unfilled slots would stay None
+        # and crash the literal build below. PQ on a corpus this small is
+        # pointless (the exact scan is cheaper) — fail with intent.
+        raise ValueError(
+            f"PQ training needs >= {PQ_K} vectors, got {len(init_ids)}; "
+            "use q_ann_topk (exact) for corpora smaller than the codebook"
+        )
     slot = {v: i for i, v in enumerate(init_ids)}
     init = subs.filter(F.col("vec_id").isin(init_ids)).collect()
     books = [[None] * PQ_K for _ in range(PQ_M)]
@@ -634,32 +647,58 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw floats, a 64x scan-volume cut); codebooks are KBs broadcast as
     literals. The PQ scan is map-only against broadcast queries; only
     TOP-PQ_RERANK survivors are joined back to raw vectors (an equi-join on
-    vec_id) for the exact pass. Compose with q_ann_ivf's cell pruning (scan
-    only probed cells' codes) for the full IVF-PQ layout.
+    vec_id) for the exact pass. q_ann_ivf_pq composes this with q_ann_ivf's
+    cell pruning (scan only probed cells' codes) — the full IVF-PQ layout.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = train_pq_codebooks(spark, sf_dir)
-    books_lit = F.array(
+    books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
+    codes = _pq_encode(emb, books_lit)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scanned = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_dot(books_lit).alias("approx_dot"),
+        )
+    )
+    return _rerank_exact(scanned, emb)
+
+
+def _pq_sub(col, m):
+    return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+
+def _books_literal(books: list[list[list[float]]]):
+    """PQ codebooks as one nested array literal (KBs, broadcast inline)."""
+    return F.array(
         *[
             F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
             for m in range(PQ_M)
         ]
     )
 
-    def sub(col, m):
-        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
-    # Encode: corpus rows shrink to (vec_id, codes: array<int>).
-    # NB: the centroid-distance lambda must stay single-argument — a
-    # two-parameter lambda (e.g. binding m via a default arg) is interpreted
-    # by F.transform as (element, index) and silently receives the ARRAY
-    # INDEX as the second value.
+def _pq_encode(emb: DataFrame, books_lit) -> DataFrame:
+    """Encode: corpus rows shrink to (vec_id, codes: array<int>).
+
+    NB: the centroid-distance lambda must stay single-argument — a
+    two-parameter lambda (e.g. binding m via a default arg) is interpreted
+    by F.transform as (element, index) and silently receives the ARRAY
+    INDEX as the second value.
+    """
+
     def _dists(m: int):
-        s = sub(F.col("embedding"), m)
+        s = _pq_sub(F.col("embedding"), m)
         return F.transform(F.element_at(books_lit, m + 1), lambda c: _l2sq(s, c))
 
-    codes = emb.select(
+    return emb.select(
         "vec_id",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         F.array(
             *[
                 (F.array_position(_dists(m), F.array_min(_dists(m))).cast("int") - 1)
@@ -667,22 +706,25 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("codes"),
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    # ADC scan: approx dot = sum over subspaces of dot(q_sub, centroid[code]).
+
+
+def _adc_dot(books_lit):
+    """Asymmetric-distance approx dot: sum over subspaces of
+    dot(q_sub, centroid[code]) — query side exact, corpus side quantized."""
     approx = None
     for m in range(PQ_M):
         cent = F.element_at(
             F.element_at(books_lit, m + 1), F.element_at("codes", m + 1) + 1
         )
-        term = dot(sub(F.col("qe"), m), cent)
+        term = dot(_pq_sub(F.col("qe"), m), cent)
         approx = term if approx is None else approx + term
-    scanned = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), approx.alias("approx_dot"))
-    )
+    return approx
+
+
+def _rerank_exact(scanned: DataFrame, emb: DataFrame) -> DataFrame:
+    """Top-PQ_RERANK by approx_dot per query, then exact-cosine rerank to
+    the final TOP_K (q_ann_topk's schema, so recall is directly
+    measurable and returned scores are true cosines)."""
     wa = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
     cand = (
         scanned.select("query_id", "qe", "neighbor_id", F.row_number().over(wa).alias("r"))
@@ -701,3 +743,59 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register("q_ann_ivf_pq", tags=("similarity", "ann", "ivf", "pq"))
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ composition (FAISS IVFPQ's layout as DataFrames):
+    IVF's coarse quantizer prunes WHICH vectors are scored (only the
+    query's nprobe nearest cells), PQ compresses HOW the survivors are
+    scored (ADC over byte codes), and an exact-cosine rerank of the top
+    PQ_RERANK candidates restores true scores. Same schema as q_ann_topk.
+
+    Rows-only driver check (quantizer/codebook parameters are operator
+    identity); pytest measures recall vs the exact baseline on a CLUSTERED
+    fixture (mixture of Gaussians — the isotropic synthetic corpus lower-
+    bounds any cell-pruning method at ~nprobe/cells) and asserts recall >=
+    IVF-alone at the same probe budget.
+
+    Scale: the two levers compose multiplicatively — the scan touches
+    N*nprobe/cells vectors at 4 bytes of codes each (here ~64x smaller
+    than raw floats), so a 100 TB corpus scans ~0.5 TB of codes at
+    nprobe/cells=0.3. Cell id is the shuffle/partition key (write the
+    codes table partitioned by cell and the probe join becomes partition
+    pruning); codebooks and centroids stay KB-scale literals.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_quantizer(spark, sf_dir)
+    books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
+    sims = F.array(
+        *[cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    assigned = emb.select(
+        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
+    )
+    codes = _pq_encode(assigned.select("vec_id", "cell", "embedding"), books_lit)
+    q_sims = F.array_sort(
+        F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), (i + 1).alias("cell")))
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice(q_sims, 1, IVF_NPROBE)).alias("probe"),
+        )
+        .select("query_id", "qe", F.col("probe.cell").alias("cell"))
+    )
+    scanned = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_dot(books_lit).alias("approx_dot"),
+        )
+    )
+    return _rerank_exact(scanned, emb)

@@ -237,7 +237,12 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compared output; the sketch contributes a distribution-safe union-estimate
 # bound (the q_kmv_intersection pattern — tight per-draw bands live in
 # pytest, where the draw is fixed).
-SOURCE_KMV_TOL = 0.25  # ~4 sigma of the union estimate at k=256
+# ~4 sigma of the union estimate at k=256. NB (ADVICE r5): this bound is
+# asserted per PAIR in the graded oracle, so the chance of one outlier pair
+# failing grows ~quadratically with source cardinality — fine at the fixed
+# 4-source test corpus (6 pairs); if sources ever grow, widen the band or
+# move the per-pair check into pytest like the tight per-draw band already is.
+SOURCE_KMV_TOL = 0.25
 
 
 @register(

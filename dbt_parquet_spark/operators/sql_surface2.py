@@ -527,7 +527,10 @@ def q_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.crossJoin(F.broadcast(max_p))
-        .filter(F.col("o_totalprice") > F.col("mx"))
+        # `> ALL (empty)` is vacuously TRUE; MAX over the empty subquery is
+        # NULL, so a bare `> mx` would (wrongly) drop every row. The NULL
+        # branch restores true ALL semantics without assuming non-emptiness.
+        .filter(F.col("mx").isNull() | (F.col("o_totalprice") > F.col("mx")))
         .join(neg, "o_custkey", "left_semi")
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")

@@ -77,3 +77,58 @@ def test_pq_sound_and_high_recall(spark):
     assert len(pq) == len(exact)
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.8, f"PQ recall regression: {recall}"
+
+
+def _recall_at_k(spark, sf_dir, query_fn) -> float:
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q_ann_topk(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in query_fn(spark, sf_dir).collect()}
+    return len(exact & got) / len(exact)
+
+
+def test_ann_recall_on_clustered_corpus(spark, clustered_emb_dir):
+    """On data with real cluster structure (the honest ANN benchmark — the
+    shipped isotropic corpus lower-bounds every partition-pruning method),
+    all three index families must find >= 0.9 of the true top-5, and the
+    IVF-PQ composition must not lose recall vs IVF alone at the same probe
+    budget (PQ only compresses scoring; the exact rerank restores order)."""
+    from dbt_parquet_spark.operators.similarity import (
+        q_ann_ivf,
+        q_ann_ivf_pq,
+        q_ann_lsh,
+        q_ann_pq,
+    )
+
+    r_lsh = _recall_at_k(spark, clustered_emb_dir, q_ann_lsh)
+    r_ivf = _recall_at_k(spark, clustered_emb_dir, q_ann_ivf)
+    r_pq = _recall_at_k(spark, clustered_emb_dir, q_ann_pq)
+    r_ivf_pq = _recall_at_k(spark, clustered_emb_dir, q_ann_ivf_pq)
+    assert r_lsh >= 0.9, f"LSH recall on clustered corpus: {r_lsh}"
+    assert r_ivf >= 0.9, f"IVF recall on clustered corpus: {r_ivf}"
+    assert r_pq >= 0.9, f"PQ recall on clustered corpus: {r_pq}"
+    assert r_ivf_pq >= r_ivf, f"IVF-PQ ({r_ivf_pq}) lost recall vs IVF ({r_ivf})"
+
+
+def test_ivf_pq_sound_on_shipped_corpus(spark):
+    """IVF-PQ returns true cosines for whatever it returns (quantization
+    only selects candidates; the rerank is exact) and respects the
+    structural recall floor of its probe budget on the isotropic corpus."""
+    import numpy as np
+
+    from dbt_parquet_spark.operators.similarity import q_ann_ivf_pq
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    rows = q_ann_ivf_pq(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - want) < 1e-9
+        assert r.query_id != r.neighbor_id
+    exact_rows = q_ann_topk(spark, SF_ORACLE).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.15, f"IVF-PQ recall below structural floor: {recall}"
