@@ -134,8 +134,15 @@ def resolve_database(database: str) -> CatalogFS:
     parsed = urlparse(database)
     # Single-letter "schemes" are Windows drive letters (C:\data), not URLs.
     if parsed.scheme in ("", "file") or len(parsed.scheme) == 1:
-        root = os.path.abspath(parsed.path if parsed.scheme == "file" else database)
-        return CatalogFS(pafs.LocalFileSystem(), root, spark_prefix="")
+        explicit = parsed.scheme == "file"
+        root = os.path.abspath(parsed.path if explicit else database)
+        # An EXPLICIT file:// database keeps its scheme on Spark URLs, so
+        # the scheme-prefixed spark_url join path (the one s3a://, gs://
+        # and hdfs:// take) is exercised end-to-end by local tests; a bare
+        # path stays a bare path.
+        return CatalogFS(
+            pafs.LocalFileSystem(), root, spark_prefix="file://" if explicit else ""
+        )
     if parsed.scheme == "memory":
         root = (parsed.netloc + parsed.path).strip("/")
         fs = _memory_fs()

@@ -133,16 +133,38 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the within-doc self-join is bounded by tokens-per-doc² per doc
     (not corpus²); for web-scale vocabularies, frequency-cap tokens first
-    (stop-token removal) exactly like hot shingles in dedup. The corpus-size
-    scalar joins in as a broadcast single-row aggregate — one plan, no eager
-    driver-side count job.
+    (stop-token removal, q_cooccurrence_capped) exactly like hot shingles
+    in dedup. The corpus-size scalar joins in as a broadcast single-row
+    aggregate — one plan, no eager driver-side count job. Tokenization
+    rides the SHARED persisted token scaffold (doc_token_arrays), so the
+    four plan branches (totals, df, both join sides) split the text once.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    doc_tokens = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    return cooccurrence_lift(spark, sf_dir, stop_df_cap=None)
+
+
+def cooccurrence_lift(
+    spark: SparkSession, sf_dir: str, stop_df_cap: int | None
+) -> DataFrame:
+    """The co-occurrence core. ``stop_df_cap`` drops tokens whose document
+    frequency EXCEEDS the cap from pair GENERATION only (stop-token
+    removal — the hot-key safety valve: a token in df docs contributes
+    O(df · tokens-per-doc) join rows). Totals and per-token df stay
+    computed from the full corpus, so for every surviving pair the stats
+    are IDENTICAL to the uncapped run: capped output == uncapped output
+    WHERE both tokens' df <= cap (pinned by test_corpus.py)."""
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    doc_tokens = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
     )
     totals = doc_tokens.agg(F.countDistinct("doc_id").alias("n_docs"))
     tok_df = doc_tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if stop_df_cap is not None:
+        keep = F.broadcast(
+            tok_df.filter(F.col("df") <= stop_df_cap).select("tok")
+        )
+        doc_tokens = doc_tokens.join(keep, "tok", "left_semi")
     a = doc_tokens.alias("a")
     b = doc_tokens.alias("b")
     pairs = (
@@ -166,6 +188,53 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# Production stop-token cap: at sf0.01 the corpus has ~30 tokens in >300 of
+# 500 docs (function-word analogues); real web corpora have the same shape
+# with far heavier heads. Chosen so the capped query is NON-vacuous at the
+# driver's sf (some tokens are dropped) while remaining exactly checkable.
+COOC_STOP_DF_CAP = 300
+
+
+@register(
+    "q_cooccurrence_capped",
+    oracle=f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    totals AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM doc_tokens),
+    tok_df AS (SELECT tok, COUNT(*) AS df FROM doc_tokens GROUP BY tok),
+    kept AS (
+        SELECT dt.doc_id, dt.tok FROM doc_tokens dt
+        JOIN tok_df USING (tok) WHERE df <= {COOC_STOP_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS co_df
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, co_df,
+           CAST(co_df AS DOUBLE) * (SELECT n_docs FROM totals)
+             / (da.df * db.df) AS lift
+    FROM pairs
+    JOIN tok_df da ON tok_a = da.tok
+    JOIN tok_df db ON tok_b = db.tok
+    WHERE co_df >= 50
+    """,
+    tags=("corpus", "cooccurrence", "capped"),
+)
+def q_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cooccurrence with the PRODUCTION stop-token df-cap engaged (drop
+    tokens in > COOC_STOP_DF_CAP docs before pair generation). This is the
+    form you run at web scale — the uncapped query's cost is dominated by
+    exactly the head tokens this drops, and what it drops is precisely
+    characterized: output == uncapped output restricted to pairs whose
+    tokens BOTH have df <= cap (totals/df stats are computed pre-cap, so
+    surviving pairs' lift values are bit-identical; pinned by test)."""
+    return cooccurrence_lift(spark, sf_dir, stop_df_cap=COOC_STOP_DF_CAP)
 
 
 @register(

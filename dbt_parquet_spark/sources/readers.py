@@ -36,16 +36,40 @@ def table_names(sf_dir: str) -> list[str]:
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only probe."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only probe.
 
-    if os.path.isdir(path):
-        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
-        if not parts:
-            return []
-        path = os.path.join(path, parts[0])
-    pf = pq.ParquetFile(path)
+    Resolves through pyarrow.fs so the probe works on any path spelling the
+    engine reads (bare local path, file://, s3a://...); an unreachable or
+    unlistable location degrades to "no nanos columns" rather than failing
+    the read — Spark itself will surface a real IO error with context."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    try:
+        if "://" in path:
+            uri = path.replace("s3a://", "s3://", 1)
+            fs, fpath = pafs.FileSystem.from_uri(uri)
+        else:
+            fs, fpath = pafs.LocalFileSystem(), path
+        info = fs.get_file_info(fpath)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(fpath, recursive=False)
+            parts = sorted(
+                i.path for i in fs.get_file_info(sel) if i.path.endswith(".parquet")
+            )
+            if not parts:
+                return []
+            fpath = parts[0]
+        with fs.open_input_file(fpath) as f:
+            pf = pq.ParquetFile(f)
+            return _ns_cols_of(pf)
+    except (OSError, pa.lib.ArrowInvalid):
+        return []
+
+
+def _ns_cols_of(pf) -> list[str]:
+    import pyarrow.types as pat
     # INT96 legacy timestamps surface as ns in Arrow but Spark reads them
     # natively — only true INT64 TIMESTAMP(NANOS) needs the escape hatch.
     physical = {

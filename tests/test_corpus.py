@@ -52,3 +52,42 @@ def test_seeded_sampleby_reproducible(spark):
     a = docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).count()
     b = docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).count()
     assert a == b and a > 0
+
+
+def test_cooccurrence_cap_exactly_characterized(spark):
+    """The production stop-token df-cap drops EXACTLY the pairs involving a
+    capped token, nothing else: capped output == uncapped output restricted
+    to pairs whose tokens both have df <= cap, with bit-identical co_df and
+    lift (stats are computed pre-cap). Also pins non-vacuity: the sf0.01
+    corpus must actually have tokens over the cap, or this test means
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.corpus import (
+        COOC_STOP_DF_CAP,
+        q_cooccurrence,
+        q_cooccurrence_capped,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    tok_df = (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hot = {r.tok for r in tok_df.filter(F.col("df") > COOC_STOP_DF_CAP).collect()}
+    assert hot, "cap is vacuous at sf0.01 — no token exceeds it"
+
+    uncapped = {
+        (r.tok_a, r.tok_b): (r.co_df, r.lift)
+        for r in q_cooccurrence(spark, SF_ORACLE).collect()
+    }
+    capped = {
+        (r.tok_a, r.tok_b): (r.co_df, r.lift)
+        for r in q_cooccurrence_capped(spark, SF_ORACLE).collect()
+    }
+    expected = {
+        k: v for k, v in uncapped.items() if k[0] not in hot and k[1] not in hot
+    }
+    assert capped == expected
+    assert len(capped) < len(uncapped), "cap dropped no pair — vacuous corpus"

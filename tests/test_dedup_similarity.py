@@ -233,3 +233,66 @@ def test_span_dedup_reconstruction_invariants(spark):
             it = iter(toks)
             assert all(t in it for t in kept)
     assert n_scrubbed > 0  # non-vacuous at sf0.01 (71 docs measured)
+
+
+def test_ngram_bucket_cap_safe_on_boilerplate_corpus(spark, tmp_path):
+    """The production max_bucket cap is safe exactly when hot buckets are
+    BOILERPLATE shingles — shared passages across many non-duplicate docs,
+    whose candidate pairs the Jaccard verify rejects anyway, while true
+    near-dup pairs share many rarer shingles and survive via those. This
+    corpus is built to that shape (the shipped synthetic corpus is not:
+    its near-dups share only 1-3 shingles, so ANY candidate-dropping cap
+    loses pairs there — measured, which is why q_dedup_ngram_jaccard runs
+    uncapped for the exact contract). Pins: (a) some buckets exceed the
+    cap, (b) capped final == uncapped final."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _verify_jaccard,
+        pairs_from_buckets,
+        shingle_sets,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "terms of service apply all rights reserved contact us today"
+    rows = []
+    # 30 docs sharing the boilerplate passage + unique bodies (hot shingles,
+    # pairwise Jaccard far below threshold)
+    for i in range(30):
+        body = " ".join(f"u{i}w{j}" for j in range(40))
+        rows.append((i, f"{boiler} {body}"))
+    # 5 true near-dup pairs sharing long unique passages (many rare shingles)
+    for p in range(5):
+        base = " ".join(f"p{p}tok{j}" for j in range(60))
+        rows.append((100 + 2 * p, f"{base} alpha extra{p}"))
+        rows.append((101 + 2 * p, f"{base} beta extra{p}"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "docs.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).persist()
+    exploded = toks.select("doc_id", F.explode(shingles(F.col("toks"), 5)).alias("s"))
+
+    cap = 10
+    hot_buckets = (
+        exploded.groupBy("s").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > cap).count()
+    )
+    assert hot_buckets > 0, "no bucket exceeds the cap — test corpus broken"
+
+    def final(max_bucket):
+        cand = pairs_from_buckets(exploded, ["s"], max_bucket=max_bucket)
+        out = _verify_jaccard(cand, shingle_sets(exploded), JACCARD_THRESHOLD)
+        return {(r.d1, r.d2, round(r.jaccard, 9)) for r in out.collect()}
+
+    uncapped = final(1_000_000)
+    capped = final(cap)
+    assert len(uncapped) >= 5  # the near-dup pairs exist
+    assert capped == uncapped, "cap dropped a pair the verify keeps"
+    toks.unpersist()
