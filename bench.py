@@ -70,6 +70,9 @@ EXTENSION_HEADLINE = [
     "q_heavy_hitters",
     "q_temperature_sample",
     "q_multimodal_frames",
+    "q_cross_split_decontamination",
+    "q_winnowing",
+    "q_cooccurrence_capped",
 ]
 
 

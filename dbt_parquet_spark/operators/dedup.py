@@ -572,3 +572,74 @@ def span_scrub(
         F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+# --- Cross-split decontamination (near-dup test-set leakage) -----------------
+# q_contamination (corpus.py) finds EXACT shared shingles against a tiny
+# benchmark set; the harder production problem is near-duplicate leakage
+# ACROSS the train/test split itself: a test document whose near-duplicate
+# sits in train silently inflates eval. This is the standard "decontaminate
+# train against eval at the near-dup level" pass (the GPT-3 appendix-C
+# treatment, upgraded from 13-gram exact overlap to Jaccard similarity).
+
+
+@register(
+    "q_cross_split_decontamination",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{'c' * 32}'
+                    THEN 'train' ELSE 'test' END AS split,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 3),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                     || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                     || ' ' || string_split(text, ' ')[i+4]
+               )) AS sh
+        FROM documents
+    ),
+    tr AS (SELECT doc_id, sh, unnest(sh) AS s FROM docs_t WHERE split = 'train'),
+    te AS (SELECT doc_id, sh, unnest(sh) AS s FROM docs_t WHERE split = 'test'),
+    cand AS (
+        SELECT DISTINCT te.doc_id AS test_id, tr.doc_id AS train_id
+        FROM te JOIN tr ON te.s = tr.s
+    )
+    SELECT test_id, train_id,
+           CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
+             / (len(x.sh) + len(y.sh)
+                - len(list_filter(x.sh, t -> list_contains(y.sh, t)))) AS jaccard
+    FROM cand
+    JOIN docs_t x ON cand.test_id = x.doc_id
+    JOIN docs_t y ON cand.train_id = y.doc_id
+    WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)
+             / (len(x.sh) + len(y.sh)
+                - len(list_filter(x.sh, t -> list_contains(y.sh, t))))
+          >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "contamination", "split"),
+)
+def q_cross_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test documents with a NEAR-DUPLICATE (shingle Jaccard >= 0.3) in the
+    train split, under the same deterministic md5 split rule as
+    q_train_test_split — the list a real pipeline removes from train before
+    training. Fully oracle-checked (split rule, candidates, and Jaccard are
+    all engine-deterministic).
+
+    Scale: candidates come from ONE posting equi-join between the two
+    split-filtered branches of the memoized shingle cache (never
+    train x test): cost is sum over shingles of df_train*df_test, with the
+    same hot-shingle df-cap story as q_dedup_ngram_jaccard. The verify leg
+    touches candidate pairs only. The split filter is a narrow predicate on
+    the cached rows, so the whole query adds no new tokenize work.
+    """
+    from .corpus import TRAIN_THRESHOLD
+
+    sh = doc_shingles(spark, sf_dir)
+    is_train = F.md5(F.col("doc_id").cast("string")) < TRAIN_THRESHOLD
+    tr = sh.filter(is_train).select(F.col("doc_id").alias("d1"), "s")
+    te = sh.filter(~is_train).select(F.col("doc_id").alias("d2"), "s")
+    cand = te.join(tr, "s").select("d1", "d2").distinct()
+    verified = _verify_jaccard(cand, shingle_sets(sh), JACCARD_THRESHOLD)
+    return verified.select(
+        F.col("d2").alias("test_id"), F.col("d1").alias("train_id"), "jaccard"
+    )

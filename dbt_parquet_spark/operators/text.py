@@ -407,3 +407,93 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         div_ok.alias("diversity_ok"),
         (word_ok & len_ok & div_ok).alias("passes"),
     )
+
+
+# --- Winnowing fingerprints (MOSS, Schleimer et al. 2003) --------------------
+# q_fingerprint is whole-document identity; winnowing is the POSITIONAL
+# fingerprint scheme used for partial-overlap detection at corpus scale:
+# hash every K-gram, slide a W-hash window, keep the RIGHTMOST MINIMAL hash
+# per window. Guarantees: any shared substring of length >= W+K-1 yields a
+# shared fingerprint, and selected density is ~2/(W+1) of all grams — a
+# tunable sketch of every document's content with positions.
+WINNOW_K = 4  # gram size
+WINNOW_W = 5  # window (hashes per window)
+
+
+@register(
+    "q_winnowing",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(sp) >= {WINNOW_K} THEN
+               list_transform(range(1, len(sp) - {WINNOW_K - 2}),
+                 i -> substr(md5({" || ' ' || ".join(f"sp[i+{o}]" for o in range(WINNOW_K))}), 1, 8))
+             ELSE [] END AS hs
+      FROM base
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WINNOW_W} THEN
+               list_transform(range(1, len(hs) - {WINNOW_W - 2}),
+                 j -> {{'pos': list_max(list_filter(range(j, j + {WINNOW_W}),
+                           q -> hs[q] = list_min(hs[j:j+{WINNOW_W - 1}]))),
+                       'fp': list_min(hs[j:j+{WINNOW_W - 1}])}})
+             ELSE [] END AS s
+      FROM g
+    )
+    SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+    FROM (SELECT doc_id, unnest(s) AS u FROM sel)
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: (doc_id, gram position, fingerprint)
+    for the rightmost-minimal hash of each {WINNOW_W}-hash window over
+    {WINNOW_K}-gram md5 prefixes. md5 hex is engine-identical, so selection
+    is fully oracle-checked. Fingerprint equality across docs then finds
+    PARTIAL overlaps (>= W+K-1 shared tokens) with positions — the
+    plagiarism/attribution primitive span dedup's equi-join can build on.
+
+    Scale: map-only over the persisted token arrays (no shuffle at all —
+    the explode is narrow); downstream overlap detection is an equi-join on
+    fp, i.e. the span-dedup shape at ~2/(W+1) of the posting volume. The
+    per-doc window scan is O(tokens·W) array ops in codegen, no Python.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    K, W = WINNOW_K, WINNOW_W
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + o) for o in range(K)]
+    )
+    hs = F.when(
+        F.size("toks") >= K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (K - 1)),
+            lambda i: F.substring(F.md5(gram(i)), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = toks.select("doc_id", hs.alias("hs"))
+    n_g = F.size("hs")
+    win_min = lambda j: F.array_min(F.slice(F.col("hs"), j, W))
+    sel = F.when(
+        n_g >= W,
+        F.transform(
+            F.sequence(F.lit(1), n_g - (W - 1)),
+            lambda j: F.struct(
+                F.array_max(
+                    F.filter(
+                        F.sequence(j, j + (W - 1)),
+                        lambda q: F.element_at(F.col("hs"), q) == win_min(j),
+                    )
+                ).alias("pos"),
+                win_min(j).alias("fp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,fp:string>>"))
+    return (
+        t.select("doc_id", F.explode(sel).alias("x"))
+        .select("doc_id", F.col("x.pos").cast("long").alias("pos"), F.col("x.fp").alias("fp"))
+        .distinct()
+    )

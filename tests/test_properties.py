@@ -174,3 +174,37 @@ def test_span_scrub_matches_python_reference(spark, corpora):
         kept = [t for j, t in enumerate(toks) if j not in covered]
         want = (len(toks), len(covered), " ".join(kept))
         assert got[i] == want, (i, toks, got[i], want)
+
+
+def test_winnowing_shared_passage_guarantee(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003, thm 1): two documents
+    sharing a substring of >= W+K-1 tokens must share at least one selected
+    fingerprint — and here the shared passage's fingerprints must agree at
+    the corresponding positions. Also pins the density bound: selected
+    fingerprints number far fewer than grams (~2/(W+1))."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.operators.text import WINNOW_K, WINNOW_W, q_winnowing
+
+    shared = " ".join(f"common{i}" for i in range(WINNOW_W + WINNOW_K - 1 + 6))
+    texts = [
+        f"{' '.join(f'a{i}' for i in range(30))} {shared} {' '.join(f'b{i}' for i in range(30))}",
+        f"{' '.join(f'c{i}' for i in range(17))} {shared} {' '.join(f'd{i}' for i in range(25))}",
+        " ".join(f"solo{i}" for i in range(70)),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = q_winnowing(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared passage produced no shared fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    n_grams_0 = len(texts[0].split()) - WINNOW_K + 1
+    assert len(by_doc[0]) < n_grams_0 / 2, "winnowing selected too densely"
