@@ -61,25 +61,26 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     cache (MEMORY_AND_DISK, ≈ shingled corpus size) spills rather than
     OOMs at scale.
 
-    Cache lifecycle: the token cache is a build-time scaffold — it is
-    dropped as soon as the shingle rows are materialized; only the exploded
-    shingles stay cached (exactly one entry per corpus), shared by the
-    Jaccard, MinHash, and vocabulary paths. ``release_shingle_cache``
-    frees everything for long-lived sessions.
+    Cache lifecycle: the shingle rows build FROM the shared
+    ``doc_token_arrays`` scaffold and leave it cached. An earlier revision
+    built (and then unpersisted) its own token DataFrame here — but Spark's
+    CacheManager keys cache entries by LOGICAL PLAN, not by DataFrame
+    object, so that unpersist silently evicted the identical-plan
+    ``doc_token_arrays`` memo too, un-caching every later positional
+    consumer (span dedup, winnowing, cooccurrence) in the same session.
+    Both scaffolds are MEMORY_AND_DISK (spill, not OOM);
+    ``release_shingle_cache`` frees everything for long-lived sessions.
     """
     key = (spark.sparkContext.applicationId, sf_dir, k)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = _spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
-    toks_df = docs.select("doc_id", token_array().alias("toks")).persist()
+    toks_df = doc_token_arrays(spark, sf_dir)
     exploded = toks_df.select(
         "doc_id", F.explode(shingles(F.col("toks"), k)).alias("s")
     ).persist()
-    # Materialize now so the token scaffold can be released immediately:
-    # every caller's first action needs the full shingle set anyway.
+    # Materialize now: every caller's first action needs the full set anyway.
     exploded.count()
-    toks_df.unpersist()
     _SHINGLE_CACHE[key] = exploded
     return exploded
 

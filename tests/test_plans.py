@@ -175,3 +175,42 @@ def test_pq_scan_joins_codes_not_vectors(spark):
     plan = _plan(spark, "q_ann_pq")
     assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast queries
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_single_shuffle_map_only(spark):
+    # winnowing is selection by array expressions over the cached token
+    # arrays; the ONLY exchange allowed is the final distinct. No join of
+    # any kind.
+    plan = _plan(spark, "q_winnowing")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_split_decontamination_posting_join_shape(spark):
+    # candidates must come from the posting equi-join (hash or sort-merge on
+    # the shingle), never a nested-loop/cartesian between the splits; both
+    # split branches must be served from the shingle cache, not fresh scans.
+    plan = _plan(spark, "q_cross_split_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # memoized shingle scaffold reused
+
+
+def test_cooccurrence_rides_token_scaffold(spark):
+    # VERDICT r5 #4: cooccurrence must reuse the persisted token arrays
+    # (text split once) — every branch reads the cache, leaving at most the
+    # cache-fill lineage as FileScan text in the plan.
+    plan = _plan(spark, "q_cooccurrence")
+    assert plan.count("InMemoryTableScan") >= 3  # totals, df, both join sides
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_single_posting_shuffle(spark):
+    # r6 shape: ONE groupBy over the gram postings (no freq sort-merge join
+    # re-shuffling singleton grams). Exchanges: postings groupBy, coverage
+    # groupBy(doc_id), reconstruction join — no more than 4 total, and no
+    # sort-merge join on the gram key (the old shape's signature).
+    plan = _plan(spark, "q_span_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("SortMergeJoin") <= 1  # only the doc_id reconstruction join
