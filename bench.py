@@ -73,6 +73,7 @@ EXTENSION_HEADLINE = [
     "q_cross_split_decontamination",
     "q_winnowing",
     "q_cooccurrence_capped",
+    "q_token_budget_sample",
 ]
 
 

@@ -577,3 +577,80 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled")
         )
     )
+
+
+# --- Token-budget prefix sampling -------------------------------------------
+# "Give me a deterministic ~N-char subset of the corpus" — the operation
+# behind fixed-budget training runs, scaling-law subsets, and eval pools.
+# Docs are ordered by md5(doc_id) (an arbitrary-but-stable shuffle of the
+# corpus, the q_train_test_split convention) and the prefix is cut where
+# the running char total reaches the budget.
+TOKEN_BUDGET = 200_000  # chars; ~1/3 of sf0.01, ~3% of sf0.1 — non-vacuous at both
+
+
+@register(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_chars,
+           CAST(cum_before + n_chars AS BIGINT) AS cum_chars
+    FROM c WHERE cum_before < {TOKEN_BUDGET}
+    """,
+    tags=("corpus", "sample", "budget"),
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic char-budget prefix of the md5-shuffled corpus:
+    every doc whose preceding cumulative n_chars is under TOKEN_BUDGET
+    (so the selection always OVERSHOOTS the budget by at most one doc, and
+    re-running on a re-sharded or appended corpus keeps previously-selected
+    docs selected as long as their hash prefix position is unchanged).
+
+    Scale: the oracle's single global window is a one-task sort at corpus
+    scale; this plan computes the SAME cumulative sum hierarchically (the
+    q_vocabulary pattern): band = first 2 hex chars of the hash (256
+    ordered buckets), band totals -> band offsets via a broadcast
+    theta-join over 256 rows, within-band running sum via a PARTITIONED
+    window. No stage moves the corpus to one task; output rows =
+    budget-bounded, tiny. Fixed-length prefix banding preserves the global
+    hash order across bands, so the hierarchical cumsum is bit-identical
+    to the oracle's flat one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("band", F.substring("h", 1, 2))
+    band_totals = t.groupBy("band").agg(F.sum("n_chars").alias("tot"))
+    hi = band_totals.select(F.col("band").alias("band_lt"), "tot")
+    band_offsets = (
+        band_totals.select("band")
+        .join(F.broadcast(hi), F.col("band_lt") < F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("tot"), F.lit(0)).alias("band_offset"))
+    )
+    w = (
+        Window.partitionBy("band")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.join(F.broadcast(band_offsets), "band").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.col("band_offset") + F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        ).alias("cum_before"),
+    )
+    return c.filter(F.col("cum_before") < TOKEN_BUDGET).select(
+        "doc_id",
+        "n_chars",
+        (F.col("cum_before") + F.col("n_chars")).cast("long").alias("cum_chars"),
+    )

@@ -214,3 +214,12 @@ def test_span_dedup_single_posting_shuffle(spark):
     plan = _plan(spark, "q_span_dedup")
     assert plan.count("Exchange hashpartitioning") <= 4
     assert plan.count("SortMergeJoin") <= 1  # only the doc_id reconstruction join
+
+
+def test_token_budget_sample_no_global_window(spark):
+    # the cumulative char sum must be hierarchical (banded) — a flat global
+    # running sum would show up as an Exchange SinglePartition feeding a
+    # Sort+Window, the one-task shape that dies at corpus scale.
+    plan = _plan(spark, "q_token_budget_sample")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
