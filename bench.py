@@ -74,6 +74,8 @@ EXTENSION_HEADLINE = [
     "q_winnowing",
     "q_cooccurrence_capped",
     "q_token_budget_sample",
+    "q_inverted_index",
+    "q_bigram_lm",
 ]
 
 

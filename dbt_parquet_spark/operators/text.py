@@ -11,7 +11,7 @@ Tokenization convention (shared with dedup.py): whitespace split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -497,3 +497,114 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("x.pos").cast("long").alias("pos"), F.col("x.fp").alias("fp"))
         .distinct()
     )
+
+
+# --- Inverted index ----------------------------------------------------------
+INDEX_MIN_TF = 3  # keep postings with tf >= 3: bounds output, non-vacuous
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    postings AS (
+        SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    )
+    SELECT token, doc_id, tf,
+           COUNT(*) OVER (PARTITION BY token) AS df
+    FROM postings
+    QUALIFY tf >= {INDEX_MIN_TF}
+    """,
+    tags=("text", "index", "search"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: (token, doc_id, tf, df) postings — the
+    tf/df components every retrieval scorer (BM25, TF-IDF) is built from,
+    kept as exact integer counts (log-free, so fully oracle-checked; the
+    scorer's log lives at query time where bit-exactness doesn't matter).
+
+    Scale: one explode + one groupBy(token, doc_id) with map-side partial
+    counts; df is a window COUNT partitioned BY TOKEN over the already-
+    aggregated postings (never a second corpus pass, never an unpartitioned
+    window — hot tokens are single partitions of posting rows, the same
+    skew profile the index itself has on disk). Write the output
+    partitioned by a token-hash bucket and query-time lookups become
+    partition pruning.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("token")
+    return postings.select(
+        "token", "doc_id", "tf", F.count(F.lit(1)).over(w).alias("df")
+    ).filter(F.col("tf") >= INDEX_MIN_TF)
+
+
+# --- Bigram language-model counts --------------------------------------------
+BIGRAM_MIN_COUNT = 20
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    bg AS (
+        SELECT u.w1, u.w2 FROM (
+            SELECT unnest(list_transform(range(1, len(sp)),
+                i -> {{'w1': sp[i], 'w2': sp[i+1]}})) AS u
+            FROM base WHERE len(sp) >= 2
+        )
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+    SELECT w1, w2, c,
+           CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx,
+           CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY w1) AS p_cond
+    FROM counts
+    QUALIFY c >= {BIGRAM_MIN_COUNT}
+    """,
+    tags=("text", "lm", "ngram"),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model count tables: c(w1,w2), the context total
+    c(w1), and the conditional MLE p(w2|w1) as an exact integer ratio —
+    the KenLM-shaped count layer (logs/backoff belong to the consumer;
+    ratios of counts are bit-portable, so this is fully oracle-checked).
+    The perplexity-filtering primitive for corpus quality scoring.
+
+    Scale: bigrams are a narrow array zip over the persisted token arrays
+    (no token-level shuffle to FORM pairs), one groupBy(w1, w2) with
+    map-side partials, then a window SUM partitioned by w1 over the
+    aggregated counts — vocabulary-sized, never corpus-sized. The c_ctx
+    denominator is exact across any partitioning (integer sum).
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    bg = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("w1")
+    c_ctx = F.sum("c").over(w)
+    return counts.select(
+        "w1",
+        "w2",
+        "c",
+        c_ctx.alias("c_ctx"),
+        (F.col("c").cast("double") / c_ctx).alias("p_cond"),
+    ).filter(F.col("c") >= BIGRAM_MIN_COUNT)
