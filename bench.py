@@ -76,6 +76,7 @@ EXTENSION_HEADLINE = [
     "q_token_budget_sample",
     "q_inverted_index",
     "q_bigram_lm",
+    "q_winnow_overlap",
 ]
 
 

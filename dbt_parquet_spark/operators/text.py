@@ -462,29 +462,36 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import doc_token_arrays
 
-    toks = doc_token_arrays(spark, sf_dir)
-    K, W = WINNOW_K, WINNOW_W
+    return winnow_fingerprints(doc_token_arrays(spark, sf_dir))
+
+
+def winnow_fingerprints(
+    toks_df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """The winnowing core over a (doc_id, toks: array<string>) DataFrame —
+    exposed separately so the property suite can drive it with synthetic
+    corpora against a pure-python reference (test_properties.py)."""
     gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), i + o) for o in range(K)]
+        " ", *[F.element_at(F.col("toks"), i + o) for o in range(k)]
     )
     hs = F.when(
-        F.size("toks") >= K,
+        F.size("toks") >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (K - 1)),
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
             lambda i: F.substring(F.md5(gram(i)), 1, 8),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    t = toks.select("doc_id", hs.alias("hs"))
+    t = toks_df.select("doc_id", hs.alias("hs"))
     n_g = F.size("hs")
-    win_min = lambda j: F.array_min(F.slice(F.col("hs"), j, W))
+    win_min = lambda j: F.array_min(F.slice(F.col("hs"), j, w))
     sel = F.when(
-        n_g >= W,
+        n_g >= w,
         F.transform(
-            F.sequence(F.lit(1), n_g - (W - 1)),
+            F.sequence(F.lit(1), n_g - (w - 1)),
             lambda j: F.struct(
                 F.array_max(
                     F.filter(
-                        F.sequence(j, j + (W - 1)),
+                        F.sequence(j, j + (w - 1)),
                         lambda q: F.element_at(F.col("hs"), q) == win_min(j),
                     )
                 ).alias("pos"),
@@ -608,3 +615,86 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_ctx.alias("c_ctx"),
         (F.col("c").cast("double") / c_ctx).alias("p_cond"),
     ).filter(F.col("c") >= BIGRAM_MIN_COUNT)
+
+
+# --- Winnowing overlap pairs -------------------------------------------------
+OVERLAP_MIN_FPS = 3  # >= 3 shared fingerprints => a real shared passage
+
+
+def _winnow_sql_cte() -> str:
+    """The q_winnowing oracle as a reusable CTE body (doc_id, pos, fp)."""
+    return f"""
+    base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(sp) >= {WINNOW_K} THEN
+               list_transform(range(1, len(sp) - {WINNOW_K - 2}),
+                 i -> substr(md5({" || ' ' || ".join(f"sp[i+{o}]" for o in range(WINNOW_K))}), 1, 8))
+             ELSE [] END AS hs
+      FROM base
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WINNOW_W} THEN
+               list_transform(range(1, len(hs) - {WINNOW_W - 2}),
+                 j -> {{'pos': list_max(list_filter(range(j, j + {WINNOW_W}),
+                           q -> hs[q] = list_min(hs[j:j+{WINNOW_W - 1}]))),
+                       'fp': list_min(hs[j:j+{WINNOW_W - 1}])}})
+             ELSE [] END AS s
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, u.fp AS fp
+      FROM (SELECT doc_id, unnest(s) AS u FROM sel)
+    )"""
+
+
+@register(
+    "q_winnow_overlap",
+    oracle=f"""
+    WITH {_winnow_sql_cte()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {OVERLAP_MIN_FPS}
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pair detection from shared winnowing fingerprints:
+    document pairs sharing >= OVERLAP_MIN_FPS selected fingerprints (each
+    guaranteed by winnowing to witness a >= W+K-1-token shared passage) —
+    the attribution/plagiarism sibling of q_span_dedup, at ~2/(W+1) of the
+    posting volume.
+
+    Scale: ONE evaluation of the winnowing expression (the oracle's
+    self-join shape would run it twice): fingerprints group by fp into doc
+    buckets, pairs expand from each bucket with the pairs_from_buckets
+    array trick (hot-fp cap = the LSH safety valve), then one groupBy(pair)
+    counts shared fingerprints. Never an all-pairs stage.
+    """
+    from .dedup import doc_token_arrays
+
+    w = winnow_fingerprints(doc_token_arrays(spark, sf_dir)).select("doc_id", "fp")
+    buckets = (
+        w.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 1_000_000))
+    )
+    ids = F.col("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= OVERLAP_MIN_FPS)
+    )

@@ -208,3 +208,42 @@ def test_winnowing_shared_passage_guarantee(spark, tmp_path):
     assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
     n_grams_0 = len(texts[0].split()) - WINNOW_K + 1
     assert len(by_doc[0]) < n_grams_0 / 2, "winnowing selected too densely"
+
+
+winnow_corpora = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=16),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(winnow_corpora)
+def test_winnowing_matches_python_reference(spark, corpora):
+    """winnow_fingerprints == brute-force python winnowing on tiny random
+    corpora: k-gram md5-prefix hashes, rightmost-minimal selection per
+    w-window, distinct (pos, fp) — including <k-token docs (no grams) and
+    <w-gram docs (no windows)."""
+    import hashlib
+
+    from dbt_parquet_spark.operators.text import winnow_fingerprints
+
+    K, W = 3, 4
+    rows = [(i, list(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id: long, toks: array<string>")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=K, w=W).collect()
+    }
+
+    want = set()
+    for i, toks in rows:
+        hs = [
+            hashlib.md5(" ".join(toks[p : p + K]).encode()).hexdigest()[:8]
+            for p in range(len(toks) - K + 1)
+        ]
+        for j in range(len(hs) - W + 1):
+            m = min(hs[j : j + W])
+            pos = max(q for q in range(j, j + W) if hs[q] == m)
+            want.add((i, pos + 1, m))  # 1-based gram positions
+    assert got == want, (corpora, got ^ want)
