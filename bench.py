@@ -77,6 +77,7 @@ EXTENSION_HEADLINE = [
     "q_inverted_index",
     "q_bigram_lm",
     "q_winnow_overlap",
+    "q_dedup_evidence",
 ]
 
 

@@ -644,3 +644,118 @@ def q_cross_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     return verified.select(
         F.col("d2").alias("test_id"), F.col("d1").alias("train_id"), "jaccard"
     )
+
+
+# --- Dedup evidence fusion ---------------------------------------------------
+# Real pipelines don't act on ONE dedup signal: the keep/drop decision table
+# carries every signal per candidate pair. This operator fuses the three
+# lexical signals this engine computes (exact content hash, shingle Jaccard,
+# winnowing-fingerprint overlap) into one pair-keyed table via coalesced
+# full-outer joins — the input to q_canonical_docs-style resolution.
+
+
+@register(
+    "q_dedup_evidence",
+    # The winnowing CTEs below are a FROZEN RENDER of text._winnow_sql_cte()
+    # (verified identical by the driver-strict parity test): importing text
+    # at module level here would reorder registry registration — and with it
+    # the driver's fixed 50-name correctness window.
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES},
+    base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(sp) >= 4 THEN
+               list_transform(range(1, len(sp) - 2),
+                 i -> substr(md5(sp[i+0] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]), 1, 8))
+             ELSE [] END AS hs
+      FROM base
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5 THEN
+               list_transform(range(1, len(hs) - 3),
+                 j -> {{'pos': list_max(list_filter(range(j, j + 5),
+                           q -> hs[q] = list_min(hs[j:j+4]))),
+                       'fp': list_min(hs[j:j+4])}})
+             ELSE [] END AS s
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, u.fp AS fp
+      FROM (SELECT doc_id, unnest(s) AS u FROM sel)
+    ),
+    exact_pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    winnow_pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {3}
+    )
+    SELECT COALESCE(j.d1, e.d1, w.d1) AS d1,
+           COALESCE(j.d2, e.d2, w.d2) AS d2,
+           j.jaccard AS jaccard,
+           COALESCE(e.d1 IS NOT NULL, FALSE) AS is_exact,
+           CAST(COALESCE(w.n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+    FROM ngram_pairs j
+    FULL OUTER JOIN exact_pairs e ON j.d1 = e.d1 AND j.d2 = e.d2
+    FULL OUTER JOIN winnow_pairs w
+      ON COALESCE(j.d1, e.d1) = w.d1 AND COALESCE(j.d2, e.d2) = w.d2
+    """,
+    tags=("dedup", "evidence", "fusion"),
+)
+def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair dedup decision table: every document pair flagged by ANY of
+    the three lexical signals, with all three columns — shingle Jaccard
+    (null if below threshold), exact-content equality, and shared
+    winnowing-fingerprint count (0 if below OVERLAP_MIN_FPS). Fully
+    oracle-checked: each leg is deterministic and the fusion is coalesced
+    full-outer joins on the pair key.
+
+    Scale: each leg is its own sub-quadratic candidate pipeline (posting
+    equi-joins, hash groupBys) over the SHARED token/shingle scaffolds;
+    the fusion joins pair-keyed tables whose size is the (tiny) near-dup
+    edge count, not the corpus. Full-outer on (d1, d2) shuffles by the
+    pair key once per leg.
+    """
+    from .text import OVERLAP_MIN_FPS, q_winnow_overlap
+
+    jac = q_dedup_ngram_jaccard(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    hb = (
+        hashed.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    exact = (
+        hb.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .withColumn("is_exact", F.lit(True))
+    )
+    wov = q_winnow_overlap(spark, sf_dir)
+    fused = (
+        jac.join(exact, ["d1", "d2"], "full_outer")
+        .join(wov, ["d1", "d2"], "full_outer")
+    )
+    return fused.select(
+        "d1",
+        "d2",
+        "jaccard",
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long").alias("n_shared_fps"),
+    )
