@@ -296,3 +296,32 @@ def test_ngram_bucket_cap_safe_on_boilerplate_corpus(spark, tmp_path):
     assert len(uncapped) >= 5  # the near-dup pairs exist
     assert capped == uncapped, "cap dropped a pair the verify keeps"
     toks.unpersist()
+
+
+def test_minhash_signatures_shuffle_free_matches_groupby(spark):
+    """The shuffle-free array-expression signature build (r6) must be
+    BIT-IDENTICAL to the explode+groupBy formulation it replaced — same
+    base-hash + integer-re-hash formula, different plan shape only."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.dedup import (
+        NUM_PERM,
+        doc_shingle_hashes,
+        doc_shingles,
+    )
+
+    exploded = doc_shingles(spark, SF_ORACLE)
+    hashed = exploded.select("doc_id", F.xxhash64("s").alias("h"))
+    old = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(NUM_PERM)]
+    )
+    old_rows = {r.doc_id: tuple(r[i + 1] for i in range(NUM_PERM)) for r in old.collect()}
+
+    hsdf = doc_shingle_hashes(spark, SF_ORACLE)
+    sig_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        lambda i: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(h, i))),
+    )
+    new = hsdf.filter(F.size("hs") > 0).select("doc_id", sig_arr.alias("sig"))
+    new_rows = {r.doc_id: tuple(r.sig) for r in new.collect()}
+    assert old_rows == new_rows
