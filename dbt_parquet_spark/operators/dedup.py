@@ -163,6 +163,9 @@ def release_shingle_cache(spark: SparkSession | None = None) -> None:
     for key in list(_HASH_CACHE):
         if app is None or key[0] == app:
             _HASH_CACHE.pop(key).unpersist()
+    for key in list(_TOKEN_HASH_CACHE):
+        if app is None or key[0] == app:
+            _TOKEN_HASH_CACHE.pop(key).unpersist()
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:
@@ -349,6 +352,27 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
     return hsdf
 
 
+# Memo of persisted (doc_id, th: array<bigint>) TOKEN hash arrays (with
+# multiplicities — SimHash weights by term frequency): the simhash scaffold.
+_TOKEN_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, th: array<bigint>) — xxhash64 of every token occurrence,
+    persisted + memoized per (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TOKEN_HASH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    toks_df = doc_token_arrays(spark, sf_dir)
+    thdf = toks_df.select(
+        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th")
+    ).persist()
+    thdf.count()
+    _TOKEN_HASH_CACHE[key] = thdf
+    return thdf
+
+
 @register("q_dedup_minhash", tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banded near-dup detection — the sub-quadratic scale path
@@ -400,35 +424,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver check rows-only (engine-specific hash); pytest asserts signature
     properties + symmetry.
 
-    Scale: one groupBy(doc) to build signatures (64 branch-free bit sums,
-    map-side partial), then a 4-way chunk equi-join on 2-byte keys.
+    Scale: SHUFFLE-FREE signatures — 64 branch-free bit votes as narrow
+    array expressions (size-of-filter per bit) over the persisted token-hash
+    scaffold; the signature then RIDES the 4-way chunk bucket expansion
+    (collect struct(doc_id, simhash) per bucket), so the Hamming verify
+    needs no join-back — the old shape evaluated the whole signature
+    pipeline THREE times (chunk branch + both join sides of the verify).
+    One shuffle total (the chunk buckets), on 2-byte keys.
     """
-    # No _spread_small_scan here: the signature groupBy(doc_id) re-shuffles
-    # immediately, so pre-spreading the scan measured slightly SLOWER (the
-    # spread only pays off when CPU-heavy narrow work runs before the first
-    # shuffle, as in the token/shingle scaffolds).
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(token_array()).alias("tok"))
-    h = F.xxhash64("tok")
-    # Branch-free form of the classic ±1 bit vote: sum the RAW bit i over
-    # tokens (s_i) plus one shared token count n; "majority positive" (the
+    thdf = doc_token_hashes(spark, sf_dir)
+    n = F.size("th")
+    # Branch-free form of the classic ±1 bit vote: count the RAW bit i over
+    # tokens (s_i) plus the shared token count n; "majority positive" (the
     # ±1 sum > 0) is exactly 2*s_i > n, with ties -> 0 in both forms.
-    # Equivalence and the ~8% win over the CASE-WHEN aggregate are pinned in
-    # tests/test_dedup_similarity.py / measured at sf0.1; a 2-lane SWAR
-    # packing (32 aggs) measured no further gain.
-    bit_sums = [
-        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    # Equivalence is pinned in tests/test_dedup_similarity.py (vote form vs
+    # CASE-WHEN r5; groupBy form vs this narrow form r6, bit-identical).
     sim = None
     for i in range(64):
+        s_i = F.size(
+            F.filter(F.col("th"), lambda hh: F.shiftright(hh, i).bitwiseAND(F.lit(1)) == 1)
+        )
         bit = F.when(
-            F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
+            s_i * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseXOR(bit)  # bits are disjoint → XOR == OR
-    sigs = per_doc.select("doc_id", sim.alias("simhash"))
+    sigs = thdf.filter(n > 0).select("doc_id", sim.alias("simhash"))
     chunks = sigs.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -438,18 +461,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    cand = pairs_from_buckets(chunks, ["chunk_idx", "chunk_val"])
-    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sim1"))
-    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sim2"))
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming"),
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= 200_000))
+    )
+    items = F.col("items")
+    pair_arrays = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("d1"),
+                    y["doc_id"].alias("d2"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"), F.col("p.hamming").alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

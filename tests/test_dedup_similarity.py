@@ -325,3 +325,41 @@ def test_minhash_signatures_shuffle_free_matches_groupby(spark):
     new = hsdf.filter(F.size("hs") > 0).select("doc_id", sig_arr.alias("sig"))
     new_rows = {r.doc_id: tuple(r.sig) for r in new.collect()}
     assert old_rows == new_rows
+
+
+def test_simhash_narrow_signatures_match_groupby(spark):
+    """The r6 narrow (array-expression) simhash signature build must be
+    bit-identical to the explode+groupBy bit-vote it replaced."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.dedup import doc_token_hashes, token_array
+    from dbt_parquet_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    tok = docs.select("doc_id", F.explode(token_array()).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    old = {r.doc_id: r.s for r in per_doc.select("doc_id", sim.alias("s")).collect()}
+
+    thdf = doc_token_hashes(spark, SF_ORACLE)
+    n = F.size("th")
+    sim2 = None
+    for i in range(64):
+        s_i = F.size(
+            F.filter(F.col("th"), lambda hh: F.shiftright(hh, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(s_i * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim2 = bit if sim2 is None else sim2.bitwiseXOR(bit)
+    new = {r.doc_id: r.s for r in thdf.filter(n > 0).select("doc_id", sim2.alias("s")).collect()}
+    assert old == new
