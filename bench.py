@@ -78,6 +78,7 @@ EXTENSION_HEADLINE = [
     "q_bigram_lm",
     "q_winnow_overlap",
     "q_dedup_evidence",
+    "q_quality_prune",
 ]
 
 

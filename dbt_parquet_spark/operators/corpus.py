@@ -654,3 +654,68 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("cum_before") + F.col("n_chars")).cast("long").alias("cum_chars"),
     )
+
+
+# --- Percentile-calibrated quality pruning -----------------------------------
+PRUNE_PCT = 0.25  # drop the bottom quartile per source
+
+
+@register(
+    "q_quality_prune",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               least(len(string_split(text, ' ')) / 60.0, 1.0)
+                 * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' ')), 1.0) AS quality
+        FROM documents
+    ),
+    thresholds AS (
+        SELECT source, quantile_cont(quality, {PRUNE_PCT}) AS q_threshold
+        FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           t.q_threshold,
+           COUNT(*) FILTER (WHERE s.quality >= t.q_threshold) AS n_kept,
+           COUNT(*) FILTER (WHERE s.quality < t.q_threshold) AS n_dropped,
+           CAST(SUM(s.n_chars) FILTER (WHERE s.quality >= t.q_threshold) AS BIGINT)
+             AS kept_chars
+    FROM scored s JOIN thresholds t USING (source)
+    GROUP BY s.source, t.q_threshold
+    """,
+    tags=("corpus", "quality", "prune", "percentile"),
+)
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated quality pruning: per SOURCE, compute the
+    bottom-quartile quality threshold (exact continuous percentile —
+    Spark `percentile` ⇔ DuckDB `quantile_cont`, both sort-and-interpolate)
+    and report kept/dropped counts and surviving char volume. The
+    per-domain-threshold formulation is how real pipelines prune: a single
+    global cutoff would empty low-scoring domains entirely instead of
+    trimming each domain's own tail.
+
+    Scale: score is a narrow expression; the threshold table is one
+    groupBy(source) (small — one row per source) broadcast back; the final
+    counts are one more groupBy(source). Exact percentiles sort per
+    source-group — at 100 TB swap percentile → approx_percentile
+    (t-digest) and drop oracle exactness consciously (q_percentiles note).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = F.least(F.size(toks) / 60.0, F.lit(1.0)) * F.least(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), F.lit(1.0)
+    )
+    scored = docs.select("doc_id", "source", "n_chars", quality.alias("quality"))
+    thresholds = scored.groupBy("source").agg(
+        F.expr(f"percentile(quality, {PRUNE_PCT})").alias("q_threshold")
+    )
+    keep = F.col("quality") >= F.col("q_threshold")
+    return (
+        scored.join(F.broadcast(thresholds), "source")
+        .groupBy("source", "q_threshold")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep, 1)).alias("n_dropped"),
+            F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        )
+    )
