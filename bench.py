@@ -79,6 +79,7 @@ EXTENSION_HEADLINE = [
     "q_winnow_overlap",
     "q_dedup_evidence",
     "q_quality_prune",
+    "q_incremental_dedup",
 ]
 
 

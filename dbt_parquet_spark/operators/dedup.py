@@ -828,3 +828,55 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
         F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long").alias("n_shared_fps"),
     )
+
+
+# --- Incremental near-dup dedup (delta vs corpus) ----------------------------
+# At warehouse scale you never re-dedup the whole corpus: each ingest batch
+# (the "delta", here the top-20%-by-id arrival tail) is checked against
+# everything already present PLUS itself. The candidate generator touches
+# only postings involving a delta doc, so incremental cost is
+# O(delta postings x shingle df), not corpus².
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM ngram_pairs
+    WHERE d2 >= (SELECT CAST(CEIL(MAX(doc_id) * 0.8) AS BIGINT) FROM documents)
+    """,
+    tags=("dedup", "incremental", "jaccard"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs whose NEWER member (d2 — ids are arrival-ordered and
+    pairs are emitted d1<d2) belongs to the delta (top 20% of the id
+    range): every old-new and new-new duplicate, no old-old pair. Exactly
+    the q_dedup_ngram_jaccard contract restricted to pairs the delta
+    introduces — the oracle states it as a filter over ALL pairs; the
+    Spark plan NEVER GENERATES the old-old candidates.
+
+    Scale: the join's build side is the delta's postings only (one narrow
+    filter over the memoized shingle cache), probe side is the full
+    posting set — candidate volume is delta-proportional, which is the
+    entire point of incremental dedup. Verify touches candidates only.
+    In production the full side's signatures/postings would be a
+    materialized table bucketed by shingle key, making this a co-located
+    join with no corpus-side shuffle at all (sources/bucketed.py).
+    """
+    sh = doc_shingles(spark, sf_dir)
+    threshold = load_table(spark, sf_dir, "documents").agg(
+        F.ceil(F.max("doc_id") * 0.8).cast("long").alias("t")
+    )
+    delta = (
+        sh.crossJoin(F.broadcast(threshold))
+        .filter(F.col("doc_id") >= F.col("t"))
+        .select(F.col("doc_id").alias("d2"), "s")
+    )
+    older = sh.select(F.col("doc_id").alias("d1"), "s")
+    cand = (
+        delta.join(older, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verify_jaccard(cand, shingle_sets(sh), JACCARD_THRESHOLD)

@@ -99,8 +99,8 @@ def test_registry_exposes_all_queries():
     # r6: +q_ann_ivf_pq, +q_cooccurrence_capped,
     # +q_cross_split_decontamination, +q_winnowing, +q_token_budget_sample,
     # +q_inverted_index, +q_bigram_lm, +q_winnow_overlap, +q_dedup_evidence,
-    # +q_quality_prune
-    assert len(specs) == 150
+    # +q_quality_prune, +q_incremental_dedup
+    assert len(specs) == 151
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
