@@ -37,7 +37,13 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          "q_span_dedup", "q_source_overlap", "q_temperature_sample",
          "q_heavy_hitters", "q_retention",
          # window-carry / iterative additions
-         "q_interpolate", "q_asof_forward", "q_canonical_docs"]
+         "q_interpolate", "q_asof_forward", "q_canonical_docs",
+         # round-6 additions through collect_set/collect_list buckets,
+         # hierarchical cumsums, or multi-leg full-outer fusion
+         "q_winnowing", "q_winnow_overlap", "q_dedup_evidence",
+         "q_token_budget_sample", "q_incremental_dedup",
+         "q_cross_split_decontamination", "q_quality_prune",
+         "q_cooccurrence_capped", "q_inverted_index", "q_bigram_lm"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
