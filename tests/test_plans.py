@@ -223,3 +223,22 @@ def test_token_budget_sample_no_global_window(spark):
     plan = _plan(spark, "q_token_budget_sample")
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_evidence_fusion_shape(spark):
+    # three candidate legs served from the shared scaffolds (no re-tokenize
+    # scans), fused by pair-key joins — never a cartesian/NL join.
+    plan = _plan(spark, "q_dedup_evidence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_incremental_dedup_delta_filtered_build_side(spark):
+    # the delta filter must reach the candidate join's input (the plan
+    # carries a doc_id >= threshold predicate), and candidates come from the
+    # posting equi-join, not any all-pairs stage.
+    plan = _plan(spark, "q_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # postings from the shingle cache
+    assert "(doc_id" in plan and ">=" in plan  # delta predicate survives
