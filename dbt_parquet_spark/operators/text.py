@@ -533,12 +533,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer's log lives at query time where bit-exactness doesn't matter).
 
     Scale: one explode + one groupBy(token, doc_id) with map-side partial
-    counts; df is a window COUNT partitioned BY TOKEN over the already-
-    aggregated postings (never a second corpus pass, never an unpartitioned
-    window — hot tokens are single partitions of posting rows, the same
-    skew profile the index itself has on disk). Write the output
-    partitioned by a token-hash bucket and query-time lookups become
-    partition pruning.
+    counts; df is a vocabulary-sized groupBy(token) COUNT joined back to
+    the postings on token. The earlier window-COUNT shape
+    (Window.partitionBy(token) over per-document posting rows) co-located
+    a stop word's ENTIRE posting list — approximately the whole corpus —
+    in one task, and windows cannot be AQE-skew-split; the join-back CAN
+    be (AQE skew-join splits the hot token's posting partition against a
+    replicated df row), and the df aggregation itself gets map-side
+    partials. Plan gate: test_plans.test_inverted_index_df_join_not_window.
+    Write the output partitioned by a token-hash bucket and query-time
+    lookups become partition pruning.
     """
     from .dedup import doc_token_arrays
 
@@ -548,10 +552,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = Window.partitionBy("token")
-    return postings.select(
-        "token", "doc_id", "tf", F.count(F.lit(1)).over(w).alias("df")
-    ).filter(F.col("tf") >= INDEX_MIN_TF)
+    # df over ALL postings (pre tf-filter), then join back; the tf filter
+    # shrinks the probe side before the join.
+    df_tab = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        postings.filter(F.col("tf") >= INDEX_MIN_TF)
+        .join(df_tab, "token")
+        .select("token", "doc_id", "tf", "df")
+    )
 
 
 # --- Bigram language-model counts --------------------------------------------

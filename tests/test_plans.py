@@ -242,3 +242,62 @@ def test_incremental_dedup_delta_filtered_build_side(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # postings from the shingle cache
     assert "(doc_id" in plan and ">=" in plan  # delta predicate survives
+
+
+def test_inverted_index_df_join_not_window(spark):
+    # VERDICT r6 #1: df must come from a vocabulary-sized groupBy(token)
+    # joined back to the postings, never Window.partitionBy(token) over
+    # per-document posting rows (a stop word's whole posting list in ONE
+    # task, and windows cannot be AQE-skew-split; the equi-join can).
+    plan = _plan(spark, "q_inverted_index")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for postings and df
+
+
+def test_no_corpus_keyed_windows_in_source():
+    """Sweep gate (VERDICT r6 #1): every Window.partitionBy in the package
+    must partition by a key whose partition SIZE is bounded — per-entity
+    (doc_id, user_id, query_id, o_custkey...), vocabulary-over-bands
+    (corpus.py hierarchical ranks/cumsums), or aggregated-counts-keyed
+    (bigram c_ctx: partition size <= distinct successors of w1). A window
+    partitioned by a raw corpus token over per-document rows co-locates a
+    stop word's posting list in one un-splittable task. Any NEW window must
+    be added to the whitelist below with a bounded-partition justification.
+    """
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "dbt_parquet_spark"
+    seen = set()
+    for py in sorted(pkg.rglob("*.py")):
+        for line in py.read_text().splitlines():
+            m = re.search(r"Window\.partitionBy\(([^)]*)\)", line)
+            if not m or line.lstrip().startswith("#"):
+                continue
+            keys = tuple(sorted(re.findall(r'"([^"]+)"', m.group(1))))
+            if keys:
+                seen.add((py.name, keys))
+    allowed = {
+        # per-entity keys: partition size = rows per user/doc/query/customer
+        ("batch_windows.py", ("event_type", "user_id")),  # + win col variable
+        ("batch_windows.py", ("user_id",)),
+        ("windows.py", ("o_custkey",)),
+        ("windows.py", ("c_nationkey",)),  # contract q_window_rank semantics
+        ("windows.py", ("user_id",)),
+        ("sql_surface2.py", ("o_custkey",)),
+        ("sql_surface2.py", ("user_id",)),
+        ("sql_surface4.py", ("o_orderkey",)),  # lines per order
+        ("sql_surface5.py", ("o_custkey",)),
+        ("temporal.py", ("_k",)),  # as-of partition bucket
+        ("text.py", ("doc_id",)),  # positions/tokens within one document
+        ("text.py", ("w1",)),  # aggregated counts: <= distinct successors
+        ("graph.py", ("component_id",)),  # dup-cluster sized
+        # query_id: candidates per query (top-k rerank)
+        ("similarity.py", ("query_id",)),
+        # vocabulary-over-bands hierarchical rank/cumsum (corpus.py §vocab)
+        ("corpus.py", ("g",)),
+        ("corpus.py", ("freq",)),
+        ("corpus.py", ("band", "freq")),
+        ("corpus.py", ("band",)),
+    }
+    assert seen <= allowed, f"unreviewed corpus-keyed windows: {seen - allowed}"
