@@ -80,6 +80,10 @@ EXTENSION_HEADLINE = [
     "q_dedup_evidence",
     "q_quality_prune",
     "q_incremental_dedup",
+    "q_bpe_token_count",
+    "q_bpe_budget_sample",
+    "q_training_shards",
+    "q_corpus_release",
 ]
 
 
@@ -123,9 +127,10 @@ def main() -> None:
     # query costs one error row, never the artifact: the loop isolates
     # per-query failures so the JSON line always carries whatever ran.
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for attempt in range(3):
             t0 = time.perf_counter()
             try:
@@ -133,11 +138,23 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — isolate, record, continue
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
-            best = min(best, time.perf_counter() - t0)
-            if attempt >= 1 and best > 4.0:
+            runs.append(time.perf_counter() - t0)
+            if attempt >= 1 and min(runs) > 4.0:
                 break
-        if name not in errors:
-            timings[name] = round(best, 3)
+        if name not in errors and runs:
+            runs.sort()
+            timings[name] = round(runs[0], 3)
+            # min/median/spread per query so a driver-vs-local offset or a
+            # flagged regression is attributable from the artifact alone
+            # (spread = (max-min)/min: >~0.3 means the min is warm-up noise,
+            # not plan cost).
+            spreads[name] = {
+                "min": round(runs[0], 3),
+                "med": round(runs[len(runs) // 2], 3),
+                "max": round(runs[-1], 3),
+                "spread": round((runs[-1] - runs[0]) / runs[0], 3) if runs[0] > 0 else 0.0,
+                "n": len(runs),
+            }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -146,6 +163,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spreads": spreads,
         "sf": sf,
     }
     if errors:

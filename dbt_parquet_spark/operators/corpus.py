@@ -628,8 +628,29 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
-    ).withColumn("band", F.substring("h", 1, 2))
-    band_totals = t.groupBy("band").agg(F.sum("n_chars").alias("tot"))
+    )
+    c = hierarchical_cumsum(t, weight="n_chars")
+    return c.filter(F.col("cum_before") < TOKEN_BUDGET).select(
+        "doc_id",
+        "n_chars",
+        (F.col("cum_before") + F.col("n_chars")).cast("long").alias("cum_chars"),
+    )
+
+
+def hierarchical_cumsum(t: DataFrame, weight: str) -> DataFrame:
+    """Running total of ``weight`` in global ``h`` (md5 hex) order, computed
+    hierarchically so no stage is a one-task global sort: band = first 2
+    hex chars (256 ordered buckets), band totals -> offsets via a broadcast
+    theta-join over 256 rows, within-band prefix sum via a PARTITIONED
+    window. Fixed-length prefix banding preserves global hash order across
+    bands, so the result is bit-identical to a flat global window.
+
+    Input: (doc_id, <weight>, h). Output: input columns + ``cum_before``
+    (sum of all strictly-preceding weights). Shared by the char- and
+    BPE-token-budget samplers (operators/subword.py).
+    """
+    t = t.withColumn("band", F.substring("h", 1, 2))
+    band_totals = t.groupBy("band").agg(F.sum(weight).alias("tot"))
     hi = band_totals.select(F.col("band").alias("band_lt"), "tot")
     band_offsets = (
         band_totals.select("band")
@@ -642,22 +663,35 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = t.join(F.broadcast(band_offsets), "band").select(
+    return t.join(F.broadcast(band_offsets), "band").select(
         "doc_id",
-        "n_chars",
+        weight,
         (
-            F.col("band_offset") + F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            F.col("band_offset") + F.coalesce(F.sum(weight).over(w), F.lit(0))
         ).alias("cum_before"),
-    )
-    return c.filter(F.col("cum_before") < TOKEN_BUDGET).select(
-        "doc_id",
-        "n_chars",
-        (F.col("cum_before") + F.col("n_chars")).cast("long").alias("cum_chars"),
     )
 
 
 # --- Percentile-calibrated quality pruning -----------------------------------
 PRUNE_PCT = 0.25  # drop the bottom quartile per source
+
+# Integer ppm quality score — one definition, two renders (Spark column /
+# DuckDB SQL), shared with q_corpus_release (operators/release.py).
+QUALITY_PPM_SQL = """CAST(floor(1000000.0
+                 * least(len(string_split(text, ' ')) / 60.0, 1.0)
+                 * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' ')), 1.0)) AS BIGINT)"""
+
+
+def quality_ppm_expr():
+    """length-sweet-spot x lexical-diversity, floored to integer ppm (see
+    q_quality_prune's exactness note)."""
+    toks = F.split("text", " ")
+    return F.floor(
+        F.lit(1000000.0)
+        * F.least(F.size(toks) / 60.0, F.lit(1.0))
+        * F.least(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), F.lit(1.0))
+    )
 
 
 @register(
@@ -665,9 +699,7 @@ PRUNE_PCT = 0.25  # drop the bottom quartile per source
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, source, n_chars,
-               least(len(string_split(text, ' ')) / 60.0, 1.0)
-                 * least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                           / len(string_split(text, ' ')), 1.0) AS quality
+               {QUALITY_PPM_SQL} AS quality
         FROM documents
     ),
     thresholds AS (
@@ -699,13 +731,16 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are one more groupBy(source). Exact percentiles sort per
     source-group — at 100 TB swap percentile → approx_percentile
     (t-digest) and drop oracle exactness consciously (q_percentiles note).
+
+    Exactness (ADVICE r6): quality is floored to an INTEGER ppm score so
+    the p=0.25 quantile interpolation is exact dyadic arithmetic — with
+    integer lo/hi and an exact 2-bit fraction (0.25·(n-1) positions), every
+    interpolation formula (lo+(hi-lo)·f, lo·(1-f)+hi·f) yields the same
+    exactly-representable double in Spark and DuckDB, so a boundary doc can
+    never flip n_kept/n_dropped by a last-ulp difference.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    quality = F.least(F.size(toks) / 60.0, F.lit(1.0)) * F.least(
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), F.lit(1.0)
-    )
-    scored = docs.select("doc_id", "source", "n_chars", quality.alias("quality"))
+    scored = docs.select("doc_id", "source", "n_chars", quality_ppm_expr().alias("quality"))
     thresholds = scored.groupBy("source").agg(
         F.expr(f"percentile(quality, {PRUNE_PCT})").alias("q_threshold")
     )

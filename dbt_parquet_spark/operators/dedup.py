@@ -296,32 +296,44 @@ def minhash_signature(sh: Column, num_perm: int = NUM_PERM) -> list[Column]:
     ]
 
 
+def chunked_pair_expansion(buckets: DataFrame, arr: str) -> DataFrame:
+    """Expand each bucket's m·(m-1)/2 ordered pairs of ``arr``'s (sorted)
+    elements as (x, y) rows WITHOUT any quadratic row: posexplode pins
+    element i as the left member, then one explode of the tail slice emits
+    its partners. Every generated row carries at most m-1 elements — LINEAR
+    in the bucket — so hot buckets stream through the two generators row by
+    row. The previous shape flattened ALL pairs into ONE array value per
+    bucket row: at the cap sizes the near-exact operators use (10^5-10^6),
+    that single row held >10^9 structs and OOMed an executor long before
+    the cap filtered anything. Total pair WORK is still m², bounded by the
+    caller's max_bucket cap; this helper bounds the MEMORY.
+    """
+    return buckets.select(F.col(arr), F.posexplode(arr).alias("i", "x")).select(
+        "x", F.explode(F.slice(F.col(arr), F.col("i") + 2, F.size(arr))).alias("y")
+    )
+
+
 def pairs_from_buckets(bucketed: DataFrame, key_cols: list[str], max_bucket: int = 200) -> DataFrame:
     """(d1, d2) candidate pairs from LSH buckets WITHOUT a self-join: group
-    doc ids per bucket, then expand each bucket's m·(m-1)/2 pairs with array
-    expressions. One shuffle, no recomputation of the upstream pipeline (a
-    self-join would evaluate it twice), and ``max_bucket`` caps degenerate
-    hot buckets (a bucket of identical boilerplate docs would otherwise
-    explode quadratically — the standard LSH safety valve at corpus scale).
+    doc ids per bucket, then expand each bucket's m·(m-1)/2 pairs with the
+    chunked (memory-linear) generator expansion. One shuffle, no
+    recomputation of the upstream pipeline (a self-join would evaluate it
+    twice). ``max_bucket`` caps the candidate WORK a degenerate hot bucket
+    generates (m² pairs); per-row memory is linear regardless of the cap
+    (chunked_pair_expansion). Near-exact callers that raise the cap to be
+    effectively uncapped trade that work bound for exactness — at corpus
+    scale, prefer a work-bounding cap and accept the recall loss on
+    boilerplate buckets (test_ngram_bucket_cap_safe_on_boilerplate_corpus
+    shows the verify step rejects those pairs anyway).
     """
     buckets = (
         bucketed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    ids = F.col("ids")
-    pair_arrays = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),  # elements after position i (ids sorted → d1<d2)
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arrays).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        chunked_pair_expansion(buckets, "ids")
+        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
         .distinct()
     )
 
@@ -413,6 +425,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(cand, shingle_sets(doc_shingles(spark, sf_dir)), JACCARD_THRESHOLD)
 
 
+# Work cap for one 16-bit-chunk collision bucket: m² pair WORK per bucket
+# (memory is linear per row via chunked_pair_expansion). At 10^5 the cap
+# only bites corpora where ~10% of everything shares one chunk value —
+# beyond that, widen the chunks (more bits) instead of raising the cap.
+SIMHASH_MAX_BUCKET = 100_000
+
+
 @register("q_dedup_simhash", tags=("dedup", "simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 64-bit signatures from term-frequency-
@@ -430,7 +449,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collect struct(doc_id, simhash) per bucket), so the Hamming verify
     needs no join-back — the old shape evaluated the whole signature
     pipeline THREE times (chunk branch + both join sides of the verify).
-    One shuffle total (the chunk buckets), on 2-byte keys.
+    One shuffle total (the chunk buckets), on 2-byte keys. Pair expansion
+    is chunked (memory-linear rows); SIMHASH_MAX_BUCKET bounds the m² pair
+    work of a degenerate chunk-collision bucket.
     """
     thdf = doc_token_hashes(spark, sf_dir)
     n = F.size("th")
@@ -464,25 +485,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("items"))
-        .filter((F.size("items") > 1) & (F.size("items") <= 200_000))
-    )
-    items = F.col("items")
-    pair_arrays = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("d1"),
-                    y["doc_id"].alias("d2"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-                ),
-            ),
-        )
+        .filter((F.size("items") > 1) & (F.size("items") <= SIMHASH_MAX_BUCKET))
     )
     return (
-        buckets.select(F.explode(pair_arrays).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"), F.col("p.hamming").alias("hamming"))
+        chunked_pair_expansion(buckets, "items")
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
@@ -503,10 +514,12 @@ SPAN_K = 5
 SPAN_MIN_DOCS = 2
 
 
-@register(
-    "q_span_dedup",
-    oracle=f"""
-    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+def span_sql_ctes(src: str) -> str:
+    """The span-scrub oracle CTE chain (base/toks/grams/freq/cov) over any
+    source relation exposing (doc_id, text) — shared by q_span_dedup
+    (src='documents') and q_corpus_release (src='kept', operators/
+    release.py), so the two oracles can never drift."""
+    return f"""base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM {src}),
     toks AS (
         SELECT doc_id, unnest(list_transform(range(1, len(sp)+1),
             i -> {{'pos': i, 'tok': sp[i]}})) AS pt
@@ -530,7 +543,13 @@ SPAN_MIN_DOCS = 2
         SELECT DISTINCT g.doc_id, g.pos + off.o AS pos
         FROM grams g JOIN freq USING (gram),
              (SELECT unnest(range(0, {SPAN_K})) AS o) off
-    )
+    )"""
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH {span_sql_ctes("documents")}
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
            COUNT(c.pos) AS n_removed,
@@ -796,24 +815,18 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = q_dedup_ngram_jaccard(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    # No bucket cap here: every pair of identical docs IS output (the
+    # oracle's exact_pairs leg is pair-complete), so the output itself is
+    # quadratic in an identical-content cluster. chunked_pair_expansion
+    # keeps per-row memory linear in the cluster size regardless.
     hb = (
         hashed.groupBy("h")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-    pair_arrays = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
     exact = (
-        hb.select(F.explode(pair_arrays).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        chunked_pair_expansion(hb, "ids")
+        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
         .withColumn("is_exact", F.lit(True))
     )
     wov = q_winnow_overlap(spark, sf_dir)

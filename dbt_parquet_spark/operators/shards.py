@@ -1,0 +1,136 @@
+"""Training-shard writer: the last step between corpus curation and "data a
+trainer can mount" — the md5-ordered corpus materialized as a fixed fanout
+of deterministic shards plus a manifest of per-shard row counts and content
+hashes.
+
+Sharding rule: shard_id = the first ``hex_width`` hex chars of
+md5(doc_id) parsed as an integer (fanout 16^hex_width). Fixed-prefix RANGE
+sharding of the hash value — deterministic across runs, cluster sizes and
+input layouts (never repartitionByRange, whose boundaries come from
+SAMPLING), append-stable (a new doc lands in its hash shard without moving
+any existing doc), and uniform by md5's avalanche property. Within a shard
+files are written in global hash order (sortWithinPartitions) with
+maxRecordsPerFile bounding file size at scale.
+
+The manifest content hash is SUM over docs of the first 8 hex chars of
+md5(doc_id | text) as an integer — order-independent, overflow-free
+(2^32 per row), and expressible bit-identically in DuckDB, so the manifest
+query is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+N_SHARD_HEX = 1  # manifest-query fanout: 16 shards (16^1)
+
+
+def _with_shard_cols(docs: DataFrame, hex_width: int) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, hex_width), 16, 10).cast("long")
+    rowhash = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn("h", h).withColumn("shard_id", shard).withColumn("_rowhash", rowhash)
+
+
+def shard_manifest(docs: DataFrame, hex_width: int = N_SHARD_HEX) -> DataFrame:
+    """Per-shard accounting: (shard_id, n_docs, total_chars, content_hash)."""
+    return (
+        _with_shard_cols(docs, hex_width)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("_rowhash").cast("long").alias("content_hash"),
+        )
+    )
+
+
+@register(
+    "q_training_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS BIGINT)
+                 AS rowhash
+        FROM documents
+    )
+    SELECT CAST('0x' || substr(h, 1, {N_SHARD_HEX}) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(rowhash) AS BIGINT) AS content_hash
+    FROM t GROUP BY 1
+    """,
+    tags=("corpus", "shards", "manifest", "lifecycle"),
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard MANIFEST as a relational query (no writing): for
+    each of the 16 hash shards, its row count, char volume, and
+    order-independent content hash. write_training_shards materializes the
+    shards and persists exactly this table next to them; re-run determinism
+    is the manifest being bit-identical run over run (pinned in
+    tests/test_shards.py).
+
+    Scale: one scan, narrow hash expressions, one groupBy(shard_id) with
+    map-side partials — manifest rows = shard fanout, tiny.
+    """
+    return shard_manifest(load_table(spark, sf_dir, "documents"), N_SHARD_HEX)
+
+
+def write_training_shards(
+    spark: SparkSession,
+    catalog,
+    rel,
+    docs: DataFrame,
+    hex_width: int = N_SHARD_HEX,
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Materialize ``docs`` as hash shards under ``rel`` plus a
+    ``<table>_manifest`` relation; returns the registered manifest view.
+
+    Layout: ``rel.path/shard_id=K/part-*.parquet`` — one Spark partition
+    dir per shard, rows within a shard written in global md5 order, file
+    sizes bounded by maxRecordsPerFile. The shuffle is a hash repartition
+    on shard_id (16^hex_width keys); at a 1000-executor scale raise
+    hex_width so the fanout comfortably exceeds the cluster's write
+    parallelism (256/4096 shards at width 2/3).
+
+    Publish is write-to-temp + atomic swap (materialize._swap_into_place),
+    and the manifest is CTAS'd through the catalog AFTER the data swap, so
+    a reader that sees the new manifest always sees the new shards.
+    """
+    from ..materialize import _swap_into_place, create_table_as
+
+    io = catalog.io
+    tagged = _with_shard_cols(docs, hex_width)
+    fs_dest = catalog.fs_path(rel)
+    parent = posixpath.dirname(fs_dest)
+    io.makedirs(parent)
+    fs_tmp = io.join(parent, f".tmp_{rel.table}_{uuid.uuid4().hex[:8]}")
+    (
+        tagged.drop("_rowhash")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "h")
+        .drop("h")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(io.spark_url(fs_tmp))
+    )
+    _swap_into_place(io, fs_tmp, fs_dest)
+    catalog.register_view(spark, rel)
+    manifest_rel = catalog.relation(f"{rel.table}_manifest", schema=rel.schema)
+    return create_table_as(
+        spark, catalog, manifest_rel, shard_manifest(docs, hex_width), single_file=True
+    )

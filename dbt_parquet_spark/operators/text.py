@@ -627,6 +627,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Winnowing overlap pairs -------------------------------------------------
 OVERLAP_MIN_FPS = 3  # >= 3 shared fingerprints => a real shared passage
+WINNOW_MAX_BUCKET = 1_000_000  # hot-fp pair-WORK cap (memory is chunked)
 
 
 def _winnow_sql_cte() -> str:
@@ -677,31 +678,26 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE evaluation of the winnowing expression (the oracle's
     self-join shape would run it twice): fingerprints group by fp into doc
-    buckets, pairs expand from each bucket with the pairs_from_buckets
-    array trick (hot-fp cap = the LSH safety valve), then one groupBy(pair)
-    counts shared fingerprints. Never an all-pairs stage.
+    buckets, pairs expand per bucket with the chunked memory-linear
+    generator expansion (dedup.chunked_pair_expansion), then one
+    groupBy(pair) counts shared fingerprints. Never an all-pairs stage.
+    WINNOW_MAX_BUCKET bounds the m² pair WORK of a hot fingerprint (a
+    boilerplate passage shared corpus-wide); it is set high enough to stay
+    exact vs the uncapped oracle on real corpora, and
+    test_winnow_overlap_cap_safe_on_boilerplate_corpus pins that a
+    work-bounding cap keeps every pair the OVERLAP_MIN_FPS filter keeps.
     """
-    from .dedup import doc_token_arrays
+    from .dedup import chunked_pair_expansion, doc_token_arrays
 
     w = winnow_fingerprints(doc_token_arrays(spark, sf_dir)).select("doc_id", "fp")
     buckets = (
         w.groupBy("fp")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= 1_000_000))
-    )
-    ids = F.col("ids")
-    pair_arrays = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
+        .filter((F.size("ids") > 1) & (F.size("ids") <= WINNOW_MAX_BUCKET))
     )
     return (
-        buckets.select(F.explode(pair_arrays).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        chunked_pair_expansion(buckets, "ids")
+        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= OVERLAP_MIN_FPS)

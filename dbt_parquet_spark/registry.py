@@ -46,6 +46,9 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.sql_surface5",
     "dbt_parquet_spark.operators.sketches",
     "dbt_parquet_spark.streaming.batch_windows",
+    "dbt_parquet_spark.operators.subword",
+    "dbt_parquet_spark.operators.shards",
+    "dbt_parquet_spark.operators.release",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

@@ -64,7 +64,11 @@ def _ns_timestamp_columns(path: str) -> list[str]:
         with fs.open_input_file(fpath) as f:
             pf = pq.ParquetFile(f)
             return _ns_cols_of(pf)
-    except (OSError, pa.lib.ArrowInvalid):
+    except (OSError, pa.lib.ArrowException):
+        # ArrowException covers ArrowInvalid AND ArrowNotImplementedError —
+        # from_uri raises the latter for schemes without compiled filesystem
+        # support (hdfs:// without libhdfs, gs:// without gcsfs); the probe
+        # must defer to Spark's own reader there, not crash the read.
         return []
 
 

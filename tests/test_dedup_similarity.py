@@ -363,3 +363,101 @@ def test_simhash_narrow_signatures_match_groupby(spark):
         sim2 = bit if sim2 is None else sim2.bitwiseXOR(bit)
     new = {r.doc_id: r.s for r in thdf.filter(n > 0).select("doc_id", sim2.alias("s")).collect()}
     assert old == new
+
+
+def test_chunked_pair_expansion_matches_combinations(spark):
+    """The memory-linear generator expansion (posexplode + tail-slice
+    explode) must emit exactly the m·(m-1)/2 ordered pairs of each bucket —
+    same set the old single-flattened-array shape produced, without any
+    O(m²) row."""
+    import itertools
+
+    from dbt_parquet_spark.operators.dedup import chunked_pair_expansion
+    from pyspark.sql import functions as F
+
+    ids = [f"d{i:03d}" for i in range(120)]
+    buckets = spark.createDataFrame([(sorted(ids),), (["a", "b"],)], "ids: array<string>")
+    got = {
+        (r.x, r.y)
+        for r in chunked_pair_expansion(buckets, "ids").collect()
+    }
+    want = set(itertools.combinations(sorted(ids), 2)) | {("a", "b")}
+    assert got == want
+    assert len(got) == 120 * 119 // 2 + 1
+
+
+def test_winnow_overlap_cap_safe_on_boilerplate_corpus(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #4: the hot-fingerprint bucket cap must drop EXACTLY the
+    whole-bucket contributions of over-cap fingerprints and nothing else:
+    production-with-cap == uncapped-shape self-join restricted to fps with
+    df <= cap. Corpus built so some fp buckets exceed the cap (a shared
+    boilerplate passage across 30 unrelated docs) while true overlap pairs
+    ride many rare fingerprints."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.operators import text as T
+    from dbt_parquet_spark.operators.dedup import doc_token_arrays
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"boil{j}" for j in range(20))
+    rows = []
+    for i in range(30):
+        body = " ".join(f"u{i}w{j}" for j in range(40))
+        rows.append((i, f"{boiler} {body}"))
+    for p in range(5):
+        base = " ".join(f"p{p}tok{j}" for j in range(60))
+        rows.append((100 + 2 * p, f"{base} alpha extra{p}"))
+        rows.append((101 + 2 * p, f"{base} beta extra{p}"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    w = T.winnow_fingerprints(doc_token_arrays(spark, sf_dir)).select("doc_id", "fp")
+    cap = 10
+    df_tab = w.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    assert df_tab.filter(F.col("n") > cap).count() > 0, "no hot fp — corpus broken"
+
+    # reference: oracle-shaped self-join over ONLY the under-cap fps
+    wk = w.join(df_tab.filter(F.col("n") <= cap).select("fp"), "fp")
+    a, b = wk.alias("a"), wk.alias("b")
+    ref = {
+        (r.d1, r.d2, r.n)
+        for r in (
+            a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= T.OVERLAP_MIN_FPS)
+        ).collect()
+    }
+    assert len(ref) >= 5  # the true overlap pairs survive the cap
+
+    monkeypatch.setattr(T, "WINNOW_MAX_BUCKET", cap)
+    got = {(r.d1, r.d2, r.n_shared_fps) for r in T.q_winnow_overlap(spark, sf_dir).collect()}
+    assert got == ref, "cap dropped/kept something other than whole hot buckets"
+
+
+def test_dedup_evidence_frozen_winnow_cte_matches_source():
+    """ADVICE r6: q_dedup_evidence's oracle embeds a FROZEN render of
+    text._winnow_sql_cte() (importing text at dedup module level would
+    reorder registry registration). Pin that the freeze never drifts: the
+    rendered CTE must appear verbatim (modulo whitespace) in the evidence
+    oracle, and the min-shared-fps constant must be OVERLAP_MIN_FPS."""
+    import re
+
+    from dbt_parquet_spark.operators.text import OVERLAP_MIN_FPS, _winnow_sql_cte
+    from dbt_parquet_spark.registry import load_all
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip()
+
+    oracle = load_all()["q_dedup_evidence"].oracle
+    assert norm(_winnow_sql_cte()) in norm(oracle), "frozen winnow CTE drifted from source"
+    assert f"HAVING COUNT(*) >= {OVERLAP_MIN_FPS}" in norm(oracle)

@@ -292,6 +292,7 @@ def test_no_corpus_keyed_windows_in_source():
         ("text.py", ("doc_id",)),  # positions/tokens within one document
         ("text.py", ("w1",)),  # aggregated counts: <= distinct successors
         ("graph.py", ("component_id",)),  # dup-cluster sized
+        ("release.py", ("component_id",)),  # canonical argmax per cluster
         # query_id: candidates per query (top-k rerank)
         ("similarity.py", ("query_id",)),
         # vocabulary-over-bands hierarchical rank/cumsum (corpus.py §vocab)
@@ -301,3 +302,28 @@ def test_no_corpus_keyed_windows_in_source():
         ("corpus.py", ("band",)),
     }
     assert seen <= allowed, f"unreviewed corpus-keyed windows: {seen - allowed}"
+
+
+def test_bpe_budget_sample_no_global_window(spark):
+    # same property as the char-budget sampler: the running BPE-token total
+    # must be the hierarchical banded cumsum, never a one-task global sort.
+    plan = _plan(spark, "q_bpe_budget_sample")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_release_composed_shape(spark):
+    # the flagship composition must keep each stage's gated shape: no
+    # cartesian/NL join anywhere, and all three consumer branches (span
+    # grams, span reconstruction, attribute join) reading the PERSISTED
+    # keep-set stage boundary instead of re-running the dedup+threshold
+    # lineage (the unpersisted draft ran it 3x — 40 exchanges).
+    plan = _plan(spark, "q_corpus_release")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # all branches ride the cache
+    # no live re-derivation of the keep-set: every documents FileScan in the
+    # executed plan sits inside the InMemoryRelation's recorded cache
+    # lineage, so the live plan reads only caches (plus the span pipeline).
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "FileScan parquet" not in live, live

@@ -1,0 +1,92 @@
+"""Training-shard writer: written shards must match the oracle-checked
+manifest (counts, char volume, content hash), cover the corpus exactly, and
+be bit-identically reproducible run over run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.operators.shards import (
+    q_training_shards,
+    shard_manifest,
+    write_training_shards,
+)
+from dbt_parquet_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def _manifest_rows(df):
+    return {
+        r.shard_id: (r.n_docs, r.total_chars, r.content_hash)
+        for r in df.collect()
+    }
+
+
+def test_written_shards_match_manifest_and_cover_corpus(spark, tmp_path):
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+
+    manifest = write_training_shards(spark, cat, cat.relation("corpus_shards"), docs)
+    m = _manifest_rows(manifest)
+    assert sum(n for n, _, _ in m.values()) == n_docs
+    assert all(0 <= s < 16 for s in m)
+
+    # the written table re-read: per-shard counts/volumes/hashes must equal
+    # the manifest, recomputed from the shard files themselves
+    written = spark.table("corpus_shards")
+    rowhash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_shard = {
+        r.shard_id: (r.n, r.chars, r.h)
+        for r in written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum(rowhash).alias("h"),
+        )
+        .collect()
+    }
+    assert per_shard == m
+    # exact coverage, no dup/drop
+    assert written.select("doc_id").distinct().count() == n_docs
+
+    # every doc sits in the shard its hash prefix dictates
+    misplaced = written.filter(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("long")
+        != F.col("shard_id")
+    ).count()
+    assert misplaced == 0
+
+
+def test_shard_manifest_rerun_deterministic(spark, tmp_path):
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    docs = load_table(spark, SF_SMALL, "documents")
+    m1 = _manifest_rows(write_training_shards(spark, cat, cat.relation("shards_a"), docs))
+    # second run into a DIFFERENT relation and a shuffled input layout
+    m2 = _manifest_rows(
+        write_training_shards(
+            spark, cat, cat.relation("shards_b"), docs.repartition(7).sortWithinPartitions("text")
+        )
+    )
+    assert m1 == m2
+
+    # the registered manifest view survives a fresh catalog over the database
+    cat2 = FilesystemCatalog(f"file://{tmp_path}")
+    rels = {r.table for r in cat2.list_relations("")}
+    assert {"shards_a", "shards_a_manifest", "shards_b", "shards_b_manifest"} <= rels
+
+
+def test_manifest_query_equals_lifecycle_manifest(spark):
+    """q_training_shards (the oracle-checked relational form) must equal
+    shard_manifest over the same table — one definition, two entry points."""
+    a = _manifest_rows(q_training_shards(spark, SF_SMALL))
+    b = _manifest_rows(shard_manifest(load_table(spark, SF_SMALL, "documents")))
+    assert a == b and len(a) > 1
