@@ -84,6 +84,7 @@ EXTENSION_HEADLINE = [
     "q_bpe_budget_sample",
     "q_training_shards",
     "q_corpus_release",
+    "q_lm_doc_score",
 ]
 
 

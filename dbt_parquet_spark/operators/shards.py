@@ -134,3 +134,59 @@ def write_training_shards(
     return create_table_as(
         spark, catalog, manifest_rel, shard_manifest(docs, hex_width), single_file=True
     )
+
+
+def append_delta_to_shards(
+    spark: SparkSession,
+    catalog,
+    rel,
+    delta: DataFrame,
+    hex_width: int = N_SHARD_HEX,
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Append a delta batch into an EXISTING shard table and refresh its
+    manifest — the O(delta) ingest path the hash-prefix sharding rule was
+    chosen for: a new doc lands in the shard its hash dictates, no existing
+    row moves, so the append writes only the delta's rows (mode=append into
+    the per-shard partition dirs) and the new manifest is derivable without
+    rescanning the old data.
+
+    The refreshed manifest is computed as old manifest ⊎ delta manifest
+    (sum-merge on shard_id — counts, char volumes and the order-independent
+    content hashes are all additive), then CTAS-swapped. A full recompute
+    over the combined table must agree bit-for-bit — pinned by
+    tests/test_shards.py::test_append_delta_manifest_additivity.
+
+    Caveat (documented, same as _swap_into_place): parquet append is
+    file-level; a crash mid-append can leave orphan part files in shard
+    dirs. The manifest swap happens only after the append succeeds, so the
+    MANIFEST never over-counts; production object-store deployments should
+    layer a manifest-commit table format for exactly-once appends.
+    """
+    from ..materialize import create_table_as
+
+    tagged = _with_shard_cols(delta, hex_width)
+    dest_url = catalog.io.spark_url(catalog.fs_path(rel))
+    (
+        tagged.drop("_rowhash")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "h")
+        .drop("h")
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(dest_url)
+    )
+    catalog.register_view(spark, rel)
+    manifest_rel = catalog.relation(f"{rel.table}_manifest", schema=rel.schema)
+    old = spark.read.parquet(manifest_rel.path)
+    merged = (
+        old.unionByName(shard_manifest(delta, hex_width))
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.sum("content_hash").cast("long").alias("content_hash"),
+        )
+    )
+    return create_table_as(spark, catalog, manifest_rel, merged, single_file=True)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from ..functions.bpe import DEFAULT_MERGES, bpe_encode_word, merge_ranks
 from ..registry import register
@@ -106,4 +106,92 @@ def q_bpe_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bpe_tokens",
         (F.col("cum_before") + F.col("n_bpe_tokens")).cast("long").alias("cum_bpe_tokens"),
+    )
+
+
+# --- BPE merge learning ------------------------------------------------------
+BPE_LEARN_MERGES = 24  # merges to learn in q_bpe_learn
+BPE_LEARN_MIN_FREQ = 2  # stop when the best pair's corpus frequency drops below
+
+
+def learn_bpe_merges(word_freqs: DataFrame, n_merges: int, min_freq: int = BPE_LEARN_MIN_FREQ):
+    """Learn a BPE merge table from a (word, freq) table — the Sennrich-2016
+    training loop, distributed the way it is actually run: pair statistics
+    are computed over the WORD-FREQUENCY table (vocabulary-sized, one corpus
+    pass to build), never the corpus itself, and the driver holds ONLY the
+    growing merge list (KB) plus one argmax row per iteration — the k-means
+    discipline (similarity.py) applied to tokenizer training.
+
+    Each iteration: re-segment every word under the current merges (one
+    Arrow-batched UDF pass over the persisted vocab table), explode adjacent
+    segment pairs weighted by word freq, one groupBy(pair) sum, and a
+    deterministic argmax (count desc, pair lexicographic asc) via
+    TakeOrdered. Cost: n_merges vocabulary-sized jobs; at web scale the
+    vocab table is millions of rows — still a trivial shuffle each round.
+
+    Determinism is pinned against an independently-written pure-Python
+    trainer in tests/test_subword.py.
+    """
+    wf = word_freqs.persist()
+    wf.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            ranks = {p: i for i, p in enumerate(merges)}
+
+            @F.pandas_udf(ArrayType(StringType()))
+            def seg_udf(words: pd.Series) -> pd.Series:
+                return words.map(lambda w: list(bpe_encode_word(w, ranks)))
+
+            segs = wf.select("freq", seg_udf(F.col("word")).alias("s"))
+            pairs = segs.filter(F.size("s") >= 2).select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("a"),
+                            F.element_at(F.col("s"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0].cnt < min_freq:
+                break
+            merges.append((best[0].a, best[0].b))
+    finally:
+        wf.unpersist()
+    return merges
+
+
+@register("q_bpe_learn", tags=("text", "subword", "bpe", "train", "iterative"))
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_LEARN_MERGES merge rules from the corpus and return the
+    merge table (rank, left, right) — the tokenizer-training half of the
+    subword stack (q_bpe_token_count applies a merges table; this produces
+    one). Iterative like connected_components, so the driver check is
+    rows-only; exact-parity vs a pure-Python reference trainer is pinned in
+    pytest.
+
+    Scale: ONE corpus pass builds the word-frequency table (explode +
+    groupBy(word) with map-side partials); the training loop never touches
+    the corpus again.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = learn_bpe_merges(wf, BPE_LEARN_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: long, left: string, right: string",
     )

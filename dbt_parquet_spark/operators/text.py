@@ -702,3 +702,77 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= OVERLAP_MIN_FPS)
     )
+
+
+# --- Bigram-LM document scoring ----------------------------------------------
+
+
+@register(
+    "q_lm_doc_score",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1, u.w2 FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(sp)),
+                i -> {'w1': sp[i], 'w2': sp[i+1]})) AS u
+            FROM base WHERE len(sp) >= 2
+        )
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(floor(1000000.0 * (CAST(c.c AS DOUBLE) / x.c_ctx)) AS BIGINT) AS s
+        FROM bg b JOIN counts c USING (w1, w2) JOIN ctx x USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS sum_score,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_score
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality", "score"),
+)
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model document scoring — the perplexity-filter stage of a
+    curation pipeline (CCNet-style), in a bit-exact formulation: each doc
+    bigram scores floor(1e6 · p(w2|w1)) under the corpus bigram MLE
+    (integers, so the per-doc SUM is order-independent and the oracle is
+    exact); avg_score is the exact long/long division. Low avg_score =
+    improbable word sequences = noise/garble candidates; the real pipeline
+    feeds these thresholds the way q_quality_prune consumes quality.
+
+    Scale: bigrams are narrow array zips over the persisted token arrays;
+    counts and context totals are two vocabulary-sized groupBys with
+    map-side partials; the score join is per-bigram-key equi (AQE skew
+    splits the stop-bigram partitions — the join-back shape, same reasoning
+    as q_inverted_index's df); one final groupBy(doc_id). No windows.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    bg = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    s = F.floor(F.lit(1000000.0) * (F.col("c").cast("double") / F.col("c_ctx")))
+    return (
+        bg.join(counts, ["w1", "w2"]).join(ctx, "w1")
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").cast("long").alias("sum_score"),
+            (F.sum("s").cast("double") / F.count(F.lit(1))).alias("avg_score"),
+        )
+    )

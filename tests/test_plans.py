@@ -327,3 +327,13 @@ def test_corpus_release_composed_shape(spark):
     # lineage, so the live plan reads only caches (plus the span pipeline).
     live = plan.split("InMemoryRelation", 1)[0]
     assert "FileScan parquet" not in live, live
+
+
+def test_lm_doc_score_join_back_no_window(spark):
+    # the score join must be the equi-join-back shape (AQE-splittable),
+    # never a token-keyed window, and every branch must ride the persisted
+    # token scaffold (no duplicate tokenize scans).
+    plan = _plan(spark, "q_lm_doc_score")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # bg x2 consumers + ctx

@@ -100,10 +100,11 @@ def test_registry_exposes_all_queries():
     # +q_cross_split_decontamination, +q_winnowing, +q_token_budget_sample,
     # +q_inverted_index, +q_bigram_lm, +q_winnow_overlap, +q_dedup_evidence,
     # +q_quality_prune, +q_incremental_dedup
-    # r7: +q_bpe_token_count, +q_bpe_budget_sample (operators/subword.py),
+    # r7: +q_bpe_token_count, +q_bpe_budget_sample, +q_bpe_learn
+    # (operators/subword.py), +q_lm_doc_score (operators/text.py),
     # +q_training_shards (operators/shards.py), +q_corpus_release
     # (operators/release.py)
-    assert len(specs) == 155
+    assert len(specs) == 157
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -90,3 +90,34 @@ def test_manifest_query_equals_lifecycle_manifest(spark):
     a = _manifest_rows(q_training_shards(spark, SF_SMALL))
     b = _manifest_rows(shard_manifest(load_table(spark, SF_SMALL, "documents")))
     assert a == b and len(a) > 1
+
+
+def test_append_delta_manifest_additivity(spark, tmp_path):
+    """O(delta) ingest: append writes only delta rows into existing shard
+    dirs, and the sum-merged manifest must equal a from-scratch manifest of
+    the combined corpus — bit-for-bit (the additivity the order-independent
+    content hash was designed for)."""
+    from dbt_parquet_spark.operators.shards import append_delta_to_shards
+
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    docs = load_table(spark, SF_SMALL, "documents")
+    head = docs.filter(F.col("doc_id") < 40)
+    delta = docs.filter(F.col("doc_id") >= 40)
+    n_total = docs.count()
+    assert head.count() > 0 and delta.count() > 0
+
+    write_training_shards(spark, cat, cat.relation("inc_shards"), head)
+    merged = _manifest_rows(
+        append_delta_to_shards(spark, cat, cat.relation("inc_shards"), delta)
+    )
+    # merged manifest == full recompute over everything
+    assert merged == _manifest_rows(shard_manifest(docs))
+
+    # the shard table itself now holds the whole corpus, correctly placed
+    written = spark.table("inc_shards")
+    assert written.count() == n_total
+    misplaced = written.filter(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("long")
+        != F.col("shard_id")
+    ).count()
+    assert misplaced == 0

@@ -127,3 +127,60 @@ def test_char_budget_sampler_unchanged_by_refactor(spark):
     )
     ok, msg = compare_spark_duckdb(spec.builder(spark, SF_ORACLE), con, spec.oracle)
     assert ok, msg
+
+
+def _reference_bpe_train(word_freqs: dict[str, int], n_merges: int, min_freq: int):
+    """Independent pure-Python BPE trainer (dict-of-segmentations form, no
+    Spark, no shared code with learn_bpe_merges beyond the algorithm)."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for pair in zip(s, s[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        # argmax: count desc, pair lexicographic asc
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    """The distributed trainer (re-segment via UDF + pair groupBy + argmax
+    per round) must produce EXACTLY the merge list of the reference trainer
+    run on the collected word-frequency dict."""
+    from dbt_parquet_spark.operators.subword import (
+        BPE_LEARN_MERGES,
+        BPE_LEARN_MIN_FREQ,
+        q_bpe_learn,
+    )
+
+    wf = {
+        r.word: r.freq
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .collect()
+    }
+    want = _reference_bpe_train(wf, BPE_LEARN_MERGES, BPE_LEARN_MIN_FREQ)
+    got = [(r.left, r.right) for r in q_bpe_learn(spark, SF_ORACLE).orderBy("rank").collect()]
+    assert got == want
+    assert len(got) == BPE_LEARN_MERGES  # corpus is rich enough to fill the budget
