@@ -69,6 +69,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(shell_p)
 
+    shard_p = sub.add_parser(
+        "shard",
+        help="materialize a corpus as deterministic hash shards + additive manifest",
+    )
+    common(shard_p)
+    shard_p.add_argument("--table", required=True, help="output shard table name")
+    shard_p.add_argument("--schema", default="")
+    shard_p.add_argument(
+        "--from-path",
+        dest="from_path",
+        required=True,
+        help="parquet path with doc_id/text/n_chars columns",
+    )
+    shard_p.add_argument(
+        "--hex-width",
+        dest="hex_width",
+        type=int,
+        default=1,
+        help="md5-prefix hex chars -> 16^w shards (default 16)",
+    )
+    shard_p.add_argument(
+        "--append",
+        action="store_true",
+        help="append rows into existing shards (O(delta) sum-merged manifest)",
+    )
+
     maint_p = sub.add_parser(
         "maintain",
         help="table maintenance: compact small files or sort-cluster for row-group skipping",
@@ -160,6 +186,21 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         catalog.register_all_views(spark)
         spark.sql(args.query).show(50, truncate=False)
+    elif args.cmd == "shard":
+        from .operators.shards import append_delta_to_shards, write_training_shards
+        from .sources.readers import read_parquet
+
+        docs = read_parquet(spark, args.from_path)
+        rel = catalog.relation(args.table, args.schema)
+        fn = append_delta_to_shards if args.append else write_training_shards
+        manifest = fn(spark, catalog, rel, docs, hex_width=args.hex_width)
+        rows = manifest.orderBy("shard_id").collect()
+        for r in rows:
+            print(
+                f"shard={r.shard_id}\tdocs={r.n_docs}\tchars={r.total_chars}\t"
+                f"hash={r.content_hash}"
+            )
+        print(f"OK shard {rel.view_name}: {len(rows)} shards")
     elif args.cmd == "maintain":
         from .maintenance import cluster_by, compact, table_stats
 

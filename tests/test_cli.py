@@ -90,3 +90,31 @@ def test_cli_maintain(tmp_path):
 
     bad = _cli("maintain", "--database", db)
     assert bad.returncode == 2
+
+
+def test_cli_shard_write_and_append(tmp_path):
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = _cli("shard", "--database", db, "--table", "corpus", "--from-path", src)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "OK shard corpus:" in out.stdout
+    assert os.path.isdir(os.path.join(db, "corpus.parquet"))
+    assert os.path.isfile(os.path.join(db, "corpus_manifest.parquet"))
+    n_before = sum(
+        int(l.split("\t")[1].split("=")[1])
+        for l in out.stdout.splitlines()
+        if l.startswith("shard=")
+    )
+
+    # append the same corpus as a delta: manifest doubles exactly
+    app = _cli(
+        "shard", "--database", db, "--table", "corpus", "--from-path", src, "--append"
+    )
+    assert app.returncode == 0, app.stderr[-1500:]
+    n_after = sum(
+        int(l.split("\t")[1].split("=")[1])
+        for l in app.stdout.splitlines()
+        if l.startswith("shard=")
+    )
+    assert n_after == 2 * n_before > 0

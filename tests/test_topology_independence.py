@@ -43,7 +43,11 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          "q_winnowing", "q_winnow_overlap", "q_dedup_evidence",
          "q_token_budget_sample", "q_incremental_dedup",
          "q_cross_split_decontamination", "q_quality_prune",
-         "q_cooccurrence_capped", "q_inverted_index", "q_bigram_lm"]
+         "q_cooccurrence_capped", "q_inverted_index", "q_bigram_lm",
+         # round-7 additions: join-back df/score shapes, additive shard
+         # manifest, and the composed release (closure + quantile + span
+         # scrub through the persisted stage boundary)
+         "q_lm_doc_score", "q_training_shards", "q_corpus_release"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
