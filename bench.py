@@ -85,6 +85,7 @@ EXTENSION_HEADLINE = [
     "q_training_shards",
     "q_corpus_release",
     "q_lm_doc_score",
+    "q_corpus_datasheet",
 ]
 
 

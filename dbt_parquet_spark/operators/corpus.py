@@ -754,3 +754,64 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias("kept_chars"),
         )
     )
+
+
+# --- Corpus datasheet --------------------------------------------------------
+
+
+@register(
+    "q_corpus_datasheet",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_toks,
+               {QUALITY_PPM_SQL} AS quality
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_ws_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dup_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           quantile_cont(quality, 0.25) AS quality_p25,
+           quantile_cont(quality, 0.5) AS quality_p50,
+           quantile_cont(quality, 0.75) AS quality_p75,
+           CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+    FROM scored GROUP BY source
+    """,
+    tags=("corpus", "datasheet", "stats", "quality"),
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET: one row per source with the accounting a
+    "Datasheets for Datasets"-style release doc carries — volume (docs,
+    chars, whitespace tokens), exact-duplicate mass, language spread, and
+    the quality quartiles (integer-ppm score, so quantile interpolation is
+    exactly dyadic — the q_quality_prune exactness argument). The
+    at-a-glance table a data lead reads before signing off a release.
+
+    Scale: one scan, narrow expressions, one groupBy(source) with
+    map-side partials (COUNT DISTINCT expands two-phase); output rows =
+    source cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_toks"),
+        quality_ppm_expr().alias("quality"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_ws_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("n_exact_dup_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr("percentile(quality, 0.25)").alias("quality_p25"),
+        F.expr("percentile(quality, 0.5)").alias("quality_p50"),
+        F.expr("percentile(quality, 0.75)").alias("quality_p75"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
+    )

@@ -351,3 +351,30 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "q_stream_dedup_ingest",
+    oracle="""
+    WITH m AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS first_doc
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id,
+           m.first_doc < d.doc_id AS is_dup,
+           CASE WHEN m.first_doc < d.doc_id THEN m.first_doc END AS dup_of
+    FROM documents d JOIN m ON md5(d.text) = m.h
+    """,
+    tags=("streaming", "dedup", "structured-streaming", "ingest"),
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run, oracle-checked: documents stream
+    through a stateless stream-static join against the corpus content-hash
+    table and come out flagged exact-dup (with the canonical first doc_id)
+    — the streaming front door of the dedup pipeline, proven batch-identical
+    by value. Output mode is forced to append: the plan's only Aggregate is
+    on the STATIC side (the hash table), so there is no streaming state.
+    """
+    from .stream_ops import run_to_batch, streaming_dedup_ingest
+
+    return run_to_batch(streaming_dedup_ingest(spark, sf_dir), spark, output_mode="append")

@@ -161,6 +161,53 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the ingest feed for
+    streaming corpus curation (no event-time column; dedup-flag plans below
+    are stateless joins, so no watermark is needed)."""
+    path = table_path(sf_dir, "documents")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(raw_schema).parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+
+
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup INGEST: each arriving document is flagged
+    against the static corpus's content-hash table (md5 → first doc_id) via
+    a stream-static join — the streaming front door of the dedup pipeline:
+    exact dups are flagged at ingest, the near-dup pass (incremental
+    posting join, operators/dedup.q_incremental_dedup) runs per batch
+    behind it.
+
+    Scale: the static side is one aggregated hash table, re-read per
+    micro-batch (picks up corpus updates continuously); the join is
+    stateless (no watermark, no streaming state at all), so throughput is
+    bounded only by the hash join. At warehouse scale the static side is a
+    bucketed/materialized hash table, making this a co-located lookup.
+    """
+    from ..sources.readers import load_table
+
+    static = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    stream = read_documents_stream(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    is_dup = F.col("first_doc") < F.col("doc_id")
+    return stream.join(static, "h").select(
+        "doc_id",
+        is_dup.alias("is_dup"),
+        F.when(is_dup, F.col("first_doc")).alias("dup_of"),
+    )
+
+
 def stream_to_table(
     stream_df: DataFrame,
     catalog,
@@ -225,15 +272,23 @@ def stream_merge_to_table(
     return writer.start()
 
 
-def run_to_batch(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_to_batch(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming plan with trigger=availableNow into an in-memory
     sink and return the materialized result — processes all currently
-    available input then stops (the batch-parity harness)."""
+    available input then stops (the batch-parity harness). ``output_mode``
+    overrides the plan-sniffing heuristic — needed when the STATIC side of
+    a stream-static join aggregates (an Aggregate node in the analyzed plan
+    that is not a streaming aggregation)."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    mode = output_mode or (
+        "append" if not stream_df.isStreaming else _output_mode(stream_df)
+    )
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if not stream_df.isStreaming else _output_mode(stream_df))
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -97,3 +97,42 @@ def test_twin_stateful_profile(spark):
         )
     )
     _assert_twin(q_stream_stateful_profile(spark, SF_SMALL), batch)
+
+
+def test_twin_dedup_ingest(spark, tmp_path):
+    """The streaming dedup-ingest flags must equal the batch computation of
+    the same stream-static join semantics. Runs on a constructed corpus WITH
+    exact duplicates (the shipped synthetic corpus has none, which would
+    make the dup-flag leg vacuous)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.streaming.batch_windows import q_stream_dedup_ingest
+
+    rows = [(i, f"unique doc number {i} body") for i in range(20)]
+    rows += [(100 + i, f"unique doc number {i} body") for i in range(5)]  # dups of 0-4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    streamed = {
+        (r.doc_id, r.is_dup, r.dup_of)
+        for r in q_stream_dedup_ingest(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("first_doc"))
+    is_dup = F.col("first_doc") < F.col("doc_id")
+    batch = {
+        (r.doc_id, r.is_dup, r.dup_of)
+        for r in docs.select("doc_id", F.md5("text").alias("h"))
+        .join(m, "h")
+        .select("doc_id", is_dup.alias("is_dup"), F.when(is_dup, F.col("first_doc")).alias("dup_of"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) == docs.count()
+    assert {(d, o) for _, d, o in streamed if d} == {(True, i) for i in range(5)}
