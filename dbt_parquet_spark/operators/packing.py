@@ -188,3 +188,28 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tokens.groupBy("bucket").applyInPandas(
         _greedy_pack_bucket, schema=GREEDY_SCHEMA
     )
+
+
+@register("q_bpe_sequence_packing", tags=("packing", "subword", "bpe", "corpus"))
+def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sequence_packing with the budget denominated in SUBWORD tokens —
+    the unit the context window actually holds. Same deterministic greedy
+    recurrence per doc_id-modulo bucket; the weight column is the
+    Arrow-batched BPE count (operators/subword.py). Driver check is
+    rows-only (BPE is not SQL-expressible); tests/test_subword.py pins the
+    packs against a pure-Python recurrence over reference BPE counts.
+
+    Scale: identical to the char twin — one shuffle on the bucket key, the
+    no-shuffle UDF weight rides the scan projection.
+    """
+    from .subword import bpe_token_count_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        (F.col("doc_id") % N_BUCKETS).alias("bucket"),
+        "doc_id",
+        bpe_token_count_udf(F.col("text")).alias("n_tokens"),
+    )
+    return with_tokens.groupBy("bucket").applyInPandas(
+        _greedy_pack_bucket, schema=GREEDY_SCHEMA
+    )

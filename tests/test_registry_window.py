@@ -104,8 +104,9 @@ def test_registry_exposes_all_queries():
     # (operators/subword.py), +q_lm_doc_score (operators/text.py),
     # +q_training_shards (operators/shards.py), +q_corpus_release
     # (operators/release.py), +q_stream_dedup_ingest (streaming),
-    # +q_corpus_datasheet (operators/corpus.py)
-    assert len(specs) == 159
+    # +q_corpus_datasheet (operators/corpus.py), +q_bpe_sequence_packing
+    # (operators/packing.py)
+    assert len(specs) == 160
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -184,3 +184,40 @@ def test_bpe_learn_matches_reference_trainer(spark):
     got = [(r.left, r.right) for r in q_bpe_learn(spark, SF_ORACLE).orderBy("rank").collect()]
     assert got == want
     assert len(got) == BPE_LEARN_MERGES  # corpus is rich enough to fill the budget
+
+
+def test_bpe_sequence_packing_matches_reference_recurrence(spark):
+    """The BPE-weighted packer must equal the pure-Python greedy recurrence
+    run over reference BPE counts (same bucket rule, same budget)."""
+    from dbt_parquet_spark.operators.packing import N_BUCKETS, SEQ_BUDGET
+    from dbt_parquet_spark.registry import load_all
+
+    counts = {
+        r.doc_id: sum(
+            len(bpe_encode_word_sequential(w, DEFAULT_MERGES)) for w in r.text.split(" ")
+        )
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expect = set()
+    for bucket in range(N_BUCKETS):
+        members = sorted(d for d in counts if d % N_BUCKETS == bucket)
+        bin_idx, ids, used = 0, [], 0
+        packs = []
+        for d in members:
+            n = counts[d]
+            if ids and used + n > SEQ_BUDGET:
+                packs.append((bin_idx, ids, used))
+                bin_idx, ids, used = bin_idx + 1, [], 0
+            ids.append(d)
+            used += n
+        if ids:
+            packs.append((bin_idx, ids, used))
+        for b, ids, used in packs:
+            expect.add((bucket, b, "[" + ",".join(map(str, sorted(ids))) + "]", len(ids), used))
+    got = {
+        (r.bucket, r.pack_idx, r.doc_ids, r.n_docs, r.n_tokens)
+        for r in load_all()["q_bpe_sequence_packing"].builder(spark, SF_ORACLE).collect()
+    }
+    assert got == expect and len(got) > N_BUCKETS
