@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     maint_p.add_argument(
         "--stats", action="store_true", help="print footer-only table stats and exit"
     )
+    maint_p.add_argument(
+        "--cleanup",
+        action="store_true",
+        help="list orphaned .tmp_*/.old_* publish artifacts (crashed writes/swaps)",
+    )
+    maint_p.add_argument(
+        "--apply", action="store_true", help="with --cleanup: actually remove them"
+    )
 
     args = p.parse_args(argv)
 
@@ -204,6 +212,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "maintain":
         from .maintenance import cluster_by, compact, table_stats
 
+        if args.cleanup:
+            from .maintenance import cleanup_artifacts
+
+            found = cleanup_artifacts(catalog, args.schema, apply=args.apply)
+            for p in found:
+                print(("removed " if args.apply else "orphan ") + p)
+            print(f"OK cleanup: {len(found)} artifact(s){' removed' if args.apply else ''}")
+            return 0
         if args.stats:
             for r in table_stats(spark, catalog).collect():
                 print(

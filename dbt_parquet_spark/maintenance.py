@@ -178,3 +178,33 @@ def table_stats(spark: SparkSession, catalog: FilesystemCatalog) -> DataFrame:
                 total += io.getsize(f)
             rows.append((schema, rel.table, n_rows, len(files), total, n_groups))
     return spark.createDataFrame(rows, STATS_SCHEMA)
+
+
+def cleanup_artifacts(
+    catalog: FilesystemCatalog, schema: str = "", apply: bool = False
+) -> list[str]:
+    """Find (and with ``apply=True`` remove) orphaned publish artifacts in a
+    database: ``.tmp_*`` write staging left by a crashed CTAS/shard write,
+    and ``.old_*`` aside copies left by a crash between the two renames of
+    materialize._swap_into_place. Both are safe to delete once the live
+    table is readable — the swap sequence guarantees the DESTINATION name
+    always holds a complete version; the aside copy exists only for manual
+    recovery after a mid-swap crash, which is exactly when an operator runs
+    this with apply=False first to see what's there.
+
+    Returns the artifact paths found (fs paths). Scale: one directory
+    listing — metadata only, like all catalog maintenance.
+    """
+    io = catalog.io
+    root = io.join(io.root, schema) if schema else io.root
+    if not io.exists(root):
+        return []
+    found = [
+        io.join(root, e)
+        for e in io.listdir(root)
+        if e.startswith(".tmp_") or e.startswith(".old_")
+    ]
+    if apply:
+        for p in found:
+            io.remove_any(p)
+    return found

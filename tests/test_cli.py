@@ -118,3 +118,18 @@ def test_cli_shard_write_and_append(tmp_path):
         if l.startswith("shard=")
     )
     assert n_after == 2 * n_before > 0
+
+
+def test_corpus_release_example_runs(tmp_path):
+    out = str(tmp_path / "release")
+    proc = subprocess.run(
+        [sys.executable, "examples/corpus_release.py", "--out", out],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "OK corpus release complete" in proc.stdout
+    assert os.path.isdir(os.path.join(out, "released_corpus.parquet"))
+    assert os.path.isfile(os.path.join(out, "release_shards_manifest.parquet"))

@@ -170,3 +170,35 @@ def test_zorder_cluster_makes_both_columns_selective(spark, tmp_path):
     assert zo_b < lex_b, f"z-order no better than lex on b: {zo_b}/{zo_n} vs {lex_b}/{lex_n}"
     assert zo_b <= zo_n * 3 // 4, f"z-order b not selective: {zo_b}/{zo_n}"
     assert zo_a <= zo_n * 3 // 4, f"z-order a not selective: {zo_a}/{zo_n}"
+
+
+def test_cleanup_artifacts_finds_and_removes_orphans(spark, tmp_path):
+    """A crashed publish leaves .tmp_* (writer died) or .old_* (died between
+    the swap renames) entries; cleanup must report exactly those, never a
+    live table, and remove them only with apply=True."""
+    import os
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.maintenance import cleanup_artifacts
+    from dbt_parquet_spark.materialize import create_table_as
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_SMALL
+
+    cat = FilesystemCatalog(str(tmp_path))
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    create_table_as(spark, cat, cat.relation("live"), docs)
+
+    # simulate both crash modes
+    os.makedirs(tmp_path / ".tmp_crashed_ab12cd34")
+    (tmp_path / ".tmp_crashed_ab12cd34" / "part-0.parquet").write_bytes(b"x")
+    os.makedirs(tmp_path / ".old_live_deadbeef")
+
+    found = cleanup_artifacts(cat)
+    names = {os.path.basename(p) for p in found}
+    assert names == {".tmp_crashed_ab12cd34", ".old_live_deadbeef"}
+    assert all(os.path.exists(p) for p in found)  # dry run removes nothing
+
+    cleanup_artifacts(cat, apply=True)
+    assert cleanup_artifacts(cat) == []
+    assert spark.read.parquet(cat.relation("live").path).count() == 5  # live untouched
