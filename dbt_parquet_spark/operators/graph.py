@@ -114,6 +114,104 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, vertex_col: str = "id", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public algorithm): converges in O(log² n) rounds
+    regardless of component DIAMETER, where min-label propagation
+    (connected_components above) needs diameter rounds. Same output
+    contract: (vertex_col, component = smallest reachable id); isolated
+    vertices (no edges) don't appear, matching the propagation form.
+
+    Use this when duplicate chains can be long — e.g. span-level or
+    transitive boilerplate chains at web scale, where a 10⁴-link chain
+    would need 10⁴ propagation rounds but ~15 star rounds.
+
+    Shapes: both star operations are the join-back discipline (groupBy(u)
+    min + equi-join back to the adjacency rows — AQE-skew-splittable; a
+    window-by-u would put a hub's whole neighborhood in one task). Each
+    round is 2 groupBys + 2 joins + a distinct; every round's edge set is
+    localCheckpoint'ed (the iterative-lineage trap, see above). The driver
+    holds only the convergence fingerprint (count + exact hash sum).
+    """
+    e = (
+        edges.filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if not e.take(1):
+        schema_src = edges.select(F.col("d1").alias(vertex_col))
+        return schema_src.limit(0).withColumn("component", F.col(vertex_col))
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: over the symmetric adjacency, attach every neighbor
+        # LARGER than u to m(u) = min(neighborhood(u) ∪ {u}).
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
+        m_large = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        ls = (
+            sym.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        # small-star: direct every edge to its smaller endpoint; attach u and
+        # all its smaller neighbors to m(u) = min of those neighbors.
+        d = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m_small = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(m_small, "u")
+        ss = (
+            joined.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(joined.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+        )
+        new_e = (
+            ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = fingerprint(new_e)
+        e = new_e
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_iter={max_iter} "
+            "rounds — raise max_iter (expected O(log² n) rounds)."
+        )
+    # Fixed point ⇒ star forest: every edge is (component_min, member).
+    labels = e.select(F.col("b").alias(vertex_col), F.col("a").alias("component")).union(
+        e.select(F.col("a").alias(vertex_col), F.col("a").alias("component"))
+    )
+    return labels.groupBy(vertex_col).agg(F.min("component").alias("component"))
+
+
 @register(
     "q_dedup_components",
     oracle=f"""
@@ -286,4 +384,46 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@register(
+    "q_dedup_components_star",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM ngram_pairs
+        UNION
+        SELECT d2, d1 FROM ngram_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+    tags=("dedup", "graph", "components", "star"),
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_components computed by large-star/small-star contraction
+    instead of min-label propagation — same exact-closure oracle, so the
+    two algorithms are BOTH graded against the recursive CTE and against
+    each other transitively. Propagation wins on the dense low-diameter
+    blobs near-dup graphs usually are (fewer fixed costs/round); the star
+    form is the insurance for high-diameter chain components, converging
+    in O(log² n) rounds where propagation needs diameter rounds
+    (demonstrated on a 400-link path in tests/test_graph.py)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    comp = connected_components_star(pairs, vertex_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(sizes, "component")
+        .select("doc_id", F.col("component").alias("component_id"), "component_size")
     )

@@ -57,3 +57,40 @@ def test_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, vertex_col="id", max_iter=1)
+
+
+def test_star_components_match_propagation_on_random_graphs(spark):
+    """large-star/small-star must produce the identical (vertex -> min id)
+    labeling as min-label propagation on seeded random graphs."""
+    import random
+
+    from dbt_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(220)]
+        e = spark.createDataFrame(edges, "d1 long, d2 long")
+        a = {r[0]: r[1] for r in connected_components(e, "id").collect()}
+        b = {r[0]: r[1] for r in connected_components_star(e, "id").collect()}
+        assert a == b and len(a) > 0
+
+
+def test_star_converges_where_propagation_cannot(spark):
+    """A 400-link path has diameter 400: propagation's 20-round budget must
+    fail loudly (the r5 convergence contract) while the star contraction
+    finishes in O(log² n) rounds with the correct single component."""
+    import pytest as _pytest
+
+    from dbt_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(400)], "d1 long, d2 long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "id", max_iter=20)
+    labels = {r[0]: r[1] for r in connected_components_star(path, "id").collect()}
+    assert len(labels) == 401 and set(labels.values()) == {0}
