@@ -799,3 +799,47 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _rerank_exact(scanned, emb)
+
+
+# --- Cluster-balanced sampling -----------------------------------------------
+SAMPLE_PER_CELL = 20
+
+
+@register(
+    "q_cluster_balanced_sample",
+    tags=("similarity", "sampling", "curation", "ivf"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-balanced subset selection: assign every vector to
+    its IVF cell and keep the SAMPLE_PER_CELL most CENTRAL vectors per cell
+    (cosine to the cell centroid, vec_id tiebreak) — the prototype-sampling
+    curation move (keep representative coverage of every semantic region
+    instead of letting head clusters dominate a uniform sample). Reuses the
+    deterministic IVF quantizer; rows-only driver check (k-means is not
+    SQL-expressible), invariants + independent-recompute parity pinned in
+    tests/test_joins_ivf.py.
+
+    Scale: assignment and centrality are map-only against broadcast
+    centroids; the per-cell top-k is a rank window whose filter Spark
+    rewrites to a map-side WindowGroupLimit (plan-gated) — each input
+    partition forwards at most k rows per cell to the exchange, so the
+    cell-keyed window never moves a full cell population through one task
+    despite cells being corpus-scale partitions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_quantizer(spark, sf_dir)
+    sims = F.array(
+        *[cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    assigned = emb.select(
+        "vec_id",
+        F.array_position(sims, F.array_max(sims)).alias("cell"),
+        F.array_max(sims).alias("centrality"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
+    return (
+        assigned.select(
+            "cell", "vec_id", "centrality", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= SAMPLE_PER_CELL)
+    )

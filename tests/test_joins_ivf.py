@@ -132,3 +132,50 @@ def test_ivf_pq_sound_on_shipped_corpus(spark):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.15, f"IVF-PQ recall below structural floor: {recall}"
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    """Per-cell cap respected, and the selected set per cell must be
+    exactly the most-central vectors recomputed independently from the
+    full assignment."""
+    from dbt_parquet_spark.operators.similarity import (
+        SAMPLE_PER_CELL,
+        cosine,
+        q_cluster_balanced_sample,
+        train_ivf_quantizer,
+    )
+    from dbt_parquet_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    out = q_cluster_balanced_sample(spark, SF_ORACLE).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert all(len(v) <= SAMPLE_PER_CELL for v in by_cell.values())
+
+    # independent recompute of the full assignment -> expected top-k sets
+    cents = train_ivf_quantizer(spark, SF_ORACLE)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    sims = F.array(
+        *[cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    full = emb.select(
+        "vec_id",
+        F.array_position(sims, F.array_max(sims)).alias("cell"),
+        F.array_max(sims).alias("centrality"),
+    ).collect()
+    expected: dict[int, list[int]] = {}
+    cells: dict[int, list] = {}
+    for r in full:
+        cells.setdefault(r.cell, []).append(r)
+    for cell, rows in cells.items():
+        rows.sort(key=lambda r: (-r.centrality, r.vec_id))
+        expected[cell] = [r.vec_id for r in rows[:SAMPLE_PER_CELL]]
+    got = {
+        cell: [r.vec_id for r in sorted(v, key=lambda r: r.rank)]
+        for cell, v in by_cell.items()
+    }
+    assert got == expected
+    assert len(got) > 1  # corpus spans multiple cells

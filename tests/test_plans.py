@@ -295,6 +295,10 @@ def test_no_corpus_keyed_windows_in_source():
         ("release.py", ("component_id",)),  # canonical argmax per cluster
         # query_id: candidates per query (top-k rerank)
         ("similarity.py", ("query_id",)),
+        # cell: corpus-scale partitions, but the rank<=k filter rewrites to
+        # a map-side WindowGroupLimit (plan-gated) so only k rows per cell
+        # per input partition cross the exchange
+        ("similarity.py", ("cell",)),
         # vocabulary-over-bands hierarchical rank/cumsum (corpus.py §vocab)
         ("corpus.py", ("g",)),
         ("corpus.py", ("freq",)),
@@ -337,3 +341,12 @@ def test_lm_doc_score_join_back_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 3  # bg x2 consumers + ctx
+
+
+def test_cluster_balanced_sample_window_group_limit(spark):
+    # the per-cell top-k rank filter must be rewritten to a map-side
+    # WindowGroupLimit (each input partition forwards <= k rows per cell),
+    # which is what makes the cell-keyed window safe at corpus scale.
+    plan = _plan(spark, "q_cluster_balanced_sample")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -105,8 +105,9 @@ def test_registry_exposes_all_queries():
     # +q_training_shards (operators/shards.py), +q_corpus_release
     # (operators/release.py), +q_stream_dedup_ingest (streaming),
     # +q_corpus_datasheet (operators/corpus.py), +q_bpe_sequence_packing
-    # (operators/packing.py), +q_dedup_components_star (operators/graph.py)
-    assert len(specs) == 161
+    # (operators/packing.py), +q_dedup_components_star (operators/graph.py),
+    # +q_cluster_balanced_sample (operators/similarity.py)
+    assert len(specs) == 162
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
