@@ -94,3 +94,49 @@ def test_star_converges_where_propagation_cannot(spark):
         connected_components(path, "id", max_iter=20)
     labels = {r[0]: r[1] for r in connected_components_star(path, "id").collect()}
     assert len(labels) == 401 and set(labels.values()) == {0}
+
+
+def test_both_component_algorithms_match_union_find_ground_truth(spark):
+    """Propagation AND star contraction validated against an independent
+    pure-Python union-find (path compression + union by min) on seeded
+    random graphs — ground truth that shares no code or execution engine
+    with either distributed implementation."""
+    import random
+
+    from dbt_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find_labels(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min id so the root IS the component minimum
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo
+        return {x: find(x) for x in parent}
+
+    for seed, n, m in ((3, 120, 90), (11, 80, 200), (23, 300, 150)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        truth = union_find_labels([(u, v) for u, v in edges if u != v])
+        e = spark.createDataFrame(edges, "d1 long, d2 long")
+        prop = {r[0]: r[1] for r in connected_components(e, "id").collect()}
+        star = {r[0]: r[1] for r in connected_components_star(e, "id").collect()}
+        # distributed forms omit vertices with only self-loop edges
+        truth = {k: v for k, v in truth.items() if any(
+            (u == k or v == k) and u != v for u, v in edges
+        )}
+        assert prop == truth, f"propagation != union-find (seed {seed})"
+        assert star == truth, f"star != union-find (seed {seed})"
