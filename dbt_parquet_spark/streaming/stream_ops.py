@@ -305,3 +305,82 @@ def _output_mode(stream_df: DataFrame) -> str:
     if "FlatMapGroupsInPandasWithState" in plan:
         return "update"  # custom stateful operators declare their own mode
     return "complete" if "Aggregate" in plan else "append"
+
+
+def stream_neardup_ingest_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog,
+    rel,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup ingest: per micro-batch, flag each arriving
+    document's near-duplicates against the static corpus — shingle-posting
+    candidate equi-join + exact Jaccard verify, i.e. the
+    q_incremental_dedup machinery applied with "delta = the micro-batch"
+    — and append one flag row per flagged doc (n_near_dups, best match,
+    best jaccard) to a catalog table. This is the foreachBatch production
+    pattern: batch operators reused verbatim inside the stream, exactly-
+    once via the checkpoint.
+
+    Scale: the static side is the memoized shingle-posting scaffold (in
+    production: a materialized posting table bucketed by shingle key →
+    co-located join, sources/bucketed.py); per-batch cost is
+    O(batch postings x shingle df) — delta-proportional, never corpus².
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        doc_shingles,
+        shingle_sets,
+        shingles,
+    )
+
+    corpus_sh = doc_shingles(spark, sf_dir)
+    corpus_sets = shingle_sets(corpus_sh)
+    stream = read_documents_stream(spark, sf_dir)
+    os.makedirs(rel.path, exist_ok=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("doc_id", F.split("text", " ").alias("toks"))
+        bsh = b.select("doc_id", F.explode(shingles(F.col("toks"), 5)).alias("s"))
+        bsets = bsh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+        cand = (
+            bsh.select(F.col("doc_id").alias("new_id"), "s")
+            .join(corpus_sh.select(F.col("doc_id").alias("corpus_id"), "s"), "s")
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        a = bsets.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("t1"))
+        c = corpus_sets.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("t2"))
+        inter = F.size(F.array_intersect("t1", "t2"))
+        union = F.size("t1") + F.size("t2") - inter
+        verified = (
+            cand.join(a, "new_id")
+            .join(c, "corpus_id")
+            .select(
+                "new_id", "corpus_id", (inter.cast("double") / union).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        # best partner = max jaccard, smallest corpus_id on ties
+        best = F.max(F.struct(F.col("jaccard"), (-F.col("corpus_id")).alias("nid")))
+        flags = verified.groupBy("new_id").agg(
+            F.count(F.lit(1)).alias("n_near_dups"), best.alias("best")
+        )
+        flags.select(
+            F.col("new_id").alias("doc_id"),
+            "n_near_dups",
+            F.col("best.jaccard").alias("best_jaccard"),
+            (-F.col("best.nid")).cast("long").alias("best_match_id"),
+        ).write.mode("append").parquet(rel.path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -54,3 +54,38 @@ def test_streaming_session_windows_cover_all_events(spark):
     assert sum(r.n_events for r in rows) == n_events
     for r in rows:
         assert r.session_start <= r.session_end
+
+
+def test_stream_neardup_ingest_matches_batch_pairs(spark, tmp_path):
+    """The foreachBatch near-dup ingest must reproduce, per doc, the
+    symmetrized q_dedup_ngram_jaccard pair set: n_near_dups = partner
+    count, best = (max jaccard, min partner id) — exactly."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.operators.dedup import q_dedup_ngram_jaccard
+    from dbt_parquet_spark.streaming.stream_ops import stream_neardup_ingest_to_table
+
+    from .conftest import SF_SMALL
+
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    rel = cat.relation("neardup_flags")
+    q = stream_neardup_ingest_to_table(
+        spark, SF_SMALL, cat, rel, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_near_dups, round(r.best_jaccard, 12), r.best_match_id)
+        for r in spark.read.parquet(rel.path).collect()
+    }
+    pairs = q_dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    assert pairs, "no near-dup pairs at this sf — test vacuous"
+    partners: dict[int, list[tuple[float, int]]] = {}
+    for r in pairs:
+        partners.setdefault(r.d1, []).append((r.jaccard, r.d2))
+        partners.setdefault(r.d2, []).append((r.jaccard, r.d1))
+    want = {}
+    for doc, ps in partners.items():
+        bj = max(j for j, _ in ps)
+        bid = min(i for j, i in ps if j == bj)
+        want[doc] = (len(ps), round(bj, 12), bid)
+    assert got == want
