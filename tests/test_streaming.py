@@ -89,3 +89,24 @@ def test_stream_neardup_ingest_matches_batch_pairs(spark, tmp_path):
         bid = min(i for j, i in ps if j == bj)
         want[doc] = (len(ps), round(bj, 12), bid)
     assert got == want
+
+
+def test_stream_neardup_ingest_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the ingest with the SAME checkpoint must append nothing
+    new (the batch-id dedup behind foreachBatch's exactly-once claim)."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.streaming.stream_ops import stream_neardup_ingest_to_table
+
+    from .conftest import SF_SMALL
+
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    rel = cat.relation("neardup_flags_once")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = stream_neardup_ingest_to_table(spark, SF_SMALL, cat, rel, ckpt)
+    q1.awaitTermination(300)
+    n1 = spark.read.parquet(rel.path).count()
+    assert n1 > 0
+
+    q2 = stream_neardup_ingest_to_table(spark, SF_SMALL, cat, rel, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(rel.path).count() == n1, "restart re-appended rows"
