@@ -160,17 +160,34 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    # The driver captures a bounded window of stdout (BENCH_r07.json was
+    # truncated to a 2,000-char tail once spreads pushed the line past it,
+    # leaving parsed:null). So: print a COMPACT line — total + per-query min
+    # only — and write the full min/med/max/spread detail to a sidecar file
+    # next to this script. If the compact line itself ever outgrows the
+    # window (more headliners), degrade per-query precision before anything
+    # else; the total and query set always survive.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "spreads": spreads,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out)
+    detail = dict(out, queries=timings, spreads=spreads)
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line is the artifact of record
+    print(line)
     return 1 if errors else 0
 
 

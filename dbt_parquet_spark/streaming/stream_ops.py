@@ -208,6 +208,52 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idempotent_batch_append(catalog, rel, batch_df: DataFrame, batch_id: int) -> None:
+    """Append one micro-batch to a catalog table such that REPLAYING the same
+    batch id yields the same at-rest state — the piece that upgrades
+    foreachBatch from at-least-once to exactly-once.
+
+    foreachBatch's contract is at-least-once: a crash after the data write
+    but before the checkpoint offset commit replays the batch. A blind
+    ``mode("append")`` then duplicates it. Instead:
+
+    1. write the batch to a ``.tmp_`` staging dir with mode=overwrite
+       (replay rewrites the same staging dir — idempotent);
+    2. delete any ``batch-{id}-*`` files a previous partial attempt left in
+       the destination (attempts can differ in part count, so stale
+       higher-indexed parts must go);
+    3. move the staging part files in under DETERMINISTIC names
+       (``batch-{id:010d}-{i:05d}.parquet``) — replay overwrites the same
+       names instead of adding new ones;
+    4. drop the staging dir.
+
+    Any crash point re-runs 1-4 for the same batch id and converges to one
+    copy. All IO goes through the catalog FS abstraction (``catalog.io``
+    takes fs paths; Spark takes ``spark_url`` spellings), so this is correct
+    for explicit ``file://`` and remote-scheme catalogs — never a
+    CWD-relative ``os.makedirs`` on a URL.
+    """
+    io = catalog.io
+    dest = catalog.fs_path(rel)
+    staging = io.join(
+        io.root, rel.schema, f".tmp_stream_{rel.table}_batch_{batch_id}"
+    )
+    batch_df.write.mode("overwrite").parquet(io.spark_url(staging))
+    io.makedirs(dest)
+    marker = f"batch-{batch_id:010d}-"
+    for entry in io.listdir(dest):
+        if entry.startswith(marker):
+            io.remove_any(io.join(dest, entry))
+    parts = [
+        e
+        for e in io.listdir(staging)
+        if e.startswith("part-") and e.endswith(".parquet")
+    ]
+    for i, entry in enumerate(parts):
+        io.rename(io.join(staging, entry), io.join(dest, f"{marker}{i:05d}.parquet"))
+    io.rmtree(staging)
+
+
 def stream_to_table(
     stream_df: DataFrame,
     catalog,
@@ -216,20 +262,19 @@ def stream_to_table(
     available_now: bool = True,
 ):
     """Streaming materialization: write a stream into a catalog table
-    (directory layout) via foreachBatch — each micro-batch appends its part
-    files; exactly-once is provided by the checkpoint + batch-id dedup.
+    (directory layout) via foreachBatch. Exactly-once = the checkpoint
+    (offset tracking / no batch skipped) + ``_idempotent_batch_append``
+    (batch replay converges instead of duplicating).
 
     This is the streaming CTAS the reference's batch-only model lacks: the
     same relation the batch engine reads is continuously fed by a stream.
     Scale: appends never rewrite history; pair with maintenance.compact on a
     schedule to bound file counts.
     """
-    import os
-
-    os.makedirs(rel.path, exist_ok=True)
+    catalog.io.makedirs(catalog.fs_path(rel))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(rel.path)
+        _idempotent_batch_append(catalog, rel, batch_df, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -251,7 +296,10 @@ def stream_merge_to_table(
     """Streaming UPSERT materialization: each micro-batch merges into the
     target by key (incremental.incremental_merge inside foreachBatch) —
     the streaming CDC-apply pattern: late corrections overwrite earlier
-    rows instead of appending duplicates.
+    rows instead of appending duplicates. Batch REPLAY (foreachBatch is
+    at-least-once) is safe here by construction: merging the same batch
+    twice is a no-op — the second merge drops-and-rewrites the same keys to
+    the same values.
 
     Scale: per-batch cost is one anti-join against the current table; for
     large targets pair with partition-scoped merges (incremental.py notes).
@@ -321,8 +369,9 @@ def stream_neardup_ingest_to_table(
     q_incremental_dedup machinery applied with "delta = the micro-batch"
     — and append one flag row per flagged doc (n_near_dups, best match,
     best jaccard) to a catalog table. This is the foreachBatch production
-    pattern: batch operators reused verbatim inside the stream, exactly-
-    once via the checkpoint.
+    pattern: batch operators reused verbatim inside the stream; exactly-
+    once = checkpoint offsets + ``_idempotent_batch_append`` (a replayed
+    batch overwrites its own files instead of duplicating them).
 
     Scale: the static side is the memoized shingle-posting scaffold (in
     production: a materialized posting table bucketed by shingle key →
@@ -339,7 +388,7 @@ def stream_neardup_ingest_to_table(
     corpus_sh = doc_shingles(spark, sf_dir)
     corpus_sets = shingle_sets(corpus_sh)
     stream = read_documents_stream(spark, sf_dir)
-    os.makedirs(rel.path, exist_ok=True)
+    catalog.io.makedirs(catalog.fs_path(rel))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -371,12 +420,13 @@ def stream_neardup_ingest_to_table(
         flags = verified.groupBy("new_id").agg(
             F.count(F.lit(1)).alias("n_near_dups"), best.alias("best")
         )
-        flags.select(
+        out = flags.select(
             F.col("new_id").alias("doc_id"),
             "n_near_dups",
             F.col("best.jaccard").alias("best_jaccard"),
             (-F.col("best.nid")).cast("long").alias("best_match_id"),
-        ).write.mode("append").parquet(rel.path)
+        )
+        _idempotent_batch_append(catalog, rel, out, batch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

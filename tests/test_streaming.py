@@ -110,3 +110,65 @@ def test_stream_neardup_ingest_restart_is_exactly_once(spark, tmp_path):
     q2 = stream_neardup_ingest_to_table(spark, SF_SMALL, cat, rel, ckpt)
     q2.awaitTermination(300)
     assert spark.read.parquet(rel.path).count() == n1, "restart re-appended rows"
+
+
+def test_stream_ingest_creates_no_cwd_relative_path(spark, tmp_path, monkeypatch):
+    """Regression: os.makedirs(rel.path) on an explicit file:// catalog used
+    to create a junk 'file:/tmp/...' tree under the process CWD (the URL
+    treated as a relative OS path). All sink-side IO must go through the
+    catalog FS abstraction — a streaming ingest from a scratch CWD must
+    leave that CWD untouched."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.streaming.stream_ops import stream_neardup_ingest_to_table
+
+    from .conftest import SF_SMALL
+
+    cwd = tmp_path / "scratch_cwd"
+    cwd.mkdir()
+    monkeypatch.chdir(cwd)
+    cat = FilesystemCatalog(f"file://{tmp_path / 'db'}")
+    rel = cat.relation("flags_cwd_check")
+    q = stream_neardup_ingest_to_table(
+        spark, SF_SMALL, cat, rel, str(tmp_path / "ckpt_cwd")
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(rel.path).count() > 0
+    assert list(cwd.iterdir()) == [], "streaming sink wrote CWD-relative paths"
+
+
+def test_idempotent_batch_append_replay_converges(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the data write but
+    before the offset commit replays the batch. _idempotent_batch_append
+    must converge — replaying the same batch id (even after a partial
+    earlier attempt left stale higher-indexed parts) yields exactly one
+    copy of the batch."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.streaming.stream_ops import _idempotent_batch_append
+
+    cat = FilesystemCatalog(f"file://{tmp_path / 'db'}")
+    rel = cat.relation("replay_target")
+    batch = spark.range(100).withColumnRenamed("id", "k")
+
+    _idempotent_batch_append(cat, rel, batch, 7)
+    n1 = spark.read.parquet(rel.path).count()
+    assert n1 == 100
+
+    # Simulate a partial earlier attempt: a stale part file from batch 7
+    # with an index the replay won't produce. The replay must remove it.
+    dest = cat.fs_path(rel)
+    stale = cat.io.join(dest, "batch-0000000007-99999.parquet")
+    existing = [e for e in cat.io.listdir(dest) if e.startswith("batch-")]
+    with cat.io.open_input(cat.io.join(dest, existing[0])) as fh:
+        payload = fh.read()
+    with cat.io.open_output(stale) as fh:
+        fh.write(payload)
+    assert spark.read.parquet(rel.path).count() > 100  # duplicated state
+
+    _idempotent_batch_append(cat, rel, batch, 7)  # replay of batch 7
+    assert spark.read.parquet(rel.path).count() == 100, "replay did not converge"
+
+    # A DIFFERENT batch id appends alongside, untouched by batch-7 replay.
+    _idempotent_batch_append(cat, rel, spark.range(5).withColumnRenamed("id", "k"), 8)
+    assert spark.read.parquet(rel.path).count() == 105
+    _idempotent_batch_append(cat, rel, batch, 7)
+    assert spark.read.parquet(rel.path).count() == 105
