@@ -86,6 +86,7 @@ EXTENSION_HEADLINE = [
     "q_corpus_release",
     "q_lm_doc_score",
     "q_corpus_datasheet",
+    "q_quality_classifier",
 ]
 
 

@@ -778,31 +778,43 @@ def q_cross_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM documents a JOIN documents b
           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
     ),
+    thumbs AS (
+        SELECT doc_id, md5(substr(text, 1, 256)) AS th FROM documents
+    ),
+    media_pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM thumbs a JOIN thumbs b
+          ON a.th = b.th AND a.doc_id < b.doc_id
+    ),
     winnow_pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_fps
         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING COUNT(*) >= {3}
     )
-    SELECT COALESCE(j.d1, e.d1, w.d1) AS d1,
-           COALESCE(j.d2, e.d2, w.d2) AS d2,
+    SELECT COALESCE(j.d1, e.d1, w.d1, m.d1) AS d1,
+           COALESCE(j.d2, e.d2, w.d2, m.d2) AS d2,
            j.jaccard AS jaccard,
            COALESCE(e.d1 IS NOT NULL, FALSE) AS is_exact,
-           CAST(COALESCE(w.n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+           CAST(COALESCE(w.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+           COALESCE(m.d1 IS NOT NULL, FALSE) AS is_media_dup
     FROM ngram_pairs j
     FULL OUTER JOIN exact_pairs e ON j.d1 = e.d1 AND j.d2 = e.d2
     FULL OUTER JOIN winnow_pairs w
       ON COALESCE(j.d1, e.d1) = w.d1 AND COALESCE(j.d2, e.d2) = w.d2
+    FULL OUTER JOIN media_pairs m
+      ON COALESCE(j.d1, e.d1, w.d1) = m.d1 AND COALESCE(j.d2, e.d2, w.d2) = m.d2
     """,
     tags=("dedup", "evidence", "fusion"),
 )
 def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair dedup decision table: every document pair flagged by ANY of
-    the three lexical signals, with all three columns — shingle Jaccard
-    (null if below threshold), exact-content equality, and shared
-    winnowing-fingerprint count (0 if below OVERLAP_MIN_FPS). Fully
-    oracle-checked: each leg is deterministic and the fusion is coalesced
-    full-outer joins on the pair key.
+    the four signals, with all four columns — shingle Jaccard (null if
+    below threshold), exact-content equality, shared winnowing-fingerprint
+    count (0 if below OVERLAP_MIN_FPS), and media-thumbnail equality (the
+    binary-payload near-dup leg, operators/multimodal.q_media_dedup's
+    hash). Fully oracle-checked: each leg is deterministic and the fusion
+    is coalesced full-outer joins on the pair key.
 
     Scale: each leg is its own sub-quadratic candidate pipeline (posting
     equi-joins, hash groupBys) over the SHARED token/shingle scaffolds;
@@ -810,6 +822,7 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge count, not the corpus. Full-outer on (d1, d2) shuffles by the
     pair key once per leg.
     """
+    from .multimodal import THUMB_BYTES, as_media_table
     from .text import OVERLAP_MIN_FPS, q_winnow_overlap
 
     jac = q_dedup_ngram_jaccard(spark, sf_dir)
@@ -830,9 +843,26 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(True))
     )
     wov = q_winnow_overlap(spark, sf_dir)
+    # Media leg: thumbnail-hash collisions over the binary payloads (same
+    # groupBy + chunked-expansion discipline as the exact leg).
+    thumbs = as_media_table(docs).select(
+        "doc_id",
+        F.md5(F.substring(F.col("payload").cast("string"), 1, THUMB_BYTES)).alias("th"),
+    )
+    tb = (
+        thumbs.groupBy("th")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    media = (
+        chunked_pair_expansion(tb, "ids")
+        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
+        .withColumn("is_media_dup", F.lit(True))
+    )
     fused = (
         jac.join(exact, ["d1", "d2"], "full_outer")
         .join(wov, ["d1", "d2"], "full_outer")
+        .join(media, ["d1", "d2"], "full_outer")
     )
     return fused.select(
         "d1",
@@ -840,6 +870,7 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
         F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long").alias("n_shared_fps"),
+        F.coalesce(F.col("is_media_dup"), F.lit(False)).alias("is_media_dup"),
     )
 
 

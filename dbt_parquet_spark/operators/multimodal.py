@@ -243,3 +243,123 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         sample_frames, schema=FRAME_SCHEMA
     )
+
+
+# --- Binary-file ingestion + media dedup (round 8) ---------------------------
+# Real media arrives as FILES, not rows. `ingest_binary_dir` is the front
+# door: Spark's binaryFile source (path/length/content per file) -> a catalog
+# table with a content hash computed at ingest. Exact media dedup is then a
+# hash groupBy over that table; near-dup media uses a deterministic
+# "thumbnail" (a fixed-size prefix downsample of the payload — the codec-free
+# stand-in for a perceptual hash, same contract: identical thumbnails <=>
+# visually-identical media).
+
+THUMB_BYTES = 256  # fake "thumbnail": first N chars of the payload text
+
+
+def ingest_binary_dir(
+    spark: SparkSession,
+    catalog,
+    rel,
+    src_dir: str,
+    glob: str = "*",
+) -> DataFrame:
+    """Ingest a directory of opaque media files into a catalog table via the
+    binaryFile source: (file_name, n_bytes, content_hash, content). The
+    hash is computed ONCE at ingest (md5 over the raw bytes, JVM-side), so
+    every downstream dedup pass scans a 32-char column, never re-reads
+    payloads. modificationTime is deliberately dropped — re-ingesting
+    identical bytes must produce an identical table. Zero-length files are
+    skipped by Spark file sources (no splits) — pinned in
+    tests/test_media_ingest.py.
+
+    Scale: binaryFile parallelizes over files (maxPartitionBytes applies);
+    the CTAS shuffles nothing — hashing rides the scan. At 100 TB the
+    content column lives in parquet page storage and the hash/meta columns
+    make metadata-only scans cheap (column pruning skips payload pages).
+    """
+    from ..materialize import create_table_as
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_hash"),
+            "content",
+        )
+    )
+    return create_table_as(spark, catalog, rel, files)
+
+
+def media_dedup_exact(media: DataFrame, key: str = "file_name") -> DataFrame:
+    """Exact media dedup over an ingested binary table: one row per
+    duplicate-content cluster — (content_hash, n_copies, canonical, dups),
+    canonical = lexicographically-first member. A pure hash groupBy: the
+    payload column is never read (content_hash was computed at ingest), so
+    this scans metadata columns only.
+    """
+    return (
+        media.groupBy("content_hash")
+        .agg(F.array_sort(F.collect_set(key)).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(
+            "content_hash",
+            F.size("members").cast("long").alias("n_copies"),
+            F.element_at("members", 1).alias("canonical"),
+            F.slice("members", 2, 1_000_000).alias("dups"),
+        )
+    )
+
+
+@register(
+    "q_media_dedup",
+    oracle=f"""
+    WITH thumbs AS (
+        SELECT doc_id, md5(substr(text, 1, {THUMB_BYTES})) AS thumb_hash
+        FROM documents
+    ),
+    clusters AS (
+        SELECT thumb_hash, list_sort(list(doc_id)) AS members
+        FROM thumbs GROUP BY thumb_hash HAVING COUNT(*) > 1
+    )
+    SELECT thumb_hash,
+           CAST(len(members) AS BIGINT) AS n_copies,
+           members[1] AS canonical_id
+    FROM clusters
+    """,
+    tags=("multimodal", "dedup", "media"),
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup MEDIA clusters by thumbnail hash: payloads whose
+    deterministic thumbnail (first {THUMB_BYTES}-char downsample — the
+    codec-free perceptual-hash stand-in, module note) collides are the same
+    media modulo tail edits. One row per multi-member cluster:
+    (thumb_hash, n_copies, canonical_id = smallest doc_id). Oracle-checked:
+    the thumbnail is SQL-expressible, so DuckDB verifies every cluster.
+
+    Scale: one groupBy on a 32-char hash — the q_dedup_exact shape; the
+    thumbnail is computed in the scan projection (narrow). Cluster arrays
+    are near-dup-cluster-sized, never corpus-sized. Swapping the prefix
+    downsample for a real perceptual hash (pHash UDF over decoded pixels)
+    changes only the hash expression.
+    """
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    thumbs = media.select(
+        "doc_id",
+        F.md5(F.substring(F.col("payload").cast("string"), 1, THUMB_BYTES)).alias(
+            "thumb_hash"
+        ),
+    )
+    return (
+        thumbs.groupBy("thumb_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(
+            "thumb_hash",
+            F.size("members").cast("long").alias("n_copies"),
+            F.element_at("members", 1).alias("canonical_id"),
+        )
+    )

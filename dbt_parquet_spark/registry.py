@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.subword",
     "dbt_parquet_spark.operators.shards",
     "dbt_parquet_spark.operators.release",
+    "dbt_parquet_spark.operators.classifier",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

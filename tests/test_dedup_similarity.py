@@ -461,3 +461,9 @@ def test_dedup_evidence_frozen_winnow_cte_matches_source():
     oracle = load_all()["q_dedup_evidence"].oracle
     assert norm(_winnow_sql_cte()) in norm(oracle), "frozen winnow CTE drifted from source"
     assert f"HAVING COUNT(*) >= {OVERLAP_MIN_FPS}" in norm(oracle)
+    # r8: the media leg freezes THUMB_BYTES the same way
+    from dbt_parquet_spark.operators.multimodal import THUMB_BYTES
+
+    assert f"substr(text, 1, {THUMB_BYTES})" in norm(oracle), (
+        "frozen thumbnail width drifted from multimodal.THUMB_BYTES"
+    )
