@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma-separated models to run (dbt-style; +name includes ancestors)",
     )
+    run_p.add_argument(
+        "--state",
+        choices=["modified"],
+        default=None,
+        help="'modified': skip models whose compiled SQL, upstreams and "
+        "source data are unchanged since the last recorded run",
+    )
 
     seed_p = sub.add_parser("seed", help="load a CSV seed")
     common(seed_p)
@@ -87,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         dest="hex_width",
         type=int,
         default=1,
-        help="md5-prefix hex chars -> 16^w shards (default 16)",
+        help="md5-prefix hex chars -> 16^w shards (default 1, i.e. 16 shards)",
     )
     shard_p.add_argument(
         "--append",
@@ -126,6 +133,14 @@ def main(argv: list[str] | None = None) -> int:
     maint_p.add_argument(
         "--apply", action="store_true", help="with --cleanup: actually remove them"
     )
+    maint_p.add_argument(
+        "--min-age-seconds",
+        dest="min_age_seconds",
+        type=float,
+        default=3600.0,
+        help="with --cleanup: ignore artifacts younger than this (they may "
+        "belong to an in-flight write); 0 disables the gate",
+    )
 
     args = p.parse_args(argv)
 
@@ -153,12 +168,16 @@ def main(argv: list[str] | None = None) -> int:
             threads=args.threads,
             single_file=args.single_file,
             select=args.select.split(",") if args.select else None,
+            state=args.state,
         )
         for name in project.dag_order():
             if name not in results:
                 continue  # outside --select
             r = results[name]
-            print(f"OK {name}: {r.rows} rows -> {r.relation.path}")
+            if r.skipped:
+                print(f"SKIP {name}: unchanged -> {r.relation.path}")
+            else:
+                print(f"OK {name}: {r.rows} rows -> {r.relation.path}")
     elif args.cmd == "seed":
         from .materialize import load_seed
 
@@ -215,7 +234,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.cleanup:
             from .maintenance import cleanup_artifacts
 
-            found = cleanup_artifacts(catalog, args.schema, apply=args.apply)
+            found = cleanup_artifacts(
+                catalog,
+                args.schema,
+                apply=args.apply,
+                min_age_seconds=args.min_age_seconds,
+            )
             for p in found:
                 print(("removed " if args.apply else "orphan ") + p)
             print(f"OK cleanup: {len(found)} artifact(s){' removed' if args.apply else ''}")

@@ -112,6 +112,12 @@ class CatalogFS:
     def getsize(self, path: str) -> int:
         return self._info(path).size or 0
 
+    def getmtime(self, path: str) -> float | None:
+        """POSIX timestamp of last modification, or None when the backend
+        does not report one (e.g. the in-memory mock FS)."""
+        m = self._info(path).mtime
+        return m.timestamp() if m is not None else None
+
     def open_input(self, path: str):
         return self.fs.open_input_file(path)
 

@@ -181,7 +181,10 @@ def table_stats(spark: SparkSession, catalog: FilesystemCatalog) -> DataFrame:
 
 
 def cleanup_artifacts(
-    catalog: FilesystemCatalog, schema: str = "", apply: bool = False
+    catalog: FilesystemCatalog,
+    schema: str = "",
+    apply: bool = False,
+    min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Find (and with ``apply=True`` remove) orphaned publish artifacts in a
     database: ``.tmp_*`` write staging left by a crashed CTAS/shard write,
@@ -192,17 +195,38 @@ def cleanup_artifacts(
     recovery after a mid-swap crash, which is exactly when an operator runs
     this with apply=False first to see what's there.
 
-    Returns the artifact paths found (fs paths). Scale: one directory
-    listing — metadata only, like all catalog maintenance.
+    ``min_age_seconds`` (ADVICE r7): an artifact younger than this is
+    assumed to belong to an IN-FLIGHT write and is neither listed nor
+    removed — a cleanup running concurrently with a live CTAS /
+    write_training_shards must not delete that write's active staging dir.
+    Artifacts whose backend reports no mtime are likewise left alone
+    (pass 0 to disable the gate where no writer can be live).
+
+    Returns the artifact paths acted on (fs paths) — the listing and the
+    removal use the same age filter, so a dry run previews exactly what
+    ``apply=True`` would delete. Scale: one directory listing — metadata
+    only, like all catalog maintenance.
     """
+    import time
+
     io = catalog.io
     root = io.join(io.root, schema) if schema else io.root
     if not io.exists(root):
         return []
+    now = time.time()
+
+    def aged(path: str) -> bool:
+        if min_age_seconds <= 0:
+            return True
+        m = io.getmtime(path)
+        return m is not None and (now - m) >= min_age_seconds
+
     found = [
-        io.join(root, e)
+        p
         for e in io.listdir(root)
         if e.startswith(".tmp_") or e.startswith(".old_")
+        for p in [io.join(root, e)]
+        if aged(p)
     ]
     if apply:
         for p in found:

@@ -109,6 +109,11 @@ def write_training_shards(
     Publish is write-to-temp + atomic swap (materialize._swap_into_place),
     and the manifest is CTAS'd through the catalog AFTER the data swap, so
     a reader that sees the new manifest always sees the new shards.
+
+    The manifest is computed from the RE-READ written table, not from the
+    input plan (ADVICE r7): the input executes exactly once, so a
+    non-deterministic ``docs`` plan (sample/limit/non-deterministic UDF)
+    still yields a manifest that describes the bytes actually on disk.
     """
     from ..materialize import _swap_into_place, create_table_as
 
@@ -131,8 +136,9 @@ def write_training_shards(
     _swap_into_place(io, fs_tmp, fs_dest)
     catalog.register_view(spark, rel)
     manifest_rel = catalog.relation(f"{rel.table}_manifest", schema=rel.schema)
+    written = spark.read.parquet(io.spark_url(fs_dest)).drop("shard_id")
     return create_table_as(
-        spark, catalog, manifest_rel, shard_manifest(docs, hex_width), single_file=True
+        spark, catalog, manifest_rel, shard_manifest(written, hex_width), single_file=True
     )
 
 
@@ -157,31 +163,54 @@ def append_delta_to_shards(
     over the combined table must agree bit-for-bit — pinned by
     tests/test_shards.py::test_append_delta_manifest_additivity.
 
-    Caveat (documented, same as _swap_into_place): parquet append is
-    file-level; a crash mid-append can leave orphan part files in shard
-    dirs. The manifest swap happens only after the append succeeds, so the
-    MANIFEST never over-counts; production object-store deployments should
-    layer a manifest-commit table format for exactly-once appends.
+    Single-execution discipline (ADVICE r7): the delta plan executes ONCE —
+    into a staging dir; the delta manifest is computed from the STAGED
+    FILES (read back), and the staged part files are then MOVED into the
+    per-shard partition dirs (renames, no rewrite). A non-deterministic
+    delta plan therefore cannot make the manifest disagree with the
+    written rows.
+
+    Caveat (documented, same as _swap_into_place): the per-file moves are
+    not one atomic commit; a crash mid-move can leave orphan part files in
+    shard dirs. The manifest swap happens only after every move succeeds,
+    so the MANIFEST never over-counts; production object-store deployments
+    should layer a manifest-commit table format for exactly-once appends.
     """
     from ..materialize import create_table_as
 
+    io = catalog.io
     tagged = _with_shard_cols(delta, hex_width)
-    dest_url = catalog.io.spark_url(catalog.fs_path(rel))
+    fs_dest = catalog.fs_path(rel)
+    parent = posixpath.dirname(fs_dest)
+    fs_tmp = io.join(parent, f".tmp_{rel.table}_delta_{uuid.uuid4().hex[:8]}")
     (
         tagged.drop("_rowhash")
         .repartition("shard_id")
         .sortWithinPartitions("shard_id", "h")
         .drop("h")
-        .write.mode("append")
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard_id")
-        .parquet(dest_url)
+        .parquet(io.spark_url(fs_tmp))
     )
+    staged = spark.read.parquet(io.spark_url(fs_tmp)).drop("shard_id")
+    delta_manifest_rows = shard_manifest(staged, hex_width).collect()  # fanout-sized
+    for entry in io.listdir(fs_tmp):
+        if not entry.startswith("shard_id="):
+            continue
+        shard_dir = io.join(fs_dest, entry)
+        io.makedirs(shard_dir)
+        src_dir = io.join(fs_tmp, entry)
+        for part in io.listdir(src_dir):
+            if part.endswith(".parquet"):
+                # Spark part names embed a per-job UUID -> no collisions
+                io.rename(io.join(src_dir, part), io.join(shard_dir, part))
+    io.rmtree(fs_tmp)
     catalog.register_view(spark, rel)
     manifest_rel = catalog.relation(f"{rel.table}_manifest", schema=rel.schema)
     old = spark.read.parquet(manifest_rel.path)
     merged = (
-        old.unionByName(shard_manifest(delta, hex_width))
+        old.unionByName(spark.createDataFrame(delta_manifest_rows, old.schema))
         .groupBy("shard_id")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),

@@ -50,7 +50,8 @@ class Model:
 class RunResult:
     model: str
     relation: Relation
-    rows: int
+    rows: int  # -1 when skipped (the existing table was not re-counted)
+    skipped: bool = False
 
 
 class Project:
@@ -121,20 +122,121 @@ class Project:
                 ancestors(name)
         return [n for n in self.models if n in chosen]
 
+    # -- incremental-run state (dbt `state:modified` semantics) ------------
+    # Content-addressed freshness: each model's state hash is a MERKLE hash
+    # of its compiled SQL, its upstream models' state hashes, and the byte-
+    # level fingerprints of the sources it reads. A model is skippable iff
+    # its table exists AND its recorded hash equals the current one — so
+    # editing a model's SQL invalidates it, and invalidation cascades to
+    # every descendant through the hash chain, while untouched siblings
+    # skip. The state file lives in the database root (catalog FS, works on
+    # any backend) and is rewritten after every run.
+
+    _STATE_FILE = ".run_state.json"
+
+    def _load_state(self) -> dict:
+        import json
+
+        io = self.catalog.io
+        path = io.join(io.root, self._STATE_FILE)
+        if not io.isfile(path):
+            return {}
+        with io.open_input(path) as fh:
+            return json.loads(fh.read().decode())
+
+    def _save_state(self, state: dict) -> None:
+        import json
+
+        io = self.catalog.io
+        io.makedirs(io.root)
+        with io.open_output(io.join(io.root, self._STATE_FILE)) as fh:
+            fh.write(json.dumps(state, indent=1, sort_keys=True).encode())
+
+    def _source_fingerprint(self, schema: str, table: str) -> str:
+        """Byte-level fingerprint of a source table: sorted (file, size,
+        footer row count) triples, hashed. Row counts come from parquet
+        footers (metadata-only reads), so a same-size rewrite with
+        different content is still caught when its row count moves; a
+        same-size same-count in-place edit is the accepted blind spot
+        (dbt's source freshness has the same shape)."""
+        import hashlib
+        import json
+
+        import pyarrow.parquet as pq
+
+        io = self.catalog.io
+        path = self.catalog.fs_path(Relation(self.catalog.database, schema, table))
+        entries: list[tuple[str, int, int]] = []
+        if io.isdir(path):
+            files = [
+                (e, io.join(path, e))
+                for e in io.listdir(path)
+                if e.endswith(".parquet")
+            ]
+        elif io.isfile(path):
+            files = [(table, path)]
+        else:
+            return "absent"
+        for name, f in sorted(files):
+            with io.open_input(f) as fh:
+                n_rows = pq.ParquetFile(fh).metadata.num_rows
+            entries.append((name, io.getsize(f), n_rows))
+        return hashlib.md5(json.dumps(entries).encode()).hexdigest()
+
+    def _state_hashes(self, names: list[str]) -> dict[str, str]:
+        """Current Merkle state hash per model, for ``names`` and all their
+        in-project ancestors (an unselected upstream's DEFINITION still
+        feeds its descendants' hashes — conservative: a changed-but-not-
+        rebuilt upstream marks descendants stale)."""
+        import hashlib
+
+        hashes: dict[str, str] = {}
+        src_cache: dict[tuple[str, str], str] = {}
+
+        def h(name: str) -> str:
+            if name in hashes:
+                return hashes[name]
+            model = self.models[name]
+            parts = [self.compile_sql(model)]
+            for ref in sorted(set(model.refs)):
+                if ref in self.models:
+                    parts.append(f"ref:{ref}:{h(ref)}")
+            for schema, table in sorted(set(model.sources)):
+                key = (schema, table)
+                if key not in src_cache:
+                    src_cache[key] = self._source_fingerprint(schema, table)
+                parts.append(f"source:{schema}.{table}:{src_cache[key]}")
+            hashes[name] = hashlib.md5("\n".join(parts).encode()).hexdigest()
+            return hashes[name]
+
+        for n in names:
+            h(n)
+        return hashes
+
     def run(
         self,
         spark: SparkSession,
         threads: int = 4,
         single_file: bool = False,
         select: list[str] | None = None,
+        state: str | None = None,
     ) -> dict[str, RunResult]:
         """Materialize every model (or the ``select``-ed subset) in DAG
         order, parallelizing independent models across ``threads``
         (reference threads semantics). Source views are registered up front
         (reference connections.py:79-88 registers all existing parquet on
-        connect)."""
+        connect).
+
+        ``state="modified"`` enables incremental runs: a model whose table
+        exists and whose Merkle state hash (compiled SQL + upstream hashes
+        + source fingerprints) matches the recorded one is SKIPPED
+        (``RunResult.skipped``, rows=-1); everything downstream of a real
+        change re-materializes. The recorded state updates after every run
+        regardless of mode, so a full run primes later incremental ones."""
         from .dialect import register_duckdb_compat
 
+        if state not in (None, "modified"):
+            raise ValueError(f"unsupported state mode: {state!r}")
         register_duckdb_compat(spark)  # DuckDB-dialect model SQL runs unchanged
         self.catalog.register_all_views(spark)
 
@@ -145,12 +247,22 @@ class Project:
         )
         ts.prepare()
         results: dict[str, RunResult] = {}
+        current = self._state_hashes(names)
+        recorded = self._load_state() if state == "modified" else {}
 
         def execute(name: str) -> RunResult:
             model = self.models[name]
+            rel = self._model_relation(name)
+            if (
+                state == "modified"
+                and recorded.get(name) == current[name]
+                and self.catalog.exists(rel)
+            ):
+                # fresh: keep the table, just (re-)register its view
+                self.catalog.register_view(spark, rel)
+                return RunResult(model=name, relation=rel, rows=-1, skipped=True)
             if model.schema != DEFAULT_SCHEMA:
                 self.catalog.create_schema(model.schema)
-            rel = self._model_relation(name)
             df = create_table_as(
                 spark, self.catalog, rel, self.compile_sql(model), single_file=single_file
             )
@@ -168,6 +280,13 @@ class Project:
                     name = futures.pop(fut)
                     results[name] = fut.result()
                     ts.done(name)
+        # Record state for every model that now matches its current hash
+        # (executed this run, or verified-fresh skip). Unselected models
+        # keep their previous entries.
+        new_state = self._load_state()
+        for name in names:
+            new_state[name] = current[name]
+        self._save_state(new_state)
         return results
 
     # -- built-in generic tests (dbt unique / not_null shapes) -------------

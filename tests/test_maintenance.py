@@ -194,11 +194,18 @@ def test_cleanup_artifacts_finds_and_removes_orphans(spark, tmp_path):
     (tmp_path / ".tmp_crashed_ab12cd34" / "part-0.parquet").write_bytes(b"x")
     os.makedirs(tmp_path / ".old_live_deadbeef")
 
-    found = cleanup_artifacts(cat)
+    # Age gate (ADVICE r7): just-created artifacts look like an IN-FLIGHT
+    # write under the default min_age and must be left alone, listed and
+    # removed only once old enough (here: gate disabled).
+    assert cleanup_artifacts(cat) == []
+    assert cleanup_artifacts(cat, apply=True) == []
+    assert os.path.exists(tmp_path / ".tmp_crashed_ab12cd34")
+
+    found = cleanup_artifacts(cat, min_age_seconds=0)
     names = {os.path.basename(p) for p in found}
     assert names == {".tmp_crashed_ab12cd34", ".old_live_deadbeef"}
     assert all(os.path.exists(p) for p in found)  # dry run removes nothing
 
-    cleanup_artifacts(cat, apply=True)
-    assert cleanup_artifacts(cat) == []
+    cleanup_artifacts(cat, apply=True, min_age_seconds=0)
+    assert cleanup_artifacts(cat, min_age_seconds=0) == []
     assert spark.read.parquet(cat.relation("live").path).count() == 5  # live untouched

@@ -253,3 +253,85 @@ def test_analytics_example_project(spark, tmp_path):
     # top_spend_days: at most 3 rows per user
     top = spark.table("top_spend_days")
     assert top.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
+def test_incremental_run_skips_unmodified(spark, db):
+    """state="modified": the second run executes ZERO models; editing an
+    upstream cascades to its descendants and leaves siblings skipped;
+    changing SOURCE bytes invalidates readers of that source."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model(
+            "base",
+            "SELECT n_legs, animals FROM {{ source('source_schema', 'animals') }}",
+        )
+    )
+    project.add(Model("wide", "SELECT * FROM {{ ref('base') }} WHERE n_legs >= 4"))
+    project.add(Model("narrow", "SELECT * FROM {{ ref('base') }} WHERE n_legs = 2"))
+    project.add(Model("solo", "SELECT 1 AS one"))
+
+    r1 = project.run(spark, threads=2, state="modified")
+    assert not any(r.skipped for r in r1.values())
+
+    # run 2: nothing changed -> everything skips, tables stay readable
+    r2 = project.run(spark, threads=2, state="modified")
+    assert all(r.skipped for r in r2.values())
+    assert spark.table("wide").count() == 3  # Horse, Brittle stars, Centipede
+
+    # edit ONE leaf: only it re-runs
+    project.add(Model("narrow", "SELECT * FROM {{ ref('base') }} WHERE n_legs = 100"))
+    r3 = project.run(spark, threads=2, state="modified")
+    assert {n for n, r in r3.items() if not r.skipped} == {"narrow"}
+    assert spark.table("narrow").first().animals == "Centipede"
+
+    # edit the shared upstream: it and BOTH descendants re-run, solo skips
+    project.add(
+        Model(
+            "base",
+            "SELECT n_legs, upper(animals) AS animals "
+            "FROM {{ source('source_schema', 'animals') }}",
+        )
+    )
+    r4 = project.run(spark, threads=2, state="modified")
+    assert {n for n, r in r4.items() if not r.skipped} == {"base", "wide", "narrow"}
+    assert spark.table("narrow").first().animals == "CENTIPEDE"
+
+    # change SOURCE data: every model reading it (directly or transitively)
+    # re-runs; solo still skips
+    extra = spark.createDataFrame([(8, "Octopus")], "n_legs: long, animals: string")
+    create_table_as(
+        spark, db, db.relation("animals", "source_schema"), extra, single_file=True
+    )
+    r5 = project.run(spark, threads=2, state="modified")
+    assert {n for n, r in r5.items() if not r.skipped} == {"base", "wide", "narrow"}
+    assert spark.table("wide").first().animals == "OCTOPUS"
+
+
+def test_incremental_run_rebuilds_dropped_table(spark, db):
+    """A fresh hash with a MISSING table must still rebuild (hash alone is
+    not evidence the output exists)."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model("m", "SELECT * FROM {{ source('source_schema', 'animals') }}")
+    )
+    project.run(spark, state="modified")
+    db.drop_relation(db.relation("m"))
+    r = project.run(spark, state="modified")
+    assert not r["m"].skipped
+    assert spark.table("m").count() == 4
+
+
+def test_plain_run_always_rebuilds_but_primes_state(spark, db):
+    """state=None keeps the old always-rebuild contract, yet records state
+    so a later state="modified" run can skip."""
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(Model("m", "SELECT * FROM {{ source('source_schema', 'animals') }}"))
+    r1 = project.run(spark)
+    assert not r1["m"].skipped
+    r2 = project.run(spark)
+    assert not r2["m"].skipped  # default mode never skips
+    r3 = project.run(spark, state="modified")
+    assert r3["m"].skipped

@@ -121,3 +121,52 @@ def test_append_delta_manifest_additivity(spark, tmp_path):
         != F.col("shard_id")
     ).count()
     assert misplaced == 0
+
+
+def test_manifest_describes_written_bytes_for_nondeterministic_input(spark, tmp_path):
+    """ADVICE r7: the input plan executes ONCE — a non-deterministic docs
+    plan (per-row UUID column, different on every execution) must still
+    produce a manifest that agrees with a full recompute over the data
+    actually on disk, for both the initial write and a delta append."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from dbt_parquet_spark.operators.shards import (
+        append_delta_to_shards,
+        shard_manifest,
+        write_training_shards,
+    )
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_SMALL
+
+    @F.udf(StringType(), useArrow=True)
+    def fresh_uuid() -> str:
+        import uuid as _uuid
+
+        return _uuid.uuid4().hex
+
+    base = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "n_chars")
+    docs = base.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text", F.concat("text", F.lit(" "), fresh_uuid())
+    )
+    delta = base.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat("text", F.lit(" "), fresh_uuid())
+    )
+
+    cat = FilesystemCatalog(f"file://{tmp_path}")
+    rel = cat.relation("nd_shards")
+    write_training_shards(spark, cat, rel, docs)
+    append_delta_to_shards(spark, cat, rel, delta)
+
+    stored = {
+        r.shard_id: (r.n_docs, r.total_chars, r.content_hash)
+        for r in spark.read.parquet(cat.relation("nd_shards_manifest").path).collect()
+    }
+    written = spark.read.parquet(rel.path).drop("shard_id")
+    recomputed = {
+        r.shard_id: (r.n_docs, r.total_chars, r.content_hash)
+        for r in shard_manifest(written).collect()
+    }
+    assert stored == recomputed
+    assert written.count() == base.count()
