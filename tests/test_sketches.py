@@ -132,6 +132,23 @@ def test_source_overlap_kmv_tight_band(spark):
     assert errs[len(errs) // 2] <= 0.06  # median
     assert errs[-1] <= 0.15  # max
 
+    # The shipped sketch-only builder (the 100 TB mode) must produce the
+    # same estimates this test derived by hand, within the same bands.
+    from dbt_parquet_spark.operators.sketches import source_overlap_kmv
+
+    ests = {
+        (r.source_a, r.source_b): r.d_union_est
+        for r in source_overlap_kmv(spark, SF_ORACLE).collect()
+    }
+    assert set(ests) == {
+        (s1, s2) for i, s1 in enumerate(srcs) for s2 in srcs[i + 1 :]
+    }
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            exact_union = counts[s1] + counts[s2] - common.get((s1, s2), 0)
+            err = abs(ests[(s1, s2)] - exact_union) / exact_union
+            assert err <= 0.15, (s1, s2, err)
+
 
 def test_cms_overestimate_within_width_bound(spark):
     """CMS structural guarantees on the fixed sf0.01 draw: est >= exact for

@@ -100,5 +100,141 @@ def run() -> None:
         json.dump(results, f, indent=2)
 
 
+# --- Blocking-family sweep (r8: the 100x evidence) ---------------------------
+# The dedup family's scale argument is "candidates PER DOC stay constant
+# because blocking width scales with the corpus". The main sweep spans 10x;
+# this one spans 40x for the blocking stages ONLY, measuring the per-doc
+# candidate rate at each scale — and, as the contrast that proves the
+# corpus-scaled bit width is load-bearing, the embedding rate with bits
+# FROZEN at the 1x width (which must grow ~linearly).
+#
+# Replication here must not create cross-replica near-dups (the main sweep's
+# token ROTATION keeps most shingles identical — fine for throughput ratios,
+# fatal for candidate-rate math), so documents get per-replica token
+# NAMESPACING (every token prefixed r{i}_: zero shared shingles across
+# replicas, within-replica near-dup structure exactly preserved) and
+# embeddings get per-replica dimension ROLLS (cosine structure within a
+# replica is permutation-invariant; across replicas it randomizes).
+
+BLK_ROOT = "/tmp/spark_graft_sweep/blocking"
+BLK_MULTIPLES = [1, 4, 10, 40]
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BLOCKING_SWEEP.json"
+)
+
+
+def gen_blocking() -> None:
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dbt_parquet_spark.session import get_spark
+    from dbt_parquet_spark.sources.readers import read_parquet
+
+    spark = get_spark("blocking_sweep_gen")
+    docs = read_parquet(spark, f"{BASE}/documents.parquet")
+    emb = read_parquet(spark, f"{BASE}/embeddings.parquet")
+    for m in BLK_MULTIPLES:
+        dest = f"{BLK_ROOT}/x{m}"
+        if os.path.exists(f"{dest}/embeddings.parquet/_SUCCESS") and os.path.exists(
+            f"{dest}/documents.parquet/_SUCCESS"
+        ):
+            continue
+        os.makedirs(dest, exist_ok=True)
+        dparts, eparts = [], []
+        for i in range(m):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            if i > 0:
+                toks = F.split("text", " ")
+                d = d.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(toks, lambda t: F.concat(F.lit(f"r{i}_"), t)), " "
+                    ),
+                )
+            dparts.append(d)
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            if i > 0:
+                roll = i % 63 + 1  # 1..63: never the identity
+                e = e.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", roll + 1, 64), F.slice("embedding", 1, roll)
+                    ),
+                )
+            eparts.append(e)
+        d_all, e_all = dparts[0], eparts[0]
+        for p in dparts[1:]:
+            d_all = d_all.unionByName(p)
+        for p in eparts[1:]:
+            e_all = e_all.unionByName(p)
+        d_all.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+        e_all.write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+        print("generated", dest)
+
+
+def blocking() -> None:
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dbt_parquet_spark.operators.dedup import doc_shingles, release_shingle_cache
+    from dbt_parquet_spark.operators.similarity import (
+        blocked_candidates,
+        neardup_chunk_bits,
+    )
+    from dbt_parquet_spark.session import get_spark
+
+    gen_blocking()
+    spark = get_spark("blocking_sweep")
+    base_bits = None
+    out: dict = {"multiples": BLK_MULTIPLES, "scales": {}}
+    for m in BLK_MULTIPLES:
+        sf_dir = f"{BLK_ROOT}/x{m}"
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        # shingle-posting candidate stage (q_dedup_ngram_jaccard's blocker)
+        sh = doc_shingles(spark, sf_dir)
+        cand = (
+            sh.select(F.col("doc_id").alias("d1"), "s")
+            .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+            .count()
+        )
+        release_shingle_cache()
+        bits = neardup_chunk_bits(n_vecs)
+        if base_bits is None:
+            base_bits = bits
+        ecand = blocked_candidates(spark, sf_dir, bits=bits).count()
+        # contrast: bits FROZEN at the 1x width -> occupancy grows with m
+        ecand_frozen = (
+            ecand
+            if bits == base_bits
+            else blocked_candidates(spark, sf_dir, bits=base_bits).count()
+        )
+        row = {
+            "n_docs": n_docs,
+            "n_vecs": n_vecs,
+            "shingle_cand": cand,
+            "shingle_cand_per_doc": round(cand / n_docs, 4),
+            "chunk_bits": bits,
+            "emb_cand": ecand,
+            "emb_cand_per_vec": round(ecand / n_vecs, 4),
+            "emb_cand_per_vec_frozen_bits": round(ecand_frozen / n_vecs, 4),
+        }
+        out["scales"][f"x{m}"] = row
+        print(f"x{m}: {row}")
+    s = out["scales"]
+    # the pinned claims (also asserted from the artifact by pytest):
+    assert s["x40"]["shingle_cand_per_doc"] <= 1.15 * s["x1"]["shingle_cand_per_doc"]
+    assert s["x40"]["emb_cand_per_vec"] <= 1.15 * max(
+        s["x1"]["emb_cand_per_vec"], s["x10"]["emb_cand_per_vec"]
+    )
+    assert s["x40"]["emb_cand_per_vec_frozen_bits"] >= 4 * s["x40"]["emb_cand_per_vec"]
+    with open(ARTIFACT, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", ARTIFACT)
+
+
 if __name__ == "__main__":
-    {"gen": gen, "run": run}[sys.argv[1]]()
+    {"gen": gen, "run": run, "genblk": gen_blocking, "blocking": blocking}[sys.argv[1]]()
