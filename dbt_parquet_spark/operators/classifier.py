@@ -279,3 +279,105 @@ def py_train_and_score(texts: list[str]) -> tuple[np.ndarray, list[int]]:
         G = G + gr * gr
         w = w - LR * gr / np.sqrt(G + 1e-8)
     return w, [score(arr) for arr in feats]
+
+
+# --- Distributed model evaluation -------------------------------------------
+# AUC and calibration computed over the SCORE HISTOGRAM, never per-row on
+# the driver: integer-ppm scores have <= 1,000,001 distinct values at ANY
+# corpus size, so the histogram is a bounded-size aggregate (one shuffle
+# with map-side partials). The rank-sum AUC (Mann-Whitney U) needs a running
+# count of negatives below each score — computed hierarchically like
+# corpus.hierarchical_cumsum: band = score_ppm // 10000 (101 ordered bands),
+# band offsets via a broadcast theta-join, within-band prefix sums over a
+# PARTITIONED window (<= 10,000 rows per band, bounded at any scale). All
+# arithmetic stays integral until the single final division, so the result
+# is exact and order-free — pinned bit-identically against the pure-Python
+# reference.
+
+from pyspark.sql import Window  # noqa: E402
+
+
+@register("q_quality_classifier_auc", tags=("corpus", "quality", "classifier", "eval"))
+def q_quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact AUC of the trained classifier against its weak labels:
+    U = sum over positives of (#neg strictly below + 0.5 * #neg tied),
+    AUC = U / (n_pos * n_neg) — computed as 2U (integral, order-free) over
+    the integer-ppm score histogram, divided once at the end. Rows-only
+    driver check (model scores are not SQL-expressible);
+    tests/test_classifier.py pins the value against sklearn-free pure
+    Python on the same scores."""
+    w = train_quality_classifier(spark, sf_dir)
+    scored = doc_features(spark, sf_dir).select(
+        "y", _score_udf(w)(F.col("bkts")).alias("score_ppm")
+    )
+    hist = scored.groupBy("score_ppm").agg(
+        F.sum("y").alias("npos"),
+        F.sum(F.lit(1) - F.col("y")).alias("nneg"),
+    )
+    hist = hist.withColumn("band", (F.col("score_ppm") / 10000).cast("long"))
+    band_totals = hist.groupBy("band").agg(F.sum("nneg").alias("tot"))
+    lower = band_totals.select(F.col("band").alias("band_lt"), "tot")
+    offsets = (
+        band_totals.select("band")
+        .join(F.broadcast(lower), F.col("band_lt") < F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("tot"), F.lit(0)).alias("band_offset"))
+    )
+    win = (
+        Window.partitionBy("band")
+        .orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_score = hist.join(F.broadcast(offsets), "band").select(
+        "npos",
+        "nneg",
+        (F.col("band_offset") + F.coalesce(F.sum("nneg").over(win), F.lit(0))).alias(
+            "neg_below"
+        ),
+    )
+    agg = per_score.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+        F.sum(F.col("npos") * (2 * F.col("neg_below") + F.col("nneg")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+    )
+
+
+@register(
+    "q_quality_classifier_calibration",
+    tags=("corpus", "quality", "classifier", "eval"),
+)
+def q_quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: scores bucketed into deciles (score_ppm //
+    100000), per-bin doc count, positive count, mean score and observed
+    positive rate — the calibration curve a pipeline owner reads before
+    trusting classifier thresholds. Deterministic given the model;
+    rows-only driver check with pure-Python parity in tests.
+
+    Scale: one groupBy over 10 bins with map-side partials; nothing else.
+    """
+    w = train_quality_classifier(spark, sf_dir)
+    scored = doc_features(spark, sf_dir).select(
+        "y", _score_udf(w)(F.col("bkts")).alias("score_ppm")
+    )
+    return (
+        scored.groupBy((F.col("score_ppm") / 100000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("score_ppm").cast("long").alias("sum_score_ppm"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (F.col("sum_score_ppm") / F.col("n_docs") / 1e6).alias("mean_score"),
+            (F.col("n_pos") / F.col("n_docs")).alias("pos_rate"),
+        )
+    )

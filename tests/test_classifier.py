@@ -76,3 +76,59 @@ def test_classifier_prune_composes(spark):
         # whole source emptied
         assert r.n_kept > 0
         assert r.n_dropped <= per_source[r.source] * 0.5
+
+
+def test_auc_matches_pure_python_exactly(spark):
+    """2U stays integral until one final division, so the distributed AUC
+    must equal the pure-Python rank-sum bit-for-bit — and beat chance."""
+    _, texts = _texts(spark)
+    from dbt_parquet_spark.operators.classifier import (
+        py_label,
+        q_quality_classifier_auc,
+    )
+
+    _, scores = py_train_and_score(texts)
+    ys = [py_label(t) for t in texts]
+    hist: dict[int, list[int]] = {}
+    for s, y in zip(scores, ys):
+        e = hist.setdefault(s, [0, 0])
+        e[0] += y
+        e[1] += 1 - y
+    u2, below = 0, 0
+    for s in sorted(hist):
+        npos, nneg = hist[s]
+        u2 += npos * (2 * below + nneg)
+        below += nneg
+    n_pos = sum(ys)
+    n_neg = len(ys) - n_pos
+    want = (n_pos, n_neg, u2 / (2.0 * n_pos * n_neg))
+
+    (row,) = q_quality_classifier_auc(spark, SF_SMALL).collect()
+    assert (row.n_pos, row.n_neg, row.auc) == want
+    assert row.auc > 0.9  # the model separates its own supervision
+
+
+def test_calibration_matches_pure_python(spark):
+    _, texts = _texts(spark)
+    from dbt_parquet_spark.operators.classifier import (
+        py_label,
+        q_quality_classifier_calibration,
+    )
+
+    _, scores = py_train_and_score(texts)
+    ys = [py_label(t) for t in texts]
+    want: dict[int, tuple] = {}
+    bins: dict[int, list] = {}
+    for s, y in zip(scores, ys):
+        b = bins.setdefault(s // 100000, [0, 0, 0])
+        b[0] += 1
+        b[1] += y
+        b[2] += s
+    for k, (n, npos, ssum) in bins.items():
+        want[k] = (n, npos, ssum / n / 1e6, npos / n)
+
+    got = {
+        r.bin: (r.n_docs, r.n_pos, r.mean_score, r.pos_rate)
+        for r in q_quality_classifier_calibration(spark, SF_SMALL).collect()
+    }
+    assert got == want

@@ -293,6 +293,10 @@ def test_no_corpus_keyed_windows_in_source():
         ("text.py", ("w1",)),  # aggregated counts: <= distinct successors
         ("graph.py", ("component_id",)),  # dup-cluster sized
         ("release.py", ("component_id",)),  # canonical argmax per cluster
+        # AUC rank-sum: window runs over the SCORE HISTOGRAM (<= 1e6+1 rows
+        # total at any corpus size), banded into 101 partitions of <= 10k
+        # rows — bounded constant, never corpus-sized
+        ("classifier.py", ("band",)),
         # query_id: candidates per query (top-k rerank)
         ("similarity.py", ("query_id",)),
         # cell: corpus-scale partitions, but the rank<=k filter rewrites to

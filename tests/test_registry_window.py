@@ -107,9 +107,11 @@ def test_registry_exposes_all_queries():
     # +q_corpus_datasheet (operators/corpus.py), +q_bpe_sequence_packing
     # (operators/packing.py), +q_dedup_components_star (operators/graph.py),
     # +q_cluster_balanced_sample (operators/similarity.py)
-    # r8: +q_quality_classifier, +q_quality_classifier_prune
-    # (operators/classifier.py — trained hashed-ngram LR)
-    assert len(specs) == 164
+    # r8: +q_quality_classifier, +q_quality_classifier_prune,
+    # +q_quality_classifier_auc, +q_quality_classifier_calibration
+    # (operators/classifier.py — trained hashed-ngram LR + distributed
+    # eval), +q_media_dedup (operators/multimodal.py)
+    assert len(specs) == 167
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
