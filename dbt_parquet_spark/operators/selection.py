@@ -1,0 +1,294 @@
+"""Data-selection operators — targeted importance selection (DSIR),
+semantic dedup over embedding clusters (SemDeDup), and column profiling:
+the curation layer that decides WHICH documents a training run reads.
+
+Public references: Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling" (DSIR); Abbas et al. 2023, "SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication". Both are
+re-expressed Spark-first here (hashed-feature LM ratios as JVM column
+expressions; cluster-bounded pair generation), not ported.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.vector import cosine
+from ..registry import register
+from ..sources.readers import load_table
+
+# --- DSIR-style importance selection -----------------------------------------
+# Feature space: unigrams hashed into DSIR_BUCKETS buckets (md5-prefix mod,
+# the same public-hash idiom the rest of the package uses). Two add-one-
+# smoothed bucket LMs are fitted — target domain vs raw pool — and each raw
+# document is scored by its total log-likelihood ratio. The per-bucket LLR
+# is frozen to integer MICRO-NATS on the driver, so the per-doc sum is
+# order-free integer arithmetic: bit-identical at any partitioning, and
+# bit-identical to the pure-Python reference (pinned in tests).
+
+DSIR_BUCKETS = 2048
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the "domain we want more of"
+DSIR_TOP_N = 200
+
+
+def _bucket(tok):
+    """Hash a token column to [0, DSIR_BUCKETS) — md5-prefix mod, identical
+    in Python via int(md5(t).hexdigest()[:6], 16) % DSIR_BUCKETS."""
+    return (F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % DSIR_BUCKETS)
+
+
+def dsir_llr_table(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Fit the two hashed-unigram LMs and return the per-bucket LLR in
+    integer micro-nats. The bucket-count table is DSIR_BUCKETS rows (KB —
+    a legitimate driver transfer, like the IVF centroids); the log/round
+    happens ONCE here in Python, so Spark scoring and the pure-Python
+    reference share the exact same integers.
+
+    Scale: one explode + one groupBy(bucket) with map-side partials;
+    driver state is 2·DSIR_BUCKETS longs regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES).cast("long")
+    counts = (
+        docs.select(is_tgt.alias("t"), F.explode(F.split("text", " ")).alias("token"))
+        .select("t", _bucket(F.col("token")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.sum("t").alias("n_tgt"),
+            F.sum(F.lit(1) - F.col("t")).alias("n_raw"),
+        )
+        .collect()
+    )
+    tgt = [0] * DSIR_BUCKETS
+    raw = [0] * DSIR_BUCKETS
+    for r in counts:
+        tgt[r.b] = r.n_tgt
+        raw[r.b] = r.n_raw
+    t_tot, r_tot = sum(tgt) + DSIR_BUCKETS, sum(raw) + DSIR_BUCKETS
+    return [
+        round(1e6 * (math.log((tgt[b] + 1) / t_tot) - math.log((raw[b] + 1) / r_tot)))
+        for b in range(DSIR_BUCKETS)
+    ]
+
+
+@register("q_dsir_select", tags=("corpus", "selection", "dsir", "quality"))
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted selection: score every raw-pool document by its
+    hashed-unigram log-likelihood ratio between a target-domain LM and the
+    raw-pool LM, and keep the top ``DSIR_TOP_N`` most target-like docs
+    (deterministic top-k — the paper's Gumbel resampling replaced by the
+    rank statistic so the operator is reproducible; same ordering in
+    expectation).
+
+    Rows-only driver check (LM fitting is not SQL-expressible);
+    tests/test_selection.py pins every weight and the selected set
+    bit-identical against a pure-Python reference.
+
+    Scale: fit = one bucket-keyed shuffle with bounded output (the LLR
+    table is 2048 ints broadcast in the scoring expression's closure);
+    scoring = map-only integer F.aggregate over the token array — no
+    Python in the loop; selection = orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k, driver merges only
+    DSIR_TOP_N rows per partition). For a corpus-sized keep budget, swap
+    the limit for a threshold on the integer weight (exact percentile via
+    the histogram trick — weights are integers) and the global sort
+    disappears entirely.
+    """
+    llr = dsir_llr_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+    llr_arr = F.lit(llr)
+    weight = F.aggregate(
+        F.transform(F.split("text", " "), lambda t: F.element_at(llr_arr, (_bucket(t) + 1).cast("int"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        raw.select("doc_id", "source", weight.alias("weight_unats"))
+        .orderBy(F.desc("weight_unats"), F.asc("doc_id"))
+        .limit(DSIR_TOP_N)
+    )
+
+
+# --- SemDeDup: semantic dedup within embedding clusters ----------------------
+
+SEMDEDUP_EPS = 0.25  # within-cluster cosine above this ⇒ semantic duplicate
+SEMDEDUP_TARGET_CELL = 50  # aimed-for vectors per cluster (occupancy)
+SEMDEDUP_MIN_K, SEMDEDUP_MAX_K = 10, 65536
+SEMDEDUP_ITERS = 3
+
+
+def semdedup_k(n_vectors: int) -> int:
+    """Cluster count for a corpus of n vectors: n / target cell size,
+    clamped — the occupancy discipline of neardup_chunk_bits. Per-cluster
+    pair work stays ~target_cell² as the corpus grows because k grows with
+    it, instead of clusters fattening linearly."""
+    return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n_vectors // SEMDEDUP_TARGET_CELL))
+
+
+def _assign_udf(cents):
+    """Arrow-batched cluster assignment: argmax cosine against the centroid
+    matrix as one numpy matmul per batch. Scales in k where a k-branch JVM
+    expression tree cannot (k is corpus-proportional here); ties break to
+    the lowest cluster id (np.argmax first-max)."""
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(embs: pd.Series) -> pd.Series:
+        X = np.vstack(embs.to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Xn @ Cn.T, axis=1) + 1)
+
+    return assign
+
+
+def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
+    """Distributed Lloyd's k-means sized for corpus-proportional k: assign =
+    Arrow-batched matmul argmax (centroid matrix in the UDF closure, k·dim
+    doubles broadcast); update = per-cell dimension means over an EXACT
+    DECIMAL sum, so centroids — and therefore the whole operator — are
+    bit-identical at any partitioning. Only the centroids ever reach the
+    driver. Init = the k lowest-vec_id vectors, fixed iteration count."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = emb.select(
+            "embedding", _assign_udf(cents)(F.col("embedding")).alias("cell")
+        )
+        new = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,15)")) / F.count(F.lit(1))
+                ).cast("double").alias("c")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+            .select("cell", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+            .collect()
+        )
+        by_cell = {r.cell: list(r.centroid) for r in new}
+        cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    return cents
+
+
+@register("q_semdedup", tags=("similarity", "dedup", "semdedup", "embedding"))
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embedding space, then inside each
+    cluster drop any vector whose cosine to a LOWER-id cluster-mate exceeds
+    ``SEMDEDUP_EPS`` — keep-first semantics, so each semantic-duplicate
+    chain keeps exactly its lowest id. Returns every vector with its
+    cluster and keep flag.
+
+    Complements q_embedding_cosine_dedup (sign-LSH blocking finds near-
+    exact copies; clustering finds *semantic* redundancy at a lower
+    threshold without all-pairs cost). Rows-only driver check; tests pin
+    determinism under re-partitioning (exact-DECIMAL centroid means make
+    k-means itself partition-order-free) and verify the keep rule
+    exhaustively against the operator's own assignment.
+
+    Scale: k scales with the corpus from a footer-only count (semdedup_k),
+    so pair generation — an equi-join on cluster id — keeps per-cluster
+    quadratic work at ~target_cell² forever; assignment is an Arrow-batched
+    matmul that scales in k where a k-branch column expression cannot.
+    Only centroids (k·dim doubles) touch the driver.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = semdedup_k(emb.count())  # footer-only count, no data scan
+    cents = semdedup_centroids(spark, sf_dir, k)
+    assigned = emb.select(
+        "vec_id", "embedding", _assign_udf(cents)(F.col("embedding")).alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= SEMDEDUP_EPS)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_kept", F.lit(False)), "vec_id", "left")
+        .select("vec_id", "cluster", F.coalesce("is_kept", F.lit(True)).alias("is_kept"))
+    )
+
+
+# --- Column profiling --------------------------------------------------------
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+           CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+    """,
+    tags=("profile", "quality", "catalog"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``documents`` — row count, null count,
+    exact distinct count, min/max (stringified for a uniform schema): the
+    first query a pipeline owner runs against a new drop, and the stats
+    layer a catalog publishes next to each table.
+
+    Scale: ONE scan. All five columns' profiles come from a single
+    aggregate (Spark plans the multi-distinct via Expand: one shuffle
+    carrying (col_tag, value) pairs with map-side partials — O(cols·N)
+    rows shuffled, no per-column rescan), then the one result row unpivots
+    into the per-column layout. At petabyte scale swap the exact distincts
+    for approx_count_distinct and the Expand disappears; exact is kept
+    here because the driver's oracle compares values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.shards",
     "dbt_parquet_spark.operators.release",
     "dbt_parquet_spark.operators.classifier",
+    "dbt_parquet_spark.operators.selection",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

@@ -1,0 +1,117 @@
+"""Parity and property tests for the data-selection operators: DSIR
+importance selection pinned bit-identical to a pure-Python reference,
+SemDeDup's keep rule verified exhaustively against its own assignment, and
+profiling covered by the shared oracle-parity suite."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.operators.selection import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_SOURCES,
+    DSIR_TOP_N,
+    SEMDEDUP_EPS,
+    dsir_llr_table,
+    q_dsir_select,
+    q_semdedup,
+)
+from dbt_parquet_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def _py_bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % DSIR_BUCKETS
+
+
+def _py_llr(docs) -> list[int]:
+    tgt = [0] * DSIR_BUCKETS
+    raw = [0] * DSIR_BUCKETS
+    for r in docs:
+        arr = tgt if r.source in DSIR_TARGET_SOURCES else raw
+        for tok in r.text.split(" "):
+            arr[_py_bucket(tok)] += 1
+    t_tot, r_tot = sum(tgt) + DSIR_BUCKETS, sum(raw) + DSIR_BUCKETS
+    return [
+        round(1e6 * (math.log((tgt[b] + 1) / t_tot) - math.log((raw[b] + 1) / r_tot)))
+        for b in range(DSIR_BUCKETS)
+    ]
+
+
+def test_dsir_matches_pure_python_exactly(spark):
+    """LLR table, every per-doc integer weight, and the selected top-N must
+    all be bit-identical to the pure-Python reference — the integer micro-
+    nat freeze makes the distributed sum order-free."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "source", "text").collect()
+    llr = _py_llr(docs)
+    assert dsir_llr_table(spark, SF_SMALL) == llr
+
+    weights = {
+        r.doc_id: sum(llr[_py_bucket(t)] for t in r.text.split(" "))
+        for r in docs
+        if r.source not in DSIR_TARGET_SOURCES
+    }
+    want = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:DSIR_TOP_N]
+
+    got = [(r.doc_id, r.weight_unats) for r in q_dsir_select(spark, SF_SMALL).collect()]
+    assert got == want
+
+
+def test_dsir_excludes_target_sources(spark):
+    srcs = {r.source for r in q_dsir_select(spark, SF_SMALL).select("source").distinct().collect()}
+    assert srcs.isdisjoint(set(DSIR_TARGET_SOURCES))
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_semdedup_keep_rule_is_exact(spark):
+    """A vector is dropped iff some lower-id vector in the SAME cluster has
+    cosine >= eps to it — verified exhaustively in Python from the
+    operator's own (vec_id, cluster) assignment and the raw embeddings."""
+    out = {r.vec_id: (r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()}
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cl, _) in out.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    for vids in by_cluster.values():
+        vids.sort()
+        for j, vj in enumerate(vids):
+            expect_drop = any(_cos(emb[vi], emb[vj]) >= SEMDEDUP_EPS for vi in vids[:j])
+            assert out[vj][1] == (not expect_drop), vj
+
+
+def test_semdedup_deterministic_under_repartition(spark):
+    base = sorted(
+        (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = sorted(
+            (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
+    assert any(k for _, _, k in base) and not all(k for _, _, k in base)
+
+
+def test_profile_single_scan(spark):
+    """The profile must come from ONE scan of documents (multi-distinct via
+    Expand), not a scan per column."""
+    from dbt_parquet_spark.operators.selection import q_profile_table
+
+    plan = q_profile_table(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
