@@ -87,6 +87,11 @@ EXTENSION_HEADLINE = [
     "q_lm_doc_score",
     "q_corpus_datasheet",
     "q_quality_classifier",
+    "q_quality_classifier_auc",
+    "q_media_dedup",
+    "q_dsir_select",
+    "q_semdedup",
+    "q_profile_table",
 ]
 
 

@@ -297,6 +297,10 @@ def test_no_corpus_keyed_windows_in_source():
         # total at any corpus size), banded into 101 partitions of <= 10k
         # rows — bounded constant, never corpus-sized
         ("classifier.py", ("band",)),
+        # budgeted DSIR cumsum: 256 uniform weight bands, ~corpus/256 rows
+        # per band (the corpus.py hierarchical-cumsum discipline re-banded
+        # for weight order)
+        ("selection.py", ("band",)),
         # query_id: candidates per query (top-k rerank)
         ("similarity.py", ("query_id",)),
         # cell: corpus-scale partitions, but the rank<=k filter rewrites to

@@ -61,6 +61,37 @@ def test_dsir_matches_pure_python_exactly(spark):
     assert got == want
 
 
+def test_dsir_budget_matches_pure_python_exactly(spark):
+    """The hierarchical banded cumsum must equal a flat Python scan in
+    (weight DESC, doc_id ASC) order — selected set AND every cum_before."""
+    from dbt_parquet_spark.operators.selection import DSIR_TOKEN_BUDGET, q_dsir_budget
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "source", "text").collect()
+    llr = _py_llr(docs)
+    pool = [
+        (
+            r.doc_id,
+            len(r.text.split(" ")),
+            sum(llr[_py_bucket(t)] for t in r.text.split(" ")),
+        )
+        for r in docs
+        if r.source not in DSIR_TARGET_SOURCES
+    ]
+    pool.sort(key=lambda x: (-x[2], x[0]))
+    want, cum = {}, 0
+    for doc_id, n_tok, w in pool:
+        if cum < DSIR_TOKEN_BUDGET:
+            want[doc_id] = (n_tok, w, cum)
+        cum += n_tok
+
+    got = {
+        r.doc_id: (r.n_tokens, r.weight_unats, r.cum_before)
+        for r in q_dsir_budget(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(pool)  # budget bites but keeps something
+
+
 def test_dsir_excludes_target_sources(spark):
     srcs = {r.source for r in q_dsir_select(spark, SF_SMALL).select("source").distinct().collect()}
     assert srcs.isdisjoint(set(DSIR_TARGET_SOURCES))
@@ -92,12 +123,19 @@ def test_semdedup_keep_rule_is_exact(spark):
 
 
 def test_semdedup_deterministic_under_repartition(spark):
+    """K-means must be retrained from scratch at a different partitioning
+    and still produce the identical result (exact DECIMAL centroid means),
+    so the memoized-centroid cache is cleared between the two runs."""
+    from dbt_parquet_spark.operators.selection import _CENT_CACHE
+
+    _CENT_CACHE.clear()
     base = sorted(
         (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
+        _CENT_CACHE.clear()
         again = sorted(
             (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
         )
