@@ -92,6 +92,8 @@ EXTENSION_HEADLINE = [
     "q_dsir_select",
     "q_semdedup",
     "q_profile_table",
+    "q_perplexity_buckets",
+    "q_knn_eval",
 ]
 
 

@@ -843,3 +843,115 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= SAMPLE_PER_CELL)
     )
+
+
+# --- kNN label-accuracy eval --------------------------------------------------
+
+KNN_EVAL_QUERIES = 64  # fixed eval panel: vec_id < 64
+KNN_EVAL_K = 5
+
+
+@register(
+    "q_knn_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id < {KNN_EVAL_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+               e.label AS n_label,
+               {{cos}} AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, true_label, n_label FROM (
+            SELECT query_id, true_label, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_EVAL_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label, COUNT(*) AS c
+        FROM topk GROUP BY query_id, true_label, n_label
+    ),
+    pred AS (
+        SELECT query_id, true_label, n_label AS pred_label FROM (
+            SELECT query_id, true_label, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, n_label ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label
+    """.format(cos=_duck_cosine("q.qe", "e.embedding")),
+    tags=("similarity", "ann", "eval", "embedding"),
+)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: exact k-NN label accuracy on a fixed query
+    panel — the standard way to sanity-check an embedding column before
+    committing to embedding-based dedup/selection at full scale. For each
+    of the 64 held-out queries (KNN_EVAL_QUERIES), take the exact cosine
+    top-5 neighbors (leave-one-out), majority-vote their labels
+    (ties -> smaller label), and report per-label accuracy.
+
+    Determinism: cosine is the bit-portable sequential dot
+    (functions/vector.py); neighbor rank tie-breaks on neighbor_id, the
+    vote tie-breaks on (count DESC, label ASC); accuracy is an exact
+    long/long IEEE division — fully oracle-checked.
+
+    Scale: the panel is FIXED-SIZE (bounded broadcast, O(N·Q) scored rows
+    streaming map-side); both windows partition by query_id (<= corpus
+    candidates resp. <= |labels| rows per partition). The corpus side
+    streams once with no shuffle; the vote/accuracy aggregations touch
+    Q·k rows. Growing the panel with the corpus would instead call for
+    the LSH/IVF route (q_ann_lsh / q_ann_ivf) as the candidate stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = (
+        scored.select(
+            "query_id", "true_label", "n_label", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= KNN_EVAL_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("n_label"))
+    pred = (
+        votes.select(
+            "query_id", "true_label", "n_label", F.row_number().over(wv).alias("vr")
+        )
+        .filter(F.col("vr") == 1)
+    )
+    correct = F.sum((F.col("n_label") == F.col("true_label")).cast("long"))
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

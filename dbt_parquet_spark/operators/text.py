@@ -706,10 +706,10 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Bigram-LM document scoring ----------------------------------------------
 
-
-@register(
-    "q_lm_doc_score",
-    oracle="""
+# Shared CTE chain: per-doc bigram scores under the corpus bigram MLE.
+# Used by q_lm_doc_score's oracle and re-used verbatim by the perplexity
+# bucketing oracle below (same table, same integer scoring).
+_LM_SCORE_CTES = """
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
     bg AS (
         SELECT doc_id, u.w1, u.w2 FROM (
@@ -725,6 +725,13 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(1000000.0 * (CAST(c.c AS DOUBLE) / x.c_ctx)) AS BIGINT) AS s
         FROM bg b JOIN counts c USING (w1, w2) JOIN ctx x USING (w1)
     )
+"""
+
+
+@register(
+    "q_lm_doc_score",
+    oracle=_LM_SCORE_CTES
+    + """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(s) AS BIGINT) AS sum_score,
@@ -775,4 +782,117 @@ def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("long").alias("sum_score"),
             (F.sum("s").cast("double") / F.count(F.lit(1))).alias("avg_score"),
         )
+    )
+
+
+# --- CCNet-style perplexity bucketing -----------------------------------------
+
+PPLX_N_BANDS = 256  # uniform score bands for the hierarchical per-source rank
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=_LM_SCORE_CTES
+    + """
+    , lm AS (
+        SELECT doc_id, CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_uppm
+        FROM scored GROUP BY doc_id
+    ),
+    j AS (
+        SELECT d.doc_id, d.source, lm.avg_uppm
+        FROM lm JOIN documents d USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id, source, avg_uppm,
+               CAST(NTILE(3) OVER (
+                   PARTITION BY source
+                   ORDER BY avg_uppm DESC, doc_id ASC) AS INT) AS tile
+        FROM j
+    )
+    SELECT doc_id, source, avg_uppm, tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM r
+    """,
+    tags=("text", "lm", "quality", "corpus", "selection"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per SOURCE, split documents into
+    head / middle / tail terciles of LM score (head = most fluent). Real
+    pipelines (CCNet, RedPajama) train on head+middle and drop or
+    down-weight tail; the per-source split is essential — a global cutoff
+    would label entire low-resource domains "tail".
+
+    Exactness: the per-doc score is the integer division
+    ``sum_score DIV n_bigrams`` of q_lm_doc_score's micro-prob integers,
+    and the tercile is NTILE(3) over (avg_uppm DESC, doc_id ASC) — a fully
+    deterministic total order, reproduced here in closed form from the
+    hierarchical rank (tile sizes differ by <=1, earlier tiles get the
+    remainder — the standard NTILE contract).
+
+    Scale: NO corpus-keyed window. The per-source rank is hierarchical
+    (the classifier.py / selection.py band discipline): 256 uniform score
+    bands from a one-row min/max agg, per-(source, band) counts -> rank
+    offsets via a broadcast theta-join over <=256*|sources| rows,
+    row_number only within (source, band) partitions (~corpus/256 rows).
+    Banding by score preserves the global per-source order, so the result
+    equals a flat per-source window bit-for-bit. The doc_id join to pick
+    up `source` is one equi shuffle (AQE-handled); everything else is
+    map-side or KB-scale broadcast.
+    """
+    lm = q_lm_doc_score(spark, sf_dir).select(
+        "doc_id", F.expr("sum_score DIV n_bigrams").alias("avg_uppm")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = lm.join(docs, "doc_id")
+
+    lo, hi = j.agg(F.min("avg_uppm"), F.max("avg_uppm")).first()
+    step = max((hi - lo) // PPLX_N_BANDS + 1, 1)
+    # band ascends as score descends -> band order == rank order
+    t = j.withColumn("band", F.expr(f"({hi} - avg_uppm) DIV {step}"))
+
+    counts = t.groupBy("source", "band").agg(F.count(F.lit(1)).alias("c"))
+    prior = counts.select(
+        F.col("source").alias("src_lt"), F.col("band").alias("band_lt"), "c"
+    )
+    offsets = (
+        counts.select("source", "band")
+        .join(
+            F.broadcast(prior),
+            (F.col("src_lt") == F.col("source")) & (F.col("band_lt") < F.col("band")),
+            "left",
+        )
+        .groupBy("source", "band")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("band_offset"))
+    )
+    nsrc = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+    w = Window.partitionBy("source", "band").orderBy(
+        F.desc("avg_uppm"), F.asc("doc_id")
+    )
+    ranked = (
+        t.join(F.broadcast(offsets), ["source", "band"])
+        .join(F.broadcast(nsrc), "source")
+        .select(
+            "doc_id",
+            "source",
+            "avg_uppm",
+            "n",
+            (F.col("band_offset") + F.row_number().over(w)).alias("rnk"),
+        )
+    )
+    # NTILE(3) closed form: n = 3*b + extra; the first `extra` tiles get +1
+    b = F.expr("n DIV 3")
+    extra = F.col("n") - b * 3
+    b1 = b + (extra >= 1).cast("long")
+    b2 = b * 2 + (extra >= 1).cast("long") + (extra >= 2).cast("long")
+    tile = (
+        F.when(F.col("rnk") <= b1, 1).when(F.col("rnk") <= b2, 2).otherwise(3)
+    ).cast("int")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "avg_uppm",
+        tile.alias("tile"),
+        F.element_at(F.lit(["head", "middle", "tail"]), tile).alias("bucket"),
     )

@@ -291,6 +291,10 @@ def test_no_corpus_keyed_windows_in_source():
         ("temporal.py", ("_k",)),  # as-of partition bucket
         ("text.py", ("doc_id",)),  # positions/tokens within one document
         ("text.py", ("w1",)),  # aggregated counts: <= distinct successors
+        # perplexity terciles: hierarchical per-source rank over 256 uniform
+        # score bands (~corpus/256 rows per (source, band) partition — the
+        # classifier.py / selection.py band discipline)
+        ("text.py", ("band", "source")),
         ("graph.py", ("component_id",)),  # dup-cluster sized
         ("release.py", ("component_id",)),  # canonical argmax per cluster
         # AUC rank-sum: window runs over the SCORE HISTOGRAM (<= 1e6+1 rows

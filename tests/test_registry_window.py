@@ -112,8 +112,10 @@ def test_registry_exposes_all_queries():
     # (operators/classifier.py — trained hashed-ngram LR + distributed
     # eval), +q_media_dedup (operators/multimodal.py),
     # +q_dsir_select, +q_dsir_budget, +q_semdedup, +q_profile_table
-    # (operators/selection.py — DSIR / SemDeDup / column profiling)
-    assert len(specs) == 171
+    # (operators/selection.py — DSIR / SemDeDup / column profiling),
+    # +q_perplexity_buckets (operators/text.py — CCNet head/middle/tail),
+    # +q_knn_eval (operators/similarity.py — exact kNN label accuracy)
+    assert len(specs) == 173
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
