@@ -61,13 +61,12 @@ _FEAT_CACHE: dict[str, DataFrame] = {}
 _W_CACHE: dict[str, np.ndarray] = {}
 
 
-def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, y, bkts): weak-supervision label + sorted hashed-ngram
-    bucket array (duplicates = multiplicity) with the intercept slot
-    appended. One scan, narrow expressions only — no shuffle."""
-    if sf_dir in _FEAT_CACHE:
-        return _FEAT_CACHE[sf_dir]
-    docs = load_table(spark, sf_dir, "documents")
+def bkts_expr():
+    """The feature definition as a pure column expression over ``text`` —
+    sorted hashed-ngram bucket array (duplicates = multiplicity) with the
+    intercept slot appended. Shared by the batch feature scaffold and the
+    streaming scorer (stream_ops.streaming_quality_ingest): the SAME
+    expression guarantees stream scores are bit-identical to batch."""
     ftoks = F.split("text", " ")
     toks = F.slice(ftoks, 1, TOKEN_CAP)
     # zip_with pads the shorter side with null -> trailing null bigram,
@@ -101,10 +100,19 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"), F.lit(D)
         ),
     )
+    return F.concat(F.sort_array(bkts), F.array(F.lit(D)))
+
+
+def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, bkts): weak-supervision label + the bkts_expr feature
+    array. One scan, narrow expressions only — no shuffle."""
+    if sf_dir in _FEAT_CACHE:
+        return _FEAT_CACHE[sf_dir]
+    docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id",
         (quality_ppm_expr() >= LABEL_PPM).cast("long").alias("y"),
-        F.concat(F.sort_array(bkts), F.array(F.lit(D))).alias("bkts"),
+        bkts_expr().alias("bkts"),
     )
     feat = feat.persist()
     _FEAT_CACHE[sf_dir] = feat

@@ -378,3 +378,25 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stream_ops import run_to_batch, streaming_dedup_ingest
 
     return run_to_batch(streaming_dedup_ingest(spark, sf_dir), spark, output_mode="append")
+
+
+@register(
+    "q_stream_quality_ingest",
+    tags=("streaming", "quality", "classifier", "structured-streaming", "ingest"),
+)
+def q_stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: documents stream through the
+    batch-trained quality classifier (stateless pandas-UDF scoring, weights
+    in the closure) and a stream-static broadcast join against the
+    batch-calibrated per-source percentile thresholds, emitting
+    (doc_id, source, score_ppm, keep). Driver check is rows-only (iterative
+    training is not SQL-expressible); tests pin every streamed score and
+    flag bit-identical to the batch scorer. Output mode is append: the only
+    Aggregates are on the STATIC side (training/threshold legs), so there
+    is no streaming state.
+    """
+    from .stream_ops import run_to_batch, streaming_quality_ingest
+
+    return run_to_batch(
+        streaming_quality_ingest(spark, sf_dir), spark, output_mode="append"
+    )

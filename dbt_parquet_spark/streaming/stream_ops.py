@@ -434,3 +434,52 @@ def stream_neardup_ingest_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-stream scoring: documents stream through the BATCH-trained
+    quality classifier (operators/classifier.py) and come out with their
+    score and a keep/drop flag against the batch-calibrated per-source
+    percentile threshold — the production front door of a curation
+    pipeline: train offline, score every arriving document online.
+
+    Stateless by construction: the trained weights ride in the pandas-UDF
+    closure (~8 KB), the per-source thresholds are a |sources|-row static
+    broadcast join, so output mode is append and there is no streaming
+    state to bound. The feature expression is classifier.bkts_expr — the
+    SAME column expression the batch scorer uses — so stream scores are
+    bit-identical to the batch twin (pinned in tests/test_streaming.py).
+
+    Scale: per-batch cost is one narrow Arrow-batched UDF pass over the
+    micro-batch plus a KB-scale broadcast hash join; training happened
+    once, batch-side. Returns an unstarted streaming DataFrame.
+    """
+    from ..operators.classifier import (
+        _score_udf,
+        bkts_expr,
+        doc_features,
+        train_quality_classifier,
+    )
+    from ..operators.corpus import PRUNE_PCT
+
+    w = train_quality_classifier(spark, sf_dir)
+    docs = read_parquet(spark, table_path(sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    batch_scored = (
+        doc_features(spark, sf_dir)
+        .select("doc_id", _score_udf(w)(F.col("bkts")).alias("score_ppm"))
+        .join(docs, "doc_id")
+    )
+    thresholds = batch_scored.groupBy("source").agg(
+        F.expr(f"percentile(score_ppm, {PRUNE_PCT})").alias("s_threshold")
+    )
+    stream = read_documents_stream(spark, sf_dir).select(
+        "doc_id", "source", _score_udf(w)(bkts_expr()).alias("score_ppm")
+    )
+    return stream.join(F.broadcast(thresholds), "source").select(
+        "doc_id",
+        "source",
+        "score_ppm",
+        (F.col("score_ppm") >= F.col("s_threshold")).alias("keep"),
+    )

@@ -114,8 +114,9 @@ def test_registry_exposes_all_queries():
     # +q_dsir_select, +q_dsir_budget, +q_semdedup, +q_profile_table
     # (operators/selection.py — DSIR / SemDeDup / column profiling),
     # +q_perplexity_buckets (operators/text.py — CCNet head/middle/tail),
-    # +q_knn_eval (operators/similarity.py — exact kNN label accuracy)
-    assert len(specs) == 173
+    # +q_knn_eval (operators/similarity.py — exact kNN label accuracy),
+    # +q_stream_quality_ingest (streaming — model-in-stream scoring)
+    assert len(specs) == 174
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

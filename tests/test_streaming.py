@@ -172,3 +172,42 @@ def test_idempotent_batch_append_replay_converges(spark, tmp_path):
     assert spark.read.parquet(rel.path).count() == 105
     _idempotent_batch_append(cat, rel, batch, 7)
     assert spark.read.parquet(rel.path).count() == 105
+
+
+def test_streaming_quality_ingest_matches_batch_scorer(spark):
+    """Every streamed (score_ppm, keep) must be bit-identical to scoring
+    the same corpus batch-side with the same trained weights and the same
+    per-source percentile thresholds."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.classifier import (
+        _score_udf,
+        doc_features,
+        train_quality_classifier,
+    )
+    from dbt_parquet_spark.operators.corpus import PRUNE_PCT
+    from dbt_parquet_spark.streaming.stream_ops import streaming_quality_ingest
+
+    out = run_to_batch(
+        streaming_quality_ingest(spark, SF_SMALL), spark, output_mode="append"
+    )
+    got = {r.doc_id: (r.source, r.score_ppm, r.keep) for r in out.collect()}
+
+    w = train_quality_classifier(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    scored = (
+        doc_features(spark, SF_SMALL)
+        .select("doc_id", _score_udf(w)(F.col("bkts")).alias("score_ppm"))
+        .join(docs, "doc_id")
+    )
+    thresholds = scored.groupBy("source").agg(
+        F.expr(f"percentile(score_ppm, {PRUNE_PCT})").alias("s_threshold")
+    )
+    want = {
+        r.doc_id: (r.source, r.score_ppm, r.score_ppm >= r.s_threshold)
+        for r in scored.join(thresholds, "source").collect()
+    }
+    assert got == want
+    assert len(got) == load_table(spark, SF_SMALL, "documents").count()
+    # the per-source quartile actually bites: both flags present
+    assert {k for _, _, k in got.values()} == {True, False}
