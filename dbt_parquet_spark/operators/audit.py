@@ -1,0 +1,212 @@
+"""Curation provenance: per-document drop reasons and semantic
+decontamination.
+
+``q_drop_reasons`` is the audit trail of the corpus release
+(operators/release.py): one row per SOURCE document stating whether it
+survived and, if not, WHY — 'near_dup' losers carry the canonical doc that
+shadowed them, 'low_quality' rows lost to their source's post-dedup
+quartile threshold. The reference's table-equality diff (reference
+dbt/adapters/parquet/impl.py:251-309) answers WHAT changed between two
+relations; this answers WHY a curation run excluded a row — the lineage a
+datasheet or a takedown request needs.
+
+``q_semantic_decontamination`` is the embedding-space complement of the
+n-gram q_cross_split_decontamination (operators/dedup.py): training
+vectors whose embedding is near-identical to a held-out evaluation vector
+are flagged as contaminated, via the SAME deterministic sign-chunk
+blocking as q_embedding_cosine_dedup so the registered oracle replays the
+plan exactly.
+
+Scale: drop-reasons reuses the release pipeline's gated shapes (posting
+joins, checkpointed components, broadcast thresholds) and adds only
+per-document LEFT JOINs against decision tables that are near-dup-edge- /
+source-cardinality-sized. Decontamination's eval side is benchmark-sized
+by construction (an eval set is curated, not crawled), so it broadcasts;
+candidate generation is the corpus-width-scaled chunk equi-join, never a
+cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..registry import register
+from ..sources.readers import load_table
+from .corpus import PRUNE_PCT, QUALITY_PPM_SQL, quality_ppm_expr
+from .dedup import NGRAM_PAIRS_CTES
+from .graph import q_dedup_components
+from .similarity import (
+    BLOCKED_COSINE_THRESHOLD,
+    ORACLE_BITS,
+    _DUCK_CHUNK_MATCH,
+    _duck_chunk_defs,
+    _duck_cosine,
+    _sign_chunks,
+    neardup_chunk_bits,
+)
+
+
+@register(
+    "q_drop_reasons",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM ngram_pairs
+        UNION
+        SELECT d2, d1 FROM ngram_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        SELECT doc_id, source, {QUALITY_PPM_SQL} AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.doc_id, c.component_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN q USING (doc_id)
+    ),
+    drops AS (
+        SELECT r.doc_id, k.doc_id AS canonical_id
+        FROM ranked r JOIN ranked k
+          ON r.component_id = k.component_id AND k.rn = 1
+        WHERE r.rn > 1
+    ),
+    dedup AS (
+        SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    thresholds AS (
+        SELECT source, quantile_cont(quality, {PRUNE_PCT}) AS thr
+        FROM dedup GROUP BY source
+    )
+    SELECT q.doc_id, q.source, q.quality,
+           CASE WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN q.quality < t.thr THEN 'low_quality'
+                ELSE 'kept' END AS status,
+           d.canonical_id
+    FROM q
+    LEFT JOIN drops d ON q.doc_id = d.doc_id
+    LEFT JOIN thresholds t ON q.source = t.source
+    """,
+    tags=("corpus", "release", "audit", "lineage"),
+)
+def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit: every document with its curation outcome under the
+    EXACT q_corpus_release semantics (same component closure, same
+    canonical tiebreak, same post-dedup per-source quartile). 'near_dup'
+    rows carry the canonical survivor that shadowed them; everything else
+    is 'low_quality' or 'kept'. Composition is pinned in tests: the 'kept'
+    set here equals q_corpus_release's output population.
+
+    Scale: the decision tables this joins against are near-dup-edge-sized
+    (drops) and source-cardinality-sized (thresholds, broadcast); the only
+    corpus-sized objects flow through equi-joins. The canonical window
+    partitions by component_id — dup-cluster-sized, the release.py
+    whitelist justification."""
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_ppm_expr().alias("quality"))
+
+    w = Window.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = comp.join(q.select("doc_id", "quality"), "doc_id").select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id").over(w).alias("canonical_id"),
+    )
+    drops = ranked.filter(F.col("rn") > 1).select("doc_id", "canonical_id")
+    dedup = q.join(drops, "doc_id", "left_anti")
+    thresholds = dedup.groupBy("source").agg(
+        F.expr(f"percentile(quality, {PRUNE_PCT})").alias("thr")
+    )
+    return (
+        q.join(drops, "doc_id", "left")
+        .join(F.broadcast(thresholds), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("near_dup"))
+            .when(F.col("quality") < F.col("thr"), F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "canonical_id",
+        )
+    )
+
+
+# Hash split for the decontamination demo: md5(vec_id) >= 'e' puts ~12.5%
+# of vectors in the held-out eval set — the q_train_test_split idiom, so
+# the split is engine- and re-run-stable. In production the eval side is a
+# real benchmark table; the operator shape is identical.
+EVAL_HEX_THRESHOLD = "e"
+
+
+@register(
+    "q_semantic_decontamination",
+    oracle=f"""
+    WITH sb AS (
+        SELECT vec_id, embedding,
+               md5(CAST(vec_id AS VARCHAR)) AS h,
+               {_duck_chunk_defs(ORACLE_BITS)}
+        FROM embeddings
+    ),
+    a AS (SELECT * FROM sb WHERE h < '{EVAL_HEX_THRESHOLD}'),
+    b AS (SELECT * FROM sb WHERE h >= '{EVAL_HEX_THRESHOLD}')
+    SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+           {_duck_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM a JOIN b ON ({_DUCK_CHUNK_MATCH})
+    WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {BLOCKED_COSINE_THRESHOLD}
+    """,
+    tags=("similarity", "decontamination", "embedding"),
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination: (train_id, eval_id,
+    cos_sim) for every train vector whose cosine to a held-out eval vector
+    clears the near-dup threshold — candidates generated by the SAME
+    corpus-width sign-chunk blocking as q_embedding_cosine_dedup (the
+    registered oracle is rendered at ORACLE_BITS = the sf0.01 width; other
+    scales are parity-checked in tests by re-rendering).
+
+    Scale: the eval side (a curated benchmark) is broadcast; the train
+    side flows through a chunk equi-join, so cost is O(candidates), not
+    O(train x eval). Recall vs the exact cross-set scan is measured in
+    tests at the same threshold."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Footer-only count (parquet metadata, no data scan) -> chunk width.
+    bits = neardup_chunk_bits(emb.count())
+    chunked = emb.select(
+        "vec_id",
+        "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+        F.posexplode(F.array(*_sign_chunks(F.col("embedding"), bits))).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    train = chunked.filter(F.col("h") < EVAL_HEX_THRESHOLD).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("ea"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    ev = chunked.filter(F.col("h") >= EVAL_HEX_THRESHOLD).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eb"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    pairs = train.join(F.broadcast(ev), ["chunk_idx", "chunk_val"]).dropDuplicates(
+        ["train_id", "eval_id"]
+    )
+    return pairs.select(
+        "train_id", "eval_id", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= BLOCKED_COSINE_THRESHOLD)

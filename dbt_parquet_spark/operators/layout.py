@@ -1,0 +1,129 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+row-group / file pruning.
+
+At 100 TB a scan's cost is decided by how many parquet row-groups the
+footer min/max stats let it SKIP. Sorting by one column prunes predicates
+on that column only; interleaving the bits of two quantized sort keys
+(the Z-order curve — Morton 1966, the layout primitive behind
+Delta/Iceberg OPTIMIZE ZORDER) gives every file a narrow min/max range on
+BOTH dimensions, so selective predicates on either column (or both) skip
+most files. ``q_zorder_layout`` computes the curve position as a pure
+integer column expression (exact in any engine — the registered oracle
+replays it in DuckDB); ``write_zordered`` materializes a table range-
+partitioned and sorted by it. ``tests/test_layout.py`` proves the payoff
+from parquet footers alone: under a customer-range predicate the
+Z-ordered layout's overlapping-file count is a fraction of a date-sorted
+layout's.
+
+Scale: the curve value is a map-only expression; the only extra cost at
+write time is the range exchange + in-partition sort Spark already needs
+to produce sorted files. Quantization bounds come from one MIN/MAX
+aggregate (four scalars on the driver — KB-scale, the convergence-scalar
+discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+ZBITS = 16  # bits per dimension -> 32-bit curve positions
+_EPOCH = "1992-01-01"  # TPC-H order-date epoch for day numbering
+
+
+def _interleave_sql(xi: str, yi: str, div: str, bits: int = ZBITS) -> str:
+    """Bit-interleave two quantized dims as engine-portable integer
+    arithmetic: bit j of x lands at position 2j, of y at 2j+1. Uses only
+    integer divide ('div' in Spark SQL, '//' in DuckDB), %, *, + — no
+    shift operators, so ONE formula renders in both engines."""
+    terms = []
+    for j in range(bits):
+        p = 1 << j
+        terms.append(f"((({xi}) {div} {p}) % 2) * {1 << (2 * j)}")
+        terms.append(f"((({yi}) {div} {p}) % 2) * {1 << (2 * j + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _quantize(col: str, lo: str, hi: str, div: str) -> str:
+    """Map col from [lo, hi] onto the 16-bit grid [0, 65535] with exact
+    integer arithmetic (inputs are BIGINT in both engines)."""
+    return f"((({col}) - ({lo})) * 65535) {div} (({hi}) - ({lo}))"
+
+
+_DUCK_DAY = f"(CAST(o_orderdate AS DATE) - DATE '{_EPOCH}')"
+_SPARK_DAY = f"datediff(o_orderdate, DATE '{_EPOCH}')"
+
+_ZORDER_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(MIN(o_custkey) AS BIGINT) AS cmin,
+               CAST(MAX(o_custkey) AS BIGINT) AS cmax,
+               CAST(MIN({_DUCK_DAY}) AS BIGINT) AS dmin,
+               CAST(MAX({_DUCK_DAY}) AS BIGINT) AS dmax
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST({_interleave_sql(
+               _quantize("CAST(o_custkey AS BIGINT)", "b.cmin", "b.cmax", "//"),
+               _quantize(f"CAST({_DUCK_DAY} AS BIGINT)", "b.dmin", "b.dmax", "//"),
+               "//",
+           )} AS BIGINT) AS zval
+    FROM orders, b
+"""
+
+
+def zorder_expr(cmin: int, cmax: int, dmin: int, dmax: int):
+    """The Spark curve-position column for orders over (o_custkey,
+    order-day), with the quantization bounds baked in as literals."""
+    return F.expr(
+        _interleave_sql(
+            _quantize("o_custkey", str(cmin), str(cmax), "div"),
+            _quantize(_SPARK_DAY, str(dmin), str(dmax), "div"),
+            "div",
+        )
+    ).cast("long")
+
+
+def _orders_bounds(orders: DataFrame) -> tuple[int, int, int, int]:
+    day = F.expr(_SPARK_DAY)
+    row = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).first()
+    return int(row[0]), int(row[1]), int(row[2]), int(row[3])
+
+
+@register(
+    "q_zorder_layout",
+    oracle=_ZORDER_ORACLE,
+    tags=("layout", "zorder", "pruning"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, zval): every order's Z-order curve position over
+    (o_custkey, order-day), both quantized to 16 bits from the table's
+    MIN/MAX. Pure integer arithmetic, so the oracle value-matches exactly;
+    write_zordered clusters the physical layout by this column."""
+    orders = load_table(spark, sf_dir, "orders")
+    cmin, cmax, dmin, dmax = _orders_bounds(orders)
+    return orders.select(
+        "o_orderkey", zorder_expr(cmin, cmax, dmin, dmax).alias("zval")
+    )
+
+
+def write_zordered(
+    df: DataFrame, zcol: str, path: str, n_files: int = 16
+) -> None:
+    """Materialize df clustered by the curve column: range-partition into
+    n_files contiguous curve segments, sort within each, write one file
+    per segment. Each file then covers a narrow min/max box on BOTH
+    underlying dimensions — parquet footer stats skip it for selective
+    predicates on either column. (At cluster scale n_files follows from
+    target file size; the exchange is the same one any sorted write pays.)
+    """
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -51,6 +51,8 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.release",
     "dbt_parquet_spark.operators.classifier",
     "dbt_parquet_spark.operators.selection",
+    "dbt_parquet_spark.operators.audit",
+    "dbt_parquet_spark.operators.layout",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

@@ -297,6 +297,7 @@ def test_no_corpus_keyed_windows_in_source():
         ("text.py", ("band", "source")),
         ("graph.py", ("component_id",)),  # dup-cluster sized
         ("release.py", ("component_id",)),  # canonical argmax per cluster
+        ("audit.py", ("component_id",)),  # same canonical argmax, audit view
         # AUC rank-sum: window runs over the SCORE HISTOGRAM (<= 1e6+1 rows
         # total at any corpus size), banded into 101 partitions of <= 10k
         # rows — bounded constant, never corpus-sized

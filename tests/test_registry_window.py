@@ -115,8 +115,10 @@ def test_registry_exposes_all_queries():
     # (operators/selection.py — DSIR / SemDeDup / column profiling),
     # +q_perplexity_buckets (operators/text.py — CCNet head/middle/tail),
     # +q_knn_eval (operators/similarity.py — exact kNN label accuracy),
-    # +q_stream_quality_ingest (streaming — model-in-stream scoring)
-    assert len(specs) == 174
+    # +q_stream_quality_ingest (streaming — model-in-stream scoring),
+    # +q_drop_reasons, +q_semantic_decontamination (operators/audit.py),
+    # +q_zorder_layout (operators/layout.py — Morton curve clustering)
+    assert len(specs) == 177
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
