@@ -94,6 +94,10 @@ EXTENSION_HEADLINE = [
     "q_profile_table",
     "q_perplexity_buckets",
     "q_knn_eval",
+    "q_drop_reasons",
+    "q_semantic_decontamination",
+    "q_zorder_layout",
+    "q_epoch_order",
 ]
 
 
@@ -187,6 +191,14 @@ def main() -> None:
     line = json.dumps(out)
     if len(line) > 1900:
         out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out)
+    # Last resort: drop the FASTEST queries from the printed line (the
+    # slow ones are the scoreboard; the sidecar keeps everything) until it
+    # fits, recording how many were trimmed.
+    while len(line) > 1900 and out["queries"]:
+        keep = sorted(timings, key=timings.get, reverse=True)[: len(out["queries"]) - 5]
+        out["queries"] = {k: round(timings[k], 2) for k in sorted(keep)}
+        out["queries_omitted"] = len(timings) - len(keep)
         line = json.dumps(out)
     detail = dict(out, queries=timings, spreads=spreads)
     try:

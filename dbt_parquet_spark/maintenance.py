@@ -49,7 +49,10 @@ def zorder_key(cols: list[str], bits_per_col: int = 16):
 
     Columns are masked to ``bits_per_col`` low bits (16 default → 64k
     distinct cluster cells per column; raise for finer keys). For
-    non-integer keys, hash or bucketize to ints first.
+    non-integer keys, hash or bucketize to ints first. For keys whose
+    VALUES exceed the bit budget (timestamps, wide surrogate ids), use the
+    min/max-quantized curve in operators/layout.py (the oracle-checked
+    q_zorder_layout expression) instead of low-bit masking.
     """
     from pyspark.sql import functions as F
 

@@ -15,6 +15,14 @@ from parquet footers alone: under a customer-range predicate the
 Z-ordered layout's overlapping-file count is a fraction of a date-sorted
 layout's.
 
+Layering vs maintenance.py: ``maintenance.cluster_by(zorder=True)`` is the
+CATALOG rewrite path (table in, atomically republished table out) and its
+``zorder_key`` interleaves the low bits of already-small integer keys.
+This module is the driver-verified QUERY surface for the same idea, and
+its curve quantizes each dimension from the table's MIN/MAX first — so
+keys of any magnitude (timestamps, wide surrogate ids) use the full 16-bit
+grid instead of aliasing through a low-bit mask.
+
 Scale: the curve value is a map-only expression; the only extra cost at
 write time is the range exchange + in-partition sort Spark already needs
 to produce sorted files. Quantization bounds come from one MIN/MAX

@@ -219,3 +219,59 @@ def append_delta_to_shards(
         )
     )
     return create_table_as(spark, catalog, manifest_rel, merged, single_file=True)
+
+
+# Epochs in the registered demo; a trainer passes its real epoch count.
+N_EPOCHS = 2
+
+
+@register(
+    "q_epoch_order",
+    oracle=f"""
+    WITH e AS (SELECT * FROM (VALUES (0), (1)) AS e(epoch)),
+    t AS (
+        SELECT e.epoch,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {N_SHARD_HEX}) AS BIGINT)
+                 AS shard_id,
+               doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS eh
+        FROM documents, e
+    )
+    SELECT epoch, shard_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard_id
+                              ORDER BY eh, doc_id) AS pos
+    FROM t
+    """,
+    tags=("corpus", "shards", "epoch", "ordering"),
+)
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training order: every document's (shard,
+    position) for each epoch, where within-shard order is md5(epoch:doc_id)
+    — an independent deterministic permutation per epoch, identical in any
+    engine, on any cluster size, under any input layout (the reshuffle a
+    trainer needs between epochs WITHOUT trusting a RNG or a sort's
+    stability). Shard assignment is the write_training_shards hash band, so
+    this table maps 1:1 onto materialized shard files.
+
+    Scale: one narrow pass + one rank per (epoch, shard) partition —
+    corpus/fanout rows each (the hash bands are uniform by md5 avalanche;
+    raise N_SHARD_HEX for more, smaller partitions). Epochs are a broadcast
+    2-row frame; a trainer's epoch loop would instead run one epoch per
+    invocation with epoch as a literal.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    both = docs.crossJoin(F.broadcast(epochs))
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, N_SHARD_HEX), 16, 10
+    ).cast("long")
+    eh = F.md5(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("eh", "doc_id")
+    return (
+        both.select("epoch", shard.alias("shard_id"), "doc_id", eh.alias("eh"))
+        .select("epoch", "shard_id", "doc_id", F.row_number().over(w).alias("pos"))
+    )

@@ -117,8 +117,9 @@ def test_registry_exposes_all_queries():
     # +q_knn_eval (operators/similarity.py — exact kNN label accuracy),
     # +q_stream_quality_ingest (streaming — model-in-stream scoring),
     # +q_drop_reasons, +q_semantic_decontamination (operators/audit.py),
-    # +q_zorder_layout (operators/layout.py — Morton curve clustering)
-    assert len(specs) == 177
+    # +q_zorder_layout (operators/layout.py — Morton curve clustering),
+    # +q_epoch_order (operators/shards.py — per-epoch deterministic order)
+    assert len(specs) == 178
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -170,3 +170,36 @@ def test_manifest_describes_written_bytes_for_nondeterministic_input(spark, tmp_
     }
     assert stored == recomputed
     assert written.count() == base.count()
+
+
+def test_epoch_order_is_distinct_complete_permutations(spark):
+    """Each epoch must be a complete, reproducible permutation of every
+    shard (positions 1..n dense), and different epochs must actually
+    reorder (the whole point of the reshuffle)."""
+    from dbt_parquet_spark.operators.shards import q_epoch_order
+
+    rows = q_epoch_order(spark, SF_SMALL).collect()
+    docs_n = load_table(spark, SF_SMALL, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, er in by_epoch.items():
+        assert len(er) == docs_n  # every doc, once
+        assert len({r.doc_id for r in er}) == docs_n
+        shards = {}
+        for r in er:
+            shards.setdefault(r.shard_id, set()).add(r.pos)
+        for sid, positions in shards.items():
+            assert positions == set(range(1, len(positions) + 1)), sid
+    # epochs shuffle: within-shard doc sequences differ between epochs
+    def seq(epoch):
+        out = {}
+        for r in sorted(by_epoch[epoch], key=lambda r: (r.shard_id, r.pos)):
+            out.setdefault(r.shard_id, []).append(r.doc_id)
+        return out
+
+    assert seq(0) != seq(1)
+    # reproducible: a second run is bit-identical
+    again = q_epoch_order(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
