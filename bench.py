@@ -98,6 +98,7 @@ EXTENSION_HEADLINE = [
     "q_semantic_decontamination",
     "q_zorder_layout",
     "q_epoch_order",
+    "q_mixture_budget",
 ]
 
 

@@ -370,3 +370,133 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# --- Budgeted mixture allocation (water-filling) ------------------------------
+# The planning step BEFORE q_corpus_mix/q_temperature_sample can run: given a
+# total char budget and per-source mixing weights, how much of each source do
+# we take? Proportional-to-weight allocation overflows small sources; water-
+# filling (the classic solution) raises one waterline λ so source i
+# contributes min(capacity_i, λ·w_i) and the total meets the budget — small
+# high-weight sources saturate, the surplus redistributes to the rest.
+# Everything is BIGINT arithmetic (cross-multiplied saturation tests, floor-
+# divided fills), so the waterline is exact and engine-independent.
+
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 3, 5  # budget = 3/5 of total corpus chars
+
+
+@register(
+    "q_mixture_budget",
+    oracle=f"""
+    WITH caps AS (
+        SELECT source,
+               CAST(SUM(n_chars) AS BIGINT) AS n,
+               CAST(1 + CAST(substr(source, 4) AS BIGINT) % 4 AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    keyed AS (SELECT *, (n * 1000000) // w AS sortkey FROM caps),
+    tot AS (SELECT CAST(SUM(n) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT) AS t FROM caps),
+    ordered AS (
+        SELECT source, n, w,
+               ROW_NUMBER() OVER (ORDER BY sortkey, source) AS k,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY sortkey, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn,
+               CAST(SUM(w) OVER (ORDER BY sortkey, source
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS suffw
+        FROM keyed
+    ),
+    flagged AS (
+        SELECT ordered.*, tot.t, (n * suffw <= (t - cumn) * w) AS sat FROM ordered, tot
+    ),
+    kstar AS (
+        SELECT COALESCE(MIN(k), 9223372036854775807) AS ks FROM flagged WHERE NOT sat
+    ),
+    line AS (
+        SELECT f.cumn AS rem_base, f.suffw AS den
+        FROM flagged f, kstar WHERE f.k = kstar.ks
+    )
+    SELECT f.source, f.n AS capacity, f.w AS weight,
+           CAST(CASE WHEN f.k < kstar.ks THEN f.n
+                ELSE LEAST(f.n, (f.w * (f.t - line.rem_base)) // line.den)
+                END AS BIGINT) AS alloc
+    FROM flagged f CROSS JOIN kstar LEFT JOIN line ON TRUE
+    """,
+    tags=("corpus", "mixing", "planning", "selection"),
+)
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture plan: per-source char allocation under a total
+    budget (3/5 of the corpus) and per-source weights (1 + suffix%4 in the
+    registered demo; production passes real weights). Sources are walked in
+    capacity-per-weight order; each either SATURATES (contributes all its
+    chars — the cross-multiplied BIGINT test n·Σw ≤ (T−Σn_sat)·w decides
+    exactly) or sits above the waterline and gets floor(w·remaining/Σw).
+    Downstream, alloc/capacity is each source's keep rate for the
+    md5-threshold samplers (q_corpus_mix / q_stratified_sample idiom).
+
+    Scale: one groupBy(source) aggregate; the water-filling itself runs on
+    the |sources|-row frame (window without partitionBy — bounded by source
+    cardinality, never corpus-sized), and the waterline/kstar frames are
+    1-row broadcasts.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    caps = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("n"))
+        .withColumn(
+            "w", (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).cast("long")
+        )
+        .withColumn("sortkey", F.expr("(n * 1000000) div w"))
+    )
+    t_df = caps.agg(
+        F.expr(f"CAST(sum(n) * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN} AS BIGINT)").alias("t")
+    )
+    w_ord = Window.orderBy("sortkey", "source")
+    flagged = (
+        caps.crossJoin(F.broadcast(t_df))
+        .select(
+            "source",
+            "n",
+            "w",
+            "t",
+            F.row_number().over(w_ord).alias("k"),
+            F.coalesce(
+                F.sum("n").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("cumn"),
+            F.sum("w")
+            .over(w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .cast("long")
+            .alias("suffw"),
+        )
+        .withColumn(
+            "sat", F.col("n") * F.col("suffw") <= (F.col("t") - F.col("cumn")) * F.col("w")
+        )
+    )
+    kstar = flagged.filter(~F.col("sat")).agg(
+        F.coalesce(F.min("k"), F.lit(9223372036854775807)).alias("ks")
+    )
+    line = (
+        flagged.crossJoin(F.broadcast(kstar))
+        .filter(F.col("k") == F.col("ks"))
+        .select(F.col("cumn").alias("rem_base"), F.col("suffw").alias("den"))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kstar))
+        .join(F.broadcast(line), F.lit(True), "left")
+        .select(
+            "source",
+            F.col("n").alias("capacity"),
+            F.col("w").alias("weight"),
+            F.when(F.col("k") < F.col("ks"), F.col("n"))
+            .otherwise(
+                F.least(
+                    F.col("n"),
+                    F.expr("(w * (t - rem_base)) div den"),
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -118,8 +118,9 @@ def test_registry_exposes_all_queries():
     # +q_stream_quality_ingest (streaming — model-in-stream scoring),
     # +q_drop_reasons, +q_semantic_decontamination (operators/audit.py),
     # +q_zorder_layout (operators/layout.py — Morton curve clustering),
-    # +q_epoch_order (operators/shards.py — per-epoch deterministic order)
-    assert len(specs) == 178
+    # +q_epoch_order (operators/shards.py — per-epoch deterministic order),
+    # +q_mixture_budget (operators/selection.py — water-filling allocator)
+    assert len(specs) == 179
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

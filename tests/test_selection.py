@@ -153,3 +153,48 @@ def test_profile_single_scan(spark):
     plan = q_profile_table(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_mixture_budget_is_exact_water_filling(spark):
+    """The allocation must match a pure-Python water-filling solve exactly:
+    saturated sources contribute their full capacity, everyone else gets
+    floor(w * remaining / suffix_weight) at the SAME waterline, the total
+    never exceeds the budget, and flooring slack stays under one char per
+    source."""
+    from dbt_parquet_spark.operators.selection import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+        q_mixture_budget,
+    )
+
+    rows = {r.source: r for r in q_mixture_budget(spark, SF_SMALL).collect()}
+    caps = {s: (r.capacity, r.weight) for s, r in rows.items()}
+    budget = sum(n for n, _ in caps.values()) * MIX_BUDGET_NUM // MIX_BUDGET_DEN
+
+    # pure-Python reference: identical ordering rule (integer sortkey)
+    order = sorted(caps, key=lambda s: ((caps[s][0] * 1000000) // caps[s][1], s))
+    want, rem = {}, budget
+    suffw = sum(w for _, w in caps.values())
+    pending = list(order)
+    while pending:
+        s = pending[0]
+        n, w = caps[s]
+        if n * suffw <= rem * w:  # saturates at the current waterline
+            want[s] = n
+            rem -= n
+            suffw -= w
+            pending.pop(0)
+        else:
+            break
+    for s in pending:  # below the line: same waterline for all
+        n, w = caps[s]
+        want[s] = min(n, (w * rem) // suffw)
+
+    got = {s: r.alloc for s, r in rows.items()}
+    assert got == want
+    total = sum(got.values())
+    assert total <= budget
+    assert budget - total < len(caps)  # flooring loses < 1 char per source
+    assert any(got[s] == caps[s][0] for s in caps) or budget >= sum(
+        n for n, _ in caps.values()
+    )
