@@ -99,6 +99,7 @@ EXTENSION_HEADLINE = [
     "q_zorder_layout",
     "q_epoch_order",
     "q_mixture_budget",
+    "q_scd2_history",
 ]
 
 

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.selection",
     "dbt_parquet_spark.operators.audit",
     "dbt_parquet_spark.operators.layout",
+    "dbt_parquet_spark.snapshots",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

@@ -301,6 +301,7 @@ def test_no_corpus_keyed_windows_in_source():
         # epoch order: rank within (epoch, hash-band shard) — corpus/fanout
         # rows per partition, uniform by md5 avalanche (shards.py band rule)
         ("shards.py", ("epoch", "shard_id")),
+        ("snapshots.py", ("user_id",)),  # per-entity change history
         # AUC rank-sum: window runs over the SCORE HISTOGRAM (<= 1e6+1 rows
         # total at any corpus size), banded into 101 partitions of <= 10k
         # rows — bounded constant, never corpus-sized

@@ -119,8 +119,9 @@ def test_registry_exposes_all_queries():
     # +q_drop_reasons, +q_semantic_decontamination (operators/audit.py),
     # +q_zorder_layout (operators/layout.py — Morton curve clustering),
     # +q_epoch_order (operators/shards.py — per-epoch deterministic order),
-    # +q_mixture_budget (operators/selection.py — water-filling allocator)
-    assert len(specs) == 179
+    # +q_mixture_budget (operators/selection.py — water-filling allocator),
+    # +q_scd2_history (snapshots.py — SCD2 validity intervals)
+    assert len(specs) == 180
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
