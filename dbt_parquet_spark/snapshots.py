@@ -1,27 +1,27 @@
-"""dbt-style snapshots: type-2 slowly-changing-dimension history on plain
-parquet.
+"""SCD Type-2 snapshots — dbt's history-tracking materialization, which the
+reference explicitly does not support ("snapshots … not supported for
+parquet files", reference tests/functional/basic/test_basic.py:94-99).
 
-``dbt snapshot`` (timestamp strategy) is the other thing reference users
-run besides models and seeds: re-running it against a mutating source
-accretes a full change history — each key's versions carry
-[valid_from, valid_to) intervals, the open version has valid_to NULL.
-``snapshot_scd2`` implements that merge against a catalog table with the
-same atomic write-then-swap publish as every other materialization
-(materialize.create_table_as), and ``q_scd2_history`` states the SCD2
-semantics as a driver-verified query: collapse an event stream into
-validity intervals per entity.
+A snapshot table carries every version of every key with validity bounds:
+  (business columns…, dbt_valid_from, dbt_valid_to NULL-when-open)
+Both dbt strategies are here:
+  - ``snapshot`` — CHECK strategy: change = content hash over tracked
+    columns differs; the caller supplies the as_of timestamp; vanished
+    keys are closed. Time travel via current_view / as_of_view.
+  - ``snapshot_scd2`` — TIMESTAMP strategy: change = the source row's
+    updated_col is strictly newer than the open version; idempotent by
+    the strictly-newer rule (the property streaming replay relies on —
+    see streaming.stream_ops.stream_scd2_to_table).
+``q_scd2_history`` states the interval semantics as a driver-verified
+query over the events table.
 
-Scale: one snapshot run = one equi-join of the source against the OPEN
-versions on the unique key (closed history is read and re-written but
-never joined; at petabyte history, partition the snapshot table by
-open/closed so the rewrite touches the open partition only — noted in the
-docstring), plus key-anti-joins for unchanged/new rows. No windows, no
-corpus-sized driver state.
+Scale (both strategies): one equi-join of the source against OPEN
+versions only (one row per live key); closed history is carried, never
+joined — partition the physical table on validity status if history
+rewrite dominates. No windows, no corpus-sized driver state.
 """
 
 from __future__ import annotations
-
-import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -29,9 +29,83 @@ from pyspark.sql import functions as F
 from .catalog import FilesystemCatalog, Relation
 from .materialize import create_table_as
 from .registry import register
-from .sources.readers import load_table
+from .sources.readers import load_table, read_parquet
 
-VALID_FROM, VALID_TO = "valid_from", "valid_to"
+VALID_FROM, VALID_TO = "dbt_valid_from", "dbt_valid_to"
+
+
+def _hashed(df: DataFrame, key: str, tracked: list[str]) -> DataFrame:
+    return df.select(
+        key, *tracked, F.md5(F.to_json(F.struct(*tracked))).alias("_content_hash")
+    )
+
+
+def snapshot(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    source: DataFrame,
+    key: str,
+    tracked: list[str],
+    as_of: str,
+) -> DataFrame:
+    """Apply one CHECK-strategy snapshot pass at timestamp ``as_of`` (ISO
+    string — caller provides it, keeping runs reproducible). Returns the
+    updated history.
+
+    Scale: one join of history-current vs source on the key; history cold
+    versions (valid_to set) pass through untouched — with the history
+    partitioned by validity status only the current slice is read.
+    """
+    ts = F.lit(as_of).cast("timestamp")
+    src = _hashed(source, key, tracked)
+
+    if not catalog.exists(rel):
+        first = src.select(
+            key, *tracked, "_content_hash", ts.alias(VALID_FROM), F.lit(None).cast("timestamp").alias(VALID_TO)
+        )
+        return create_table_as(spark, catalog, rel, first, single_file=False)
+
+    hist = read_parquet(spark, rel.path)
+    closed = hist.filter(F.col(VALID_TO).isNotNull())
+    current = hist.filter(F.col(VALID_TO).isNull())
+
+    cur = current.alias("cur")
+    new = src.alias("new")
+    joined = cur.join(new, F.col(f"cur.{key}") == F.col(f"new.{key}"), "full_outer")
+
+    still_current = joined.filter(
+        F.col(f"new.{key}").isNotNull()
+        & F.col(f"cur.{key}").isNotNull()
+        & (F.col("cur._content_hash") == F.col("new._content_hash"))
+    ).select("cur.*")
+    newly_closed = joined.filter(
+        F.col(f"cur.{key}").isNotNull()
+        & (F.col(f"new.{key}").isNull() | (F.col("cur._content_hash") != F.col("new._content_hash")))
+    ).select(*[F.col(f"cur.{c}") for c in hist.columns if c != VALID_TO], ts.alias(VALID_TO))
+    opened = joined.filter(
+        F.col(f"new.{key}").isNotNull()
+        & (F.col(f"cur.{key}").isNull() | (F.col("cur._content_hash") != F.col("new._content_hash")))
+    ).select(
+        *[F.col(f"new.{c}") for c in [key, *tracked, "_content_hash"]],
+        ts.alias(VALID_FROM),
+        F.lit(None).cast("timestamp").alias(VALID_TO),
+    )
+
+    updated = closed.unionByName(newly_closed).unionByName(still_current).unionByName(opened)
+    return create_table_as(spark, catalog, rel, updated, single_file=False)
+
+
+def current_view(history: DataFrame) -> DataFrame:
+    return history.filter(F.col(VALID_TO).isNull())
+
+
+def as_of_view(history: DataFrame, at: str) -> DataFrame:
+    """Point-in-time reconstruction: rows valid at ``at``."""
+    t = F.lit(at).cast("timestamp")
+    return history.filter(
+        (F.col(VALID_FROM) <= t) & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > t))
+    )
 
 
 def snapshot_scd2(
@@ -42,18 +116,15 @@ def snapshot_scd2(
     key_col: str,
     updated_col: str,
 ) -> DataFrame:
-    """Run one snapshot pass (dbt timestamp strategy): for each source row
-    whose ``updated_col`` is strictly newer than the key's open version,
-    close the open version (valid_to = the new timestamp) and insert the
-    new one; unknown keys insert as open versions; everything else is
-    carried unchanged. Requires ``key_col`` unique in ``source_df`` (the
-    dbt snapshot contract). Idempotent: re-running against the same source
-    changes nothing.
-
-    At 100 TB: the join side is only the OPEN versions (one row per live
-    key); closed history rides through the rewrite untouched — partition
-    the physical table by ``valid_to IS NULL`` if rewriting history
-    dominates."""
+    """Run one TIMESTAMP-strategy snapshot pass: for each source row whose
+    ``updated_col`` is strictly newer than the key's open version, close the
+    open version (dbt_valid_to = the new timestamp) and insert the new one;
+    unknown keys insert as open versions; everything else is carried
+    unchanged. Validity bounds take ``updated_col``'s own type (the change
+    time comes from the DATA, not the run — which is why this strategy is
+    idempotent and replay-safe where ``snapshot``'s as_of is run-supplied).
+    Requires ``key_col`` unique in ``source_df`` (the dbt snapshot
+    contract)."""
     payload = [c for c in source_df.columns]
     vto_type = source_df.schema[updated_col].dataType
 

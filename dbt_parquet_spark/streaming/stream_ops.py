@@ -483,3 +483,53 @@ def streaming_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_ppm",
         (F.col("score_ppm") >= F.col("s_threshold")).alias("keep"),
     )
+
+
+def stream_scd2_to_table(
+    stream_df: DataFrame,
+    catalog,
+    rel,
+    key_col: str,
+    updated_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming SCD2 (type-2) ingest: each micro-batch folds into the
+    snapshot table via snapshots.snapshot_scd2 — where stream_merge_to_table
+    OVERWRITES a key's row (type-1 CDC apply), this CLOSES the key's open
+    version and appends the new one, accreting full change history as the
+    stream runs. Within a micro-batch only each key's LATEST row (by
+    updated_col, then payload tiebreak) merges — standard snapshot
+    semantics: versions are states observed at merge points, and the
+    sequence of merge points is the micro-batch sequence.
+
+    Replay safety (foreachBatch is at-least-once): merging the same batch
+    again is a NO-OP by the strictly-newer rule, so a crash between the
+    table publish and the checkpoint commit converges — same discipline as
+    stream_merge_to_table, no batch-id bookkeeping needed.
+
+    Scale: per batch, one groupBy(key) over the batch (batch-sized) + the
+    snapshot merge's equi-join against OPEN versions only.
+    """
+    from ..snapshots import snapshot_scd2
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        payload = batch_df.columns
+        others = [c for c in payload if c not in (key_col, updated_col)]
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(F.max(F.struct(updated_col, *others)).alias("_s"))
+            .select(key_col, "_s.*")
+            .select(*payload)
+        )
+        snapshot_scd2(batch_df.sparkSession, catalog, rel, latest, key_col, updated_col)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -367,3 +367,44 @@ def test_cluster_balanced_sample_window_group_limit(spark):
     plan = _plan(spark, "q_cluster_balanced_sample")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontamination_broadcast_eval_side(spark):
+    # the eval side (benchmark-sized by construction) must reach the chunk
+    # equi-join as a broadcast, and candidate generation must never
+    # degenerate to an all-pairs NL join.
+    plan = _plan(spark, "q_semantic_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_map_only(spark):
+    # the curve position is pure per-row arithmetic: no exchange at all in
+    # the layout query (the bounds aggregate runs as its own tiny job).
+    plan = _plan(spark, "q_zorder_layout")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_mixture_budget_source_frame_only(spark):
+    # the water-filling windows run on the |sources|-row aggregate frame:
+    # after the ONE corpus groupBy(source), everything is single-partition
+    # by construction — assert the corpus never feeds a window directly
+    # (every Window sits above the source-level HashAggregate).
+    plan = _plan(spark, "q_mixture_budget")
+    assert "CartesianProduct" not in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans list operators leaves-last: the window node must
+    # appear ABOVE (before) the corpus aggregate in the operator tree
+    assert win_pos < agg_pos
+
+
+def test_scd2_history_single_user_shuffle(spark):
+    # both windows and the run aggregate share the user_id partitioning:
+    # exactly one hash exchange on user_id, no extra re-sorts between them.
+    plan = _plan(spark, "q_scd2_history")
+    assert plan.count("Exchange hashpartitioning") <= 2  # user_id + run agg reuse
+    assert "CartesianProduct" not in plan

@@ -20,7 +20,7 @@ def _src(spark, rows):
 
 def _state(spark, rel):
     return {
-        (r.id, r.valid_from, r.valid_to): r.name
+        (r.id, r.dbt_valid_from, r.dbt_valid_to): r.name
         for r in spark.read.parquet(rel.path).collect()
     }
 

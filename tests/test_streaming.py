@@ -211,3 +211,81 @@ def test_streaming_quality_ingest_matches_batch_scorer(spark):
     assert len(got) == load_table(spark, SF_SMALL, "documents").count()
     # the per-source quartile actually bites: both flags present
     assert {k for _, _, k in got.values()} == {True, False}
+
+
+def test_stream_scd2_matches_sequential_batch_merges(spark, tmp_path):
+    """Type-2 streaming ingest parity: two micro-batches (maxFilesPerTrigger
+    =1, file mtimes force the order) must leave EXACTLY the table two
+    sequential batch snapshot_scd2 merges leave — history closed/opened at
+    the same merge points — and a fresh-checkpoint re-run must change
+    nothing (the merge is idempotent, so replay converges)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.snapshots import snapshot_scd2
+    from dbt_parquet_spark.sources.readers import load_table
+    from dbt_parquet_spark.streaming.stream_ops import stream_scd2_to_table
+
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("user_id") < 40)
+    )
+    mid = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    halves = [
+        events.filter(F.unix_micros("ts") <= mid).toPandas(),
+        events.filter(F.unix_micros("ts") > mid).toPandas(),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, pdf in enumerate(halves):
+        f = str(src / f"part-{i:03d}.parquet")
+        papq.write_table(pa.Table.from_pandas(pdf), f, coerce_timestamps="us")
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def latest_per_key(df):
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_type")).alias("_s"))
+            .select("user_id", "_s.*")
+            .select("user_id", "event_type", "ts")
+        )
+
+    # batch twin: sequential merges of the same two halves
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    want_rel = cat.relation("scd2_batch_twin")
+    for pdf in halves:
+        half = spark.createDataFrame(pdf)
+        snapshot_scd2(spark, cat, want_rel, latest_per_key(half), "user_id", "ts")
+    want = {tuple(r) for r in spark.read.parquet(want_rel.path).collect()}
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", "event_type", "ts")
+    )
+    got_rel = cat.relation("scd2_stream")
+    q = stream_scd2_to_table(
+        stream, cat, got_rel, "user_id", "ts", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(got_rel.path).collect()}
+    assert got == want
+    # history actually accreted: some user changed state across the batches
+    closed = [r for r in got if r[-1] is not None]
+    assert closed, "no closed versions — the two-batch split produced no changes"
+
+    # replay convergence: a FRESH checkpoint re-processes everything; the
+    # strictly-newer rule makes every re-merge a no-op
+    q2 = stream_scd2_to_table(
+        stream, cat, got_rel, "user_id", "ts", str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(300)
+    again = {tuple(r) for r in spark.read.parquet(got_rel.path).collect()}
+    assert again == got
