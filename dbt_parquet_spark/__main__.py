@@ -9,6 +9,7 @@
     python -m dbt_parquet_spark sql   --database DB "SELECT ..."   (views pre-registered)
     python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
     python -m dbt_parquet_spark maintain --database DB [--stats | --table T (--compact | --cluster-by C1,C2 [--zorder])]
+    python -m dbt_parquet_spark snapshot --database DB --from SRC --table T --key K (--updated-col C | --check-cols C1,C2 --as-of TS)
 """
 
 from __future__ import annotations
@@ -102,6 +103,27 @@ def main(argv: list[str] | None = None) -> int:
         help="append rows into existing shards (O(delta) sum-merged manifest)",
     )
 
+    snap_p = sub.add_parser(
+        "snapshot",
+        help="SCD2 snapshot run (dbt snapshot): timestamp strategy with "
+        "--updated-col, check strategy with --check-cols + --as-of",
+    )
+    common(snap_p)
+    snap_p.add_argument("--from", dest="from_path", required=True, help="source parquet path")
+    snap_p.add_argument("--table", required=True, help="snapshot table name")
+    snap_p.add_argument("--schema", default="")
+    snap_p.add_argument("--key", required=True, help="unique key column")
+    snap_p.add_argument(
+        "--updated-col", default=None, help="timestamp strategy: change = strictly newer value"
+    )
+    snap_p.add_argument(
+        "--check-cols",
+        default=None,
+        help="check strategy: comma-separated tracked columns (content-hash change)",
+    )
+    snap_p.add_argument(
+        "--as-of", default=None, help="check strategy: validity timestamp for this run (ISO)"
+    )
     maint_p = sub.add_parser(
         "maintain",
         help="table maintenance: compact small files or sort-cluster for row-group skipping",
@@ -228,6 +250,26 @@ def main(argv: list[str] | None = None) -> int:
                 f"hash={r.content_hash}"
             )
         print(f"OK shard {rel.view_name}: {len(rows)} shards")
+    elif args.cmd == "snapshot":
+        from .snapshots import current_view, snapshot, snapshot_scd2
+        from .sources.readers import read_parquet
+
+        src = read_parquet(spark, args.from_path)
+        rel = catalog.relation(args.table, args.schema)
+        if args.updated_col:
+            hist = snapshot_scd2(spark, catalog, rel, src, args.key, args.updated_col)
+        elif args.check_cols and args.as_of:
+            cols = [c.strip() for c in args.check_cols.split(",") if c.strip()]
+            hist = snapshot(spark, catalog, rel, src, args.key, cols, args.as_of)
+        else:
+            print(
+                "snapshot: pass --updated-col (timestamp strategy) or "
+                "--check-cols + --as-of (check strategy)",
+                file=sys.stderr,
+            )
+            return 2
+        total, open_n = hist.count(), current_view(hist).count()
+        print(f"OK snapshot {rel.view_name}: {total} versions ({open_n} open)")
     elif args.cmd == "maintain":
         from .maintenance import cluster_by, compact, table_stats
 

@@ -133,3 +133,42 @@ def test_corpus_release_example_runs(tmp_path):
     assert "OK corpus release complete" in proc.stdout
     assert os.path.isdir(os.path.join(out, "released_corpus.parquet"))
     assert os.path.isfile(os.path.join(out, "release_shards_manifest.parquet"))
+
+
+def test_cli_snapshot_both_strategies(tmp_path, spark):
+    """`snapshot` runs end-to-end for both strategies: timestamp strategy
+    accretes a version when the source row is strictly newer; check
+    strategy closes on content change at the caller's as_of."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "id BIGINT, v STRING, updated BIGINT"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(1, "a2", 200), (2, "b", 100)], "id BIGINT, v STRING, updated BIGINT"
+    ).write.parquet(src2)
+
+    for s, want in ((src1, "2 versions (2 open)"), (src2, "3 versions (2 open)")):
+        r = _cli(
+            "snapshot", "--database", db, "--from", s,
+            "--table", "dim_ts", "--key", "id", "--updated-col", "updated",
+        )
+        assert r.returncode == 0, r.stderr
+        assert want in r.stdout
+
+    for s, asof, want in (
+        (src1, "2024-01-01 00:00:00", "2 versions (2 open)"),
+        (src2, "2024-02-01 00:00:00", "3 versions (2 open)"),
+    ):
+        r = _cli(
+            "snapshot", "--database", db, "--from", s,
+            "--table", "dim_chk", "--key", "id",
+            "--check-cols", "v", "--as-of", asof,
+        )
+        assert r.returncode == 0, r.stderr
+        assert want in r.stdout
+
+    # missing strategy args is a usage error, not a crash
+    r = _cli("snapshot", "--database", db, "--from", src1, "--table", "x", "--key", "id")
+    assert r.returncode == 2
