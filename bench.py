@@ -100,6 +100,8 @@ EXTENSION_HEADLINE = [
     "q_epoch_order",
     "q_mixture_budget",
     "q_scd2_history",
+    "q_text_chunks",
+    "q_embedding_quantize",
 ]
 
 

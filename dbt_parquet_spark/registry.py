@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.audit",
     "dbt_parquet_spark.operators.layout",
     "dbt_parquet_spark.snapshots",
+    "dbt_parquet_spark.operators.serving",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

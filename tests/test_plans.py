@@ -408,3 +408,13 @@ def test_scd2_history_single_user_shuffle(spark):
     plan = _plan(spark, "q_scd2_history")
     assert plan.count("Exchange hashpartitioning") <= 2  # user_id + run agg reuse
     assert "CartesianProduct" not in plan
+
+
+def test_serving_ops_are_map_only(spark):
+    # chunking (sequence+explode+slice) and quantization (per-row array
+    # math) must stay pure map stages — any exchange breaks the
+    # pipelined-into-write property.
+    for q in ("q_text_chunks", "q_embedding_quantize"):
+        plan = _plan(spark, q)
+        assert "Exchange" not in plan, q
+        assert "Join" not in plan, q

@@ -120,8 +120,9 @@ def test_registry_exposes_all_queries():
     # +q_zorder_layout (operators/layout.py — Morton curve clustering),
     # +q_epoch_order (operators/shards.py — per-epoch deterministic order),
     # +q_mixture_budget (operators/selection.py — water-filling allocator),
-    # +q_scd2_history (snapshots.py — SCD2 validity intervals)
-    assert len(specs) == 180
+    # +q_scd2_history (snapshots.py — SCD2 validity intervals),
+    # +q_text_chunks, +q_embedding_quantize (operators/serving.py — RAG prep)
+    assert len(specs) == 182
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
