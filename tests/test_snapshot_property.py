@@ -44,3 +44,44 @@ def test_snapshot_invariants(spark, tmp_path_factory, states):
         for r in versions:
             if r.dbt_valid_to is not None:
                 assert r.dbt_valid_from < r.dbt_valid_to
+
+
+# timestamp-strategy twin: random monotone update sequences vs a pure-Python
+# SCD2 simulator — the merge must agree exactly (not just satisfy invariants)
+upd = st.dictionaries(st.integers(0, 5), st.integers(0, 2), max_size=6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(upd, min_size=1, max_size=4))
+def test_snapshot_scd2_matches_pure_python(spark, tmp_path_factory, steps):
+    from dbt_parquet_spark.snapshots import snapshot_scd2
+
+    db = FilesystemCatalog(str(tmp_path_factory.mktemp("snap2db")))
+    rel = db.relation("t")
+    # step i updates key k to value f"v{val}" at time 100*(i+1): strictly
+    # increasing per run, so every touched key with a DIFFERENT time opens
+    model: dict[int, list] = {}  # key -> [[value, from, to|None], ...]
+    for i, updates in enumerate(steps):
+        t = 100 * (i + 1)
+        src = spark.createDataFrame(
+            [(k, f"v{v}", t) for k, v in updates.items()] or [(None, None, None)],
+            "id: long, v: string, updated_at: long",
+        ).filter("id IS NOT NULL")
+        snapshot_scd2(spark, db, rel, src, "id", "updated_at")
+        for k in updates:
+            vers = model.setdefault(k, [])
+            if vers and vers[-1][2] is None:
+                if t > vers[-1][1]:  # strictly newer -> close & open
+                    vers[-1][2] = t
+                    vers.append([f"v{updates[k]}", t, None])
+            else:
+                vers.append([f"v{updates[k]}", t, None])
+
+    got = {
+        (r.id, r.v, r.dbt_valid_from, r.dbt_valid_to)
+        for r in spark.read.parquet(rel.path).collect()
+    }
+    want = {
+        (k, v, vf, vt) for k, vers in model.items() for v, vf, vt in vers
+    }
+    assert got == want
