@@ -438,8 +438,6 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, never corpus-sized), and the waterline/kstar frames are
     1-row broadcasts.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     caps = (
         docs.groupBy("source")
@@ -447,14 +445,28 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "w", (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).cast("long")
         )
-        .withColumn("sortkey", F.expr("(n * 1000000) div w"))
     )
     t_df = caps.agg(
         F.expr(f"CAST(sum(n) * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN} AS BIGINT)").alias("t")
     )
+    return water_fill(caps, t_df)
+
+
+def water_fill(caps: DataFrame, budget_df: DataFrame) -> DataFrame:
+    """The reusable exact water-filling solve: ``caps`` is the per-source
+    frame (source, n BIGINT capacity, w BIGINT weight), ``budget_df`` a
+    1-row (t BIGINT) budget. Returns (source, capacity, weight, alloc)
+    with Σalloc ≤ t, saturated sources at full capacity, everyone else at
+    floor(w · remaining / Σw) under one shared waterline — all BIGINT
+    arithmetic (cross-multiplied saturation tests), so the result is
+    engine-exact and property-tested against a pure-Python solve over
+    random frames (tests/test_selection.py)."""
+    from pyspark.sql import Window
+
+    caps = caps.withColumn("sortkey", F.expr("(n * 1000000) div w"))
     w_ord = Window.orderBy("sortkey", "source")
     flagged = (
-        caps.crossJoin(F.broadcast(t_df))
+        caps.crossJoin(F.broadcast(budget_df))
         .select(
             "source",
             "n",

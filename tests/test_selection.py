@@ -198,3 +198,52 @@ def test_mixture_budget_is_exact_water_filling(spark):
     assert any(got[s] == caps[s][0] for s in caps) or budget >= sum(
         n for n, _ in caps.values()
     )
+
+
+def _py_water_fill(caps: dict, budget: int) -> dict:
+    order = sorted(caps, key=lambda s: ((caps[s][0] * 1000000) // caps[s][1], s))
+    want, rem = {}, budget
+    suffw = sum(w for _, w in caps.values())
+    pending = list(order)
+    while pending:
+        n, w = caps[pending[0]]
+        if n * suffw <= rem * w:
+            want[pending[0]] = n
+            rem -= n
+            suffw -= w
+            pending.pop(0)
+        else:
+            break
+    for s in pending:
+        n, w = caps[s]
+        want[s] = min(n, (w * rem) // suffw)
+    return want
+
+
+def test_water_fill_property_random_frames(spark):
+    """water_fill must equal the pure-Python solve on adversarial frames:
+    tiny/huge capacities, repeated capacity-per-weight ratios, budgets from
+    0 to beyond total."""
+    from hypothesis import given, settings, strategies as st
+
+    from dbt_parquet_spark.operators.selection import water_fill
+
+    frame = st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.tuples(st.integers(1, 10**9), st.integers(1, 7)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(frame, st.integers(0, 130))
+    def check(caps, pct):
+        budget = sum(n for n, _ in caps.values()) * pct // 100
+        caps_df = spark.createDataFrame(
+            [(s, n, w) for s, (n, w) in caps.items()], "source STRING, n LONG, w LONG"
+        )
+        budget_df = spark.createDataFrame([(budget,)], "t LONG")
+        got = {r.source: r.alloc for r in water_fill(caps_df, budget_df).collect()}
+        assert got == _py_water_fill(caps, budget), (caps, budget)
+
+    check()
