@@ -102,6 +102,7 @@ EXTENSION_HEADLINE = [
     "q_scd2_history",
     "q_text_chunks",
     "q_embedding_quantize",
+    "q_pit_join",
 ]
 
 

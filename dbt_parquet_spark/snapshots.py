@@ -158,10 +158,10 @@ def snapshot_scd2(
     return create_table_as(spark, catalog, rel, snap)
 
 
-@register(
-    "q_scd2_history",
-    oracle="""
-    WITH marked AS (
+# The SCD2 history as DuckDB CTEs — ONE render shared by the q_scd2_history
+# and q_pit_join oracles (the frozen-render discipline: two oracles, one
+# definition).
+_SCD2_HISTORY_CTES = """marked AS (
         SELECT user_id, event_type, ts, event_id,
                CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
                                                ORDER BY ts, event_id)
@@ -180,11 +180,20 @@ def snapshot_scd2(
         SELECT user_id, event_type, run_id,
                CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS valid_from_us
         FROM runs GROUP BY user_id, event_type, run_id
-    )
-    SELECT user_id, event_type, valid_from_us,
-           LEAD(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us
-    FROM versions
+    ),
+    history AS (
+        SELECT user_id, event_type, valid_from_us,
+               LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from_us) AS valid_to_us
+        FROM versions
+    )"""
+
+
+@register(
+    "q_scd2_history",
+    oracle=f"""
+    WITH {_SCD2_HISTORY_CTES}
+    SELECT user_id, event_type, valid_from_us, valid_to_us FROM history
     """,
     tags=("snapshot", "scd2", "history", "window"),
 )
@@ -231,4 +240,53 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "valid_from_us",
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+    )
+
+
+@register(
+    "q_pit_join",
+    oracle=f"""
+    WITH {_SCD2_HISTORY_CTES}
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+           h.event_type AS state_at_event
+    FROM events e
+    JOIN history h
+      ON e.user_id = h.user_id
+     AND h.valid_from_us <= epoch_us(CAST(e.ts AS TIMESTAMP))
+     AND (h.valid_to_us IS NULL
+          OR epoch_us(CAST(e.ts AS TIMESTAMP)) < h.valid_to_us)
+    """,
+    tags=("snapshot", "scd2", "temporal-join", "point-in-time"),
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the query SCD2 history exists FOR: attach to
+    every fact (event) the dimension version valid at the fact's own
+    timestamp: user_id equality + [valid_from, valid_to) interval
+    residual. Every event matches exactly ONE version (intervals partition
+    each user's timeline), pinned in tests along with self-consistency:
+    the version valid at an event's ts carries that event's own run state.
+
+    Scale: an equi-join on user_id with the interval test as a residual
+    predicate — per-user version lists are change-count-sized, so the join
+    never expands beyond facts x (versions per user at that instant) = 1
+    row per fact. No window over facts, no range-join quadratic."""
+    hist = q_scd2_history(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return (
+        ev.alias("e")
+        .join(
+            hist.alias("h"),
+            (F.col("e.user_id") == F.col("h.user_id"))
+            & (F.col("h.valid_from_us") <= F.col("e.ts_us"))
+            & (F.col("h.valid_to_us").isNull() | (F.col("e.ts_us") < F.col("h.valid_to_us"))),
+        )
+        .select(
+            "e.event_id",
+            "e.user_id",
+            "e.ts_us",
+            F.col("h.event_type").alias("state_at_event"),
+        )
     )

@@ -81,3 +81,23 @@ def test_snapshot_equal_timestamp_is_not_a_change(spark, db):
     snapshot_scd2(spark, db, rel, _src(spark, [(1, "a", 100)]), "id", "updated_at")
     snapshot_scd2(spark, db, rel, _src(spark, [(1, "A", 100)]), "id", "updated_at")
     assert _state(spark, rel) == {(1, 100, None): "a"}
+
+
+def test_pit_join_exactly_one_version_per_event_and_self_consistent(spark):
+    """Interval partition property: every event matches exactly one history
+    version, and that version's state IS the event's own run state (the
+    event that opened a version must see itself)."""
+    from dbt_parquet_spark.snapshots import q_pit_join
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_SMALL
+
+    rows = q_pit_join(spark, SF_SMALL).collect()
+    events = {
+        r.event_id: r.event_type
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    }
+    assert len(rows) == len(events)  # one version per event, no gaps/overlap
+    assert len({r.event_id for r in rows}) == len(events)
+    for r in rows:
+        assert r.state_at_event == events[r.event_id], r.event_id
