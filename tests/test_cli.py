@@ -172,3 +172,17 @@ def test_cli_snapshot_both_strategies(tmp_path, spark):
     # missing strategy args is a usage error, not a crash
     r = _cli("snapshot", "--database", db, "--from", src1, "--table", "x", "--key", "id")
     assert r.returncode == 2
+
+
+def test_rag_prep_example_runs(tmp_path):
+    out = str(tmp_path / "rag")
+    r = subprocess.run(
+        [sys.executable, "examples/rag_prep.py", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "chunks:" in r.stdout and "vectors:" in r.stdout
+    assert "clustered rag_chunks" in r.stdout
+    assert os.path.isdir(os.path.join(out, "rag_chunks.parquet")) or os.path.isfile(
+        os.path.join(out, "rag_chunks.parquet")
+    )
