@@ -95,11 +95,17 @@ def zorder_expr(cmin: int, cmax: int, dmin: int, dmax: int):
 
 
 def _orders_bounds(orders: DataFrame) -> tuple[int, int, int, int]:
+    """MIN/MAX quantization bounds; an EMPTY table yields the degenerate
+    (0, 1, 0, 1) frame (zval 0 for zero rows) and a single-valued dimension
+    widens its span to 1 so the quantizer never divides by zero."""
     day = F.expr(_SPARK_DAY)
     row = orders.agg(
         F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
     ).first()
-    return int(row[0]), int(row[1]), int(row[2]), int(row[3])
+    if row[0] is None:
+        return 0, 1, 0, 1
+    cmin, cmax, dmin, dmax = (int(v) for v in row)
+    return cmin, max(cmax, cmin + 1), dmin, max(dmax, dmin + 1)
 
 
 @register(

@@ -62,7 +62,11 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
 
     specs = load_all()
     for name in ["q_agg_multi", "q_join_multi", "q_window_rank", "q_dedup_minhash",
-                 "q_text_stats", "q_except_diff", "q_corpus_pipeline", "q_asof_join"]:
+                 "q_text_stats", "q_except_diff", "q_corpus_pipeline", "q_asof_join",
+                 # round-8 additions
+                 "q_zorder_layout", "q_epoch_order", "q_mixture_budget",
+                 "q_scd2_history", "q_pit_join", "q_text_chunks",
+                 "q_embedding_quantize", "q_semantic_decontamination"]:
         df = specs[name].builder(spark, empty_dir)
         assert df.count() in (0, 1), name  # diff queries emit one all-zero row
         assert len(df.schema.fields) > 0, name
