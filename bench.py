@@ -103,6 +103,7 @@ EXTENSION_HEADLINE = [
     "q_text_chunks",
     "q_embedding_quantize",
     "q_pit_join",
+    "q_curriculum_order",
 ]
 
 

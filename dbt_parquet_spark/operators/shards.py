@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.readers import load_table
+from .corpus import QUALITY_PPM_SQL
 
 N_SHARD_HEX = 1  # manifest-query fanout: 16 shards (16^1)
 
@@ -274,4 +275,61 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.select("epoch", shard.alias("shard_id"), "doc_id", eh.alias("eh"))
         .select("epoch", "shard_id", "doc_id", F.row_number().over(w).alias("pos"))
+    )
+
+
+N_CURRICULUM_BANDS = 16
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, {QUALITY_PPM_SQL} AS quality FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               CAST(quality * {N_CURRICULUM_BANDS} // 1000001 AS BIGINT) AS band
+        FROM q
+    )
+    SELECT doc_id, source, band,
+           ROW_NUMBER() OVER (PARTITION BY band, source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS src_rank
+    FROM b
+    """,
+    tags=("corpus", "curriculum", "ordering", "training"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: every doc's difficulty band (16 uniform
+    integer-ppm quality bands — high band = high quality = typically
+    scheduled first) and its deterministic md5 rank WITHIN (band, source).
+    A trainer sorting by (band DESC, src_rank, source) walks bands in
+    difficulty order while INTERLEAVING sources inside each band (all
+    src_rank=1 docs across sources, then src_rank=2, …) — no source
+    monoculture batches, no RNG, identical on any engine or layout.
+
+    Scale: one narrow pass + one rank per (band, source) partition —
+    ~corpus/(bands*sources) rows each (the corpus.py band discipline)."""
+    from pyspark.sql import Window
+
+    from .corpus import quality_ppm_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "source",
+        (quality_ppm_expr() * N_CURRICULUM_BANDS)
+        .cast("long")
+        .alias("_q16"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"_q16 div {1000001}").alias("band"),  # exact integer floor-div
+    )
+    w = Window.partitionBy("band", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return b.select(
+        "doc_id", "source", "band", F.row_number().over(w).alias("src_rank")
     )

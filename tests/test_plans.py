@@ -302,6 +302,8 @@ def test_no_corpus_keyed_windows_in_source():
         # rows per partition, uniform by md5 avalanche (shards.py band rule)
         ("shards.py", ("epoch", "shard_id")),
         ("snapshots.py", ("user_id",)),  # per-entity change history
+        # curriculum rank: ~corpus/(16 bands * sources) rows per partition
+        ("shards.py", ("band", "source")),
         # AUC rank-sum: window runs over the SCORE HISTOGRAM (<= 1e6+1 rows
         # total at any corpus size), banded into 101 partitions of <= 10k
         # rows — bounded constant, never corpus-sized

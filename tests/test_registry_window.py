@@ -122,8 +122,9 @@ def test_registry_exposes_all_queries():
     # +q_mixture_budget (operators/selection.py — water-filling allocator),
     # +q_scd2_history (snapshots.py — SCD2 validity intervals),
     # +q_text_chunks, +q_embedding_quantize (operators/serving.py — RAG prep),
-    # +q_pit_join (snapshots.py — point-in-time join against SCD2 history)
-    assert len(specs) == 183
+    # +q_pit_join (snapshots.py — point-in-time join against SCD2 history),
+    # +q_curriculum_order (operators/shards.py — banded source-interleaved)
+    assert len(specs) == 184
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -203,3 +203,26 @@ def test_epoch_order_is_distinct_complete_permutations(spark):
     # reproducible: a second run is bit-identical
     again = q_epoch_order(spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_curriculum_order_interleaves_sources_within_bands(spark):
+    """Ranks must be dense per (band, source), and walking a band by
+    (src_rank, source) must alternate sources: the first |sources-in-band|
+    positions are all DISTINCT sources (no monoculture prefix)."""
+    from dbt_parquet_spark.operators.shards import q_curriculum_order
+
+    rows = q_curriculum_order(spark, SF_SMALL).collect()
+    assert len(rows) == load_table(spark, SF_SMALL, "documents").count()
+    per = {}
+    for r in rows:
+        per.setdefault((r.band, r.source), []).append(r.src_rank)
+    for key, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
+    bands = {}
+    for r in rows:
+        bands.setdefault(r.band, []).append((r.src_rank, r.source))
+    assert len(bands) >= 3  # quality spread actually produces bands
+    for band, entries in bands.items():
+        srcs_in_band = {s for _, s in entries}
+        head = [s for _, s in sorted(entries)[: len(srcs_in_band)]]
+        assert len(set(head)) == len(srcs_in_band), band  # perfect interleave
