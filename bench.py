@@ -104,6 +104,8 @@ EXTENSION_HEADLINE = [
     "q_embedding_quantize",
     "q_pit_join",
     "q_curriculum_order",
+    "q_bm25_topk",
+    "q_priority_sample",
 ]
 
 

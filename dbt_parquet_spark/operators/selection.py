@@ -512,3 +512,95 @@ def water_fill(caps: DataFrame, budget_df: DataFrame) -> DataFrame:
             .alias("alloc"),
         )
     )
+
+
+# --- Priority sampling (weight-proportional k-sample) -------------------------
+# Duffield, Lund & Thorup 2007, "Priority sampling" (JACM 54(6)): each item
+# gets priority q_i = w_i / u_i with u_i ~ Uniform(0,1]; the k items with the
+# largest priorities form the sample, and tau = the (k+1)-th priority gives
+# each selected item the estimation weight w_hat_i = max(w_i, tau) — an
+# unbiased subset-sum estimator with near-optimal variance. Here u_i is the
+# md5-derived integer in [1, 2^31] (deterministic, engine-identical), so the
+# whole scheme is exact IEEE arithmetic: one multiply and one divide per row.
+
+PRIORITY_SAMPLE_K = 64
+_PRIORITY_M = 2_147_483_648  # 2^31: u in [1, M], u/M ~ U(0,1]
+
+
+@register(
+    "q_priority_sample",
+    oracle=f"""
+    WITH pr AS (
+        SELECT doc_id, n_chars AS w,
+               ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % {_PRIORITY_M}) + 1) AS u
+        FROM documents
+    ),
+    p2 AS (
+        SELECT doc_id, w,
+               (CAST(w AS DOUBLE) * {_PRIORITY_M}.0) / CAST(u AS DOUBLE) AS priority
+        FROM pr
+    ),
+    sel AS (
+        SELECT doc_id, w, priority FROM p2
+        ORDER BY priority DESC, doc_id LIMIT {PRIORITY_SAMPLE_K}
+    ),
+    tau AS (
+        SELECT priority AS t FROM p2
+        ORDER BY priority DESC, doc_id OFFSET {PRIORITY_SAMPLE_K} LIMIT 1
+    )
+    SELECT doc_id, w, priority,
+           GREATEST(CAST(w AS DOUBLE), COALESCE(tau.t, CAST(w AS DOUBLE))) AS w_hat
+    FROM sel LEFT JOIN tau ON TRUE
+    """,
+    tags=("corpus", "sample", "weighted", "estimator"),
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k-sample with unbiased subset-sum estimation
+    weights (priority sampling, Duffield-Lund-Thorup 2007): documents are
+    drawn proportional to ``n_chars`` via deterministic priorities
+    w * 2^31 / u (u = md5-derived integer in [1, 2^31]), and each selected
+    doc carries w_hat = max(w, tau) — summing w_hat over any selected
+    subset unbiasedly estimates that subset's total char mass. The
+    downstream use is cheap corpus accounting: profile k docs, extrapolate
+    exact byte/token totals without a second full scan.
+
+    Everything is integer hashing plus one IEEE multiply/divide — no RNG,
+    no log/pow — so the draw is bit-identical across engines and fully
+    oracle-checked (ties impossible: doc_id breaks the total order).
+
+    Scale: priorities are a narrow map over the scan; top-k and the
+    (k+1)-th priority are TakeOrderedAndProject (per-partition heaps, k·P
+    rows to the driver merge, no shuffle, no window); tau joins back as a
+    broadcast single row. Driver state is the k-row result itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(_PRIORITY_M)
+    ) + F.lit(1)
+    p2 = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (
+            (F.col("n_chars").cast("double") * F.lit(float(_PRIORITY_M)))
+            / u.cast("double")
+        ).alias("priority"),
+    )
+    sel = p2.orderBy(F.desc("priority"), F.asc("doc_id")).limit(PRIORITY_SAMPLE_K)
+    tau = (
+        p2.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .offset(PRIORITY_SAMPLE_K)
+        .limit(1)
+        .select(F.col("priority").alias("t"))
+    )
+    return sel.join(F.broadcast(tau), F.lit(True), "left").select(
+        "doc_id",
+        "w",
+        "priority",
+        F.greatest(
+            F.col("w").cast("double"),
+            F.coalesce(F.col("t"), F.col("w").cast("double")),
+        ).alias("w_hat"),
+    )

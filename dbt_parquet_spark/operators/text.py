@@ -896,3 +896,122 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tile.alias("tile"),
         F.element_at(F.lit(["head", "middle", "tail"]), tile).alias("bucket"),
     )
+
+
+# --- BM25 retrieval ------------------------------------------------------------
+# Lexical top-k retrieval over the corpus for a fixed term query — the exact
+# lexical complement to the ANN family (q_ann_*) and the retrieval consumer of
+# q_inverted_index's postings. Scoring is BM25 with Lucene's non-negative idf
+# variant (Robertson-Sparck Jones idf wrapped in ln(1 + ·)): k1 = 1.2, b = 0.75.
+#
+# Cross-engine exactness: DuckDB's ln() is bit-identical to CPython's
+# math.log on this platform while the JVM's Math.log is NOT (1-ulp drift on
+# ~7% of inputs, measured) — so the Spark side computes each term's idf ONCE
+# in Python on the driver from the collected per-term document frequencies
+# (|query| scalars, the dsir_llr_table discipline) and injects them as
+# literals. Every remaining op is exact IEEE +,-,*,/ written in the same
+# association order in both engines, and the per-(doc, term) contribution is
+# frozen to integer ppm before the per-doc sum, making the score
+# order-independent and the whole query fully oracle-checked.
+
+BM25_QUERY_TERMS = ("spark", "vector", "customer")
+BM25_TOP_K = 10
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    dl AS (SELECT doc_id, len(sp) AS dl FROM toks),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) AS n
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(sp) AS tok FROM toks)
+        WHERE tok IN {BM25_QUERY_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(1000000.0 * (
+                   ln(1.0 + ((CAST(stats.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE)) + 0.5)
+                            / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + CAST(1.2 AS DOUBLE)
+                           * (CAST(0.25 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+               )) AS BIGINT) AS c
+        FROM tf
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c) AS BIGINT) AS score_ppm
+    FROM scored GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    tags=("text", "retrieval", "bm25", "index"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval for the fixed query
+    ``BM25_QUERY_TERMS``: per-(doc, term) contribution
+    floor(1e6 · idf(term) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)))
+    summed per doc, top ``BM25_TOP_K`` by (score DESC, doc_id). idf is the
+    Lucene ln(1 + (N − df + 0.5)/(df + 0.5)) — non-negative even for terms
+    in more than half the corpus (this synthetic vocabulary is dense).
+
+    Scale: term postings come from the persisted token scaffold — the
+    explode is filtered to |query| terms before any shuffle, so the tf
+    groupBy moves only matching postings; df and the (N, avgdl) stats are
+    |query|+2 scalars on the driver (the model-artifact discipline —
+    everything corpus-sized stays distributed); scoring is a narrow
+    posting⋈dl equi-join; top-k is TakeOrderedAndProject (per-partition
+    heaps, no global sort, no window).
+    """
+    import math
+
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    sum_dl, n = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    avgdl = float(sum_dl) / float(n)
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = {r["tok"]: r["df"] for r in tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")).collect()}
+    idf_col = F.lit(None).cast("double")
+    for term in BM25_QUERY_TERMS:
+        dfv = dfreq.get(term, 0)
+        idf = math.log(1.0 + ((float(n) - float(dfv)) + 0.5) / (float(dfv) + 0.5))
+        idf_col = F.when(F.col("tok") == term, F.lit(idf)).otherwise(idf_col)
+    tfpart = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    scored = tf.join(dl, "doc_id").select(
+        "doc_id",
+        F.floor(F.lit(1000000.0) * (idf_col * tfpart)).cast("long").alias("c"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )

@@ -123,8 +123,11 @@ def test_registry_exposes_all_queries():
     # +q_scd2_history (snapshots.py — SCD2 validity intervals),
     # +q_text_chunks, +q_embedding_quantize (operators/serving.py — RAG prep),
     # +q_pit_join (snapshots.py — point-in-time join against SCD2 history),
-    # +q_curriculum_order (operators/shards.py — banded source-interleaved)
-    assert len(specs) == 184
+    # +q_curriculum_order (operators/shards.py — banded source-interleaved),
+    # +q_bm25_topk (operators/text.py — lexical retrieval, driver-idf exact),
+    # +q_priority_sample (operators/selection.py — Duffield-Lund-Thorup
+    # weight-proportional k-sample with unbiased estimation weights)
+    assert len(specs) == 186
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -247,3 +247,52 @@ def test_water_fill_property_random_frames(spark):
         assert got == _py_water_fill(caps, budget), (caps, budget)
 
     check()
+
+
+# --- priority sampling ---------------------------------------------------------
+
+
+def _py_priority_sample(docs, k=64, m=2_147_483_648):
+    pri = []
+    for r in docs:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % m + 1
+        pri.append((float(r.n_chars) * float(m) / float(u), r.doc_id, r.n_chars))
+    order = sorted(pri, key=lambda t: (-t[0], t[1]))
+    sel, tail = order[:k], order[k : k + 1]
+    tau = tail[0][0] if tail else None
+    out = {}
+    for p, doc_id, w in sel:
+        w_hat = float(w) if tau is None else max(float(w), tau)
+        out[doc_id] = (w, p, w_hat)
+    return out
+
+
+def test_priority_sample_matches_pure_python_exactly(spark):
+    """The draw, priorities, and estimation weights are all bit-identical
+    to an independent pure-Python implementation of Duffield-Lund-Thorup."""
+    from dbt_parquet_spark.operators.selection import q_priority_sample
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "n_chars").collect()
+    expected = _py_priority_sample(docs)
+    got = {r.doc_id: (r.w, r.priority, r.w_hat) for r in q_priority_sample(spark, SF_SMALL).collect()}
+    assert got == expected
+
+
+def test_priority_sample_estimator_is_unbiased_over_thresholds(spark):
+    """Priority sampling's defining property on the DRAWN sample: every
+    selected item has w_hat = max(w, tau) >= w, tau is strictly below the
+    k-th selected priority band, and the w_hat-sum tracks the true total
+    char mass within the scheme's expected relative error (~1/sqrt(k))."""
+    from dbt_parquet_spark.operators.selection import (
+        PRIORITY_SAMPLE_K,
+        q_priority_sample,
+    )
+
+    rows = q_priority_sample(spark, SF_SMALL).collect()
+    assert len(rows) == PRIORITY_SAMPLE_K
+    assert all(r.w_hat >= float(r.w) for r in rows)
+    total = sum(
+        r.n_chars for r in load_table(spark, SF_SMALL, "documents").select("n_chars").collect()
+    )
+    est = sum(r.w_hat for r in rows)
+    assert abs(est - total) / total < 3.0 / math.sqrt(PRIORITY_SAMPLE_K)
