@@ -5,7 +5,9 @@
     python -m dbt_parquet_spark run   --database DB --models-dir DIR [--threads N] [--single-file]
     python -m dbt_parquet_spark seed  --database DB --csv FILE [--schema S] [--name T]
     python -m dbt_parquet_spark docs  --database DB
-    python -m dbt_parquet_spark test  --database DB --models-dir DIR --model M --unique COL --not-null COL
+    python -m dbt_parquet_spark test  --database DB --models-dir DIR --model M
+                                      [--unique COL] [--not-null COL]
+                                      [--accepted-values COL=V1,V2] [--relationships COL=MODEL.COL]
     python -m dbt_parquet_spark sql   --database DB "SELECT ..."   (views pre-registered)
     python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
     python -m dbt_parquet_spark maintain --database DB [--stats | --table T (--compact | --cluster-by C1,C2 [--zorder])]
@@ -65,6 +67,19 @@ def main(argv: list[str] | None = None) -> int:
     test_p.add_argument("--model", required=True)
     test_p.add_argument("--unique", default=None)
     test_p.add_argument("--not-null", dest="not_null", default=None)
+    test_p.add_argument(
+        "--accepted-values",
+        dest="accepted_values",
+        default=None,
+        metavar="COL=V1,V2,...",
+        help="accepted_values test: column and its comma-separated allowed values",
+    )
+    test_p.add_argument(
+        "--relationships",
+        default=None,
+        metavar="COL=MODEL.PARENT_COL",
+        help="relationships (FK) test: child column and parent model.column",
+    )
 
     sql_p = sub.add_parser("sql", help="run ad-hoc SQL with all relations as views")
     common(sql_p)
@@ -230,6 +245,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.not_null:
             n = project.test_not_null(spark, args.model, args.not_null)
             print(f"not_null({args.model}.{args.not_null}): {'PASS' if n == 0 else f'FAIL ({n})'}")
+            failures += n > 0
+        if args.accepted_values:
+            col, _, vals = args.accepted_values.partition("=")
+            values = vals.split(",") if vals else []
+            n = project.test_accepted_values(spark, args.model, col, values)
+            print(
+                f"accepted_values({args.model}.{col}): "
+                f"{'PASS' if n == 0 else f'FAIL ({n})'}"
+            )
+            failures += n > 0
+        if args.relationships:
+            col, _, target = args.relationships.partition("=")
+            to_model, _, to_col = target.partition(".")
+            n = project.test_relationships(spark, args.model, col, to_model, to_col)
+            print(
+                f"relationships({args.model}.{col} -> {to_model}.{to_col}): "
+                f"{'PASS' if n == 0 else f'FAIL ({n})'}"
+            )
             failures += n > 0
         return 1 if failures else 0
     elif args.cmd == "sql":

@@ -42,6 +42,24 @@ def test_cli_full_lifecycle(tmp_path):
     )
     assert test.returncode == 0 and "PASS" in test.stdout
 
+    # the other two dbt generic tests: accepted_values + relationships (FK)
+    test2 = _cli(
+        "test", "--database", db, "--models-dir", "examples/animals/models",
+        "--model", "animals_str",
+        "--accepted-values", "n_legs=2,4,5,100",
+        "--relationships", "n_legs=leg_stats.n_legs",
+    )
+    assert test2.returncode == 0
+    assert "accepted_values(animals_str.n_legs): PASS" in test2.stdout
+    assert "relationships(animals_str.n_legs -> leg_stats.n_legs): PASS" in test2.stdout
+
+    # violation path: a constrained accepted list must FAIL with a count
+    test3 = _cli(
+        "test", "--database", db, "--models-dir", "examples/animals/models",
+        "--model", "animals_str", "--accepted-values", "n_legs=2,4",
+    )
+    assert test3.returncode == 1 and "FAIL (2)" in test3.stdout
+
 
 def test_cli_shell_escape_hatch(tmp_path):
     """The reference's run-operation duckdb escape hatch (impl.py:225-249):
