@@ -47,7 +47,11 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          # round-7 additions: join-back df/score shapes, additive shard
          # manifest, and the composed release (closure + quantile + span
          # scrub through the persisted stage boundary)
-         "q_lm_doc_score", "q_training_shards", "q_corpus_release"]
+         "q_lm_doc_score", "q_training_shards", "q_corpus_release",
+         # round-8 additions: top-k / offset-threshold draws whose SETS must
+         # not depend on partitioning (ties broken by doc_id), and the
+         # driver-frozen idf literals fed from collected scalars
+         "q_bm25_topk", "q_priority_sample", "q_curriculum_order"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
