@@ -106,6 +106,7 @@ EXTENSION_HEADLINE = [
     "q_curriculum_order",
     "q_bm25_topk",
     "q_priority_sample",
+    "q_source_drift",
 ]
 
 

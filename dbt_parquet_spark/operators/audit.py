@@ -210,3 +210,149 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "train_id", "eval_id", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= BLOCKED_COSINE_THRESHOLD)
+
+
+# --- Source drift (Pearson chi-squared against the corpus mix) -----------------
+# Distribution monitoring for a growing corpus: per source, the chi-squared
+# statistic of its hashed-token distribution against the corpus-wide mix —
+# the contingency-table test (source × token-bucket) that flags a crawl
+# source whose content shifted (spam influx, template change, language mix)
+# before it poisons the training mix. Token space is hashed into
+# DRIFT_BUCKETS buckets (the DSIR idiom) so the statistic's width is fixed
+# regardless of vocabulary size.
+#
+# Exactness: every cell contribution (obs − exp)²/exp is integer counts
+# through identical-order IEEE arithmetic, frozen to integer ppm before the
+# per-source sum; the mass of the source's EMPTY buckets (obs = 0 cells,
+# which Pearson's statistic still charges exp each) is added in one exact
+# closed form st·(gt − Σ_observed bt)/gt, frozen once. Both engines compute
+# the same definition bit-for-bit → fully oracle-checked.
+
+DRIFT_BUCKETS = 256
+
+
+@register(
+    "q_source_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    b AS (
+        SELECT source,
+               CAST('0x' || substr(md5(t), 1, 6) AS BIGINT) % {DRIFT_BUCKETS} AS bucket
+        FROM tok
+    ),
+    cell AS (SELECT source, bucket, COUNT(*) AS obs FROM b GROUP BY source, bucket),
+    bt AS (SELECT bucket, CAST(SUM(obs) AS BIGINT) AS bt FROM cell GROUP BY bucket),
+    st AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS st FROM cell GROUP BY source),
+    gt AS (SELECT CAST(SUM(obs) AS BIGINT) AS gt FROM cell),
+    e AS (
+        SELECT cell.source, cell.obs, bt.bt,
+               (CAST(bt.bt AS DOUBLE) * CAST(st.st AS DOUBLE)) / CAST(gt.gt AS DOUBLE)
+                 AS expd
+        FROM cell JOIN bt USING (bucket) JOIN st USING (source) CROSS JOIN gt
+    ),
+    c AS (
+        SELECT source,
+               CAST(floor(1000000.0 * (((CAST(obs AS DOUBLE) - expd)
+                                        * (CAST(obs AS DOUBLE) - expd)) / expd))
+                    AS BIGINT) AS chi_ppm,
+               bt
+        FROM e
+    ),
+    obs_part AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(chi_ppm) AS BIGINT) AS chi_obs,
+               CAST(SUM(bt) AS BIGINT) AS bt_obs
+        FROM c GROUP BY source
+    )
+    SELECT o.source, o.n_buckets,
+           CAST(o.chi_obs
+                + CAST(floor(1000000.0 * ((CAST(st.st AS DOUBLE)
+                      * (CAST(gt.gt AS DOUBLE) - CAST(o.bt_obs AS DOUBLE)))
+                      / CAST(gt.gt AS DOUBLE))) AS BIGINT) AS BIGINT) AS chi2_ppm
+    FROM obs_part o JOIN st USING (source) CROSS JOIN gt
+    """,
+    tags=("corpus", "drift", "monitoring", "chi2"),
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the corpus mix: Pearson chi-squared
+    over the (source × hashed-token-bucket) contingency table, in integer
+    ppm. High chi2_ppm = the source's token distribution deviates from the
+    pooled corpus — the monitoring signal that catches a shifted crawl
+    before q_corpus_mix schedules it into a training run.
+
+    Scale: ONE shuffle — groupBy(source, bucket) with map-side partials
+    bounds the exchange at sources × DRIFT_BUCKETS rows regardless of
+    corpus size; bucket totals (≤256 rows), source totals, and the grand
+    total all join back as broadcasts. Every float is frozen to integer
+    ppm before any reaggregation, so the statistic is partitioning-
+    independent and fully oracle-checked.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tok = toks.join(docs, "doc_id").select(
+        "source", F.explode("toks").alias("t")
+    )
+    cell = (
+        tok.select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 6), 16, 10).cast("long")
+                % DRIFT_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        # persisted, never unpersisted: cell feeds FOUR plan branches (bt,
+        # st, gt, the cell join) — unpersisted it would recompute the full
+        # explode+shuffle per branch (the simhash lesson). The entry is
+        # sources × DRIFT_BUCKETS rows (KB) and CacheManager dedups by
+        # plan, so repeated invocations share one entry.
+        .persist()
+    )
+    bt = cell.groupBy("bucket").agg(F.sum("obs").cast("long").alias("bt"))
+    st = cell.groupBy("source").agg(F.sum("obs").cast("long").alias("st"))
+    gt = cell.agg(F.sum("obs").cast("long").alias("gt"))
+    expd = (F.col("bt").cast("double") * F.col("st").cast("double")) / F.col(
+        "gt"
+    ).cast("double")
+    diff = F.col("obs").cast("double") - F.col("expd")
+    e = (
+        cell.join(F.broadcast(bt), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gt))
+        .withColumn("expd", expd)
+    )
+    c = e.select(
+        "source",
+        "bt",
+        F.floor(F.lit(1000000.0) * ((diff * diff) / F.col("expd")))
+        .cast("long")
+        .alias("chi_ppm"),
+    )
+    obs_part = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("chi_ppm").cast("long").alias("chi_obs"),
+        F.sum("bt").cast("long").alias("bt_obs"),
+    )
+    missing = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.col("st").cast("double") * (F.col("gt").cast("double") - F.col("bt_obs").cast("double")))
+            / F.col("gt").cast("double")
+        )
+    ).cast("long")
+    out = (
+        obs_part.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "n_buckets",
+            (F.col("chi_obs") + missing).cast("long").alias("chi2_ppm"),
+        )
+    )
+    return out

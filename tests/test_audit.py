@@ -96,3 +96,45 @@ def test_semantic_decontamination_recall_on_clustered_corpus(spark, clustered_em
     assert confident, "clustered fixture must produce cross-set leaks"
     recall = len(got & confident) / len(confident)
     assert recall >= 0.6, f"blocking recall {recall:.2f} on clustered corpus"
+
+
+def test_source_drift_matches_pure_python_exactly(spark):
+    """chi2_ppm (observed cells + closed-form empty-cell mass) re-derived
+    independently in pure Python from the raw documents."""
+    import hashlib
+    import math
+
+    from dbt_parquet_spark.operators.audit import DRIFT_BUCKETS, q_source_drift
+
+    docs = load_table(spark, SF_SMALL, "documents").select("source", "text").collect()
+    cell: dict[tuple[str, int], int] = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            b = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % DRIFT_BUCKETS
+            cell[(r.source, b)] = cell.get((r.source, b), 0) + 1
+    bt: dict[int, int] = {}
+    st: dict[str, int] = {}
+    for (s, b), n in cell.items():
+        bt[b] = bt.get(b, 0) + n
+        st[s] = st.get(s, 0) + n
+    gt = sum(cell.values())
+    expected = {}
+    for s in st:
+        chi, nb, bto = 0, 0, 0
+        for (s2, b), obs in cell.items():
+            if s2 != s:
+                continue
+            nb += 1
+            bto += bt[b]
+            expd = (float(bt[b]) * float(st[s])) / float(gt)
+            d = float(obs) - expd
+            chi += math.floor(1000000.0 * ((d * d) / expd))
+        chi += math.floor(
+            1000000.0 * ((float(st[s]) * (float(gt) - float(bto))) / float(gt))
+        )
+        expected[s] = (nb, chi)
+    got = {
+        r.source: (r.n_buckets, r.chi2_ppm)
+        for r in q_source_drift(spark, SF_SMALL).collect()
+    }
+    assert got == expected

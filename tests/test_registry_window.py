@@ -126,8 +126,9 @@ def test_registry_exposes_all_queries():
     # +q_curriculum_order (operators/shards.py — banded source-interleaved),
     # +q_bm25_topk (operators/text.py — lexical retrieval, driver-idf exact),
     # +q_priority_sample (operators/selection.py — Duffield-Lund-Thorup
-    # weight-proportional k-sample with unbiased estimation weights)
-    assert len(specs) == 186
+    # weight-proportional k-sample with unbiased estimation weights),
+    # +q_source_drift (operators/audit.py — chi-squared contingency drift)
+    assert len(specs) == 187
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
