@@ -107,6 +107,8 @@ EXTENSION_HEADLINE = [
     "q_bm25_topk",
     "q_priority_sample",
     "q_source_drift",
+    "q_embedding_gram",
+    "q_embedding_pca",
 ]
 
 

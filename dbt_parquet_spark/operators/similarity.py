@@ -955,3 +955,190 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# --- Distributed scatter matrix + PCA projection -------------------------------
+# The whitening/decorrelation step of an embedding pipeline (SemDeDup-style
+# preprocessing, ANN index conditioning): the corpus-wide scatter matrix
+# E[x xT] is the one reduction a PCA needs, and it is DIM^2 scalars no matter
+# how many vectors flow through — the canonical "driver holds only the model"
+# shape. Every x_i*x_j product is frozen to integer ppm BEFORE summation, so
+# the reduction is order-free integer addition: bit-identical at any
+# partitioning and fully oracle-checked (q_embedding_gram). q_embedding_pca
+# eigendecomposes that deterministic integer matrix on the driver (numpy on
+# DIM x DIM) and projects every vector through JVM fold expressions —
+# rows-only registered, pinned against a pure-numpy pipeline in pytest.
+
+PCA_K = 4
+
+# (sf_dir -> (mean vector, projection matrix rows)) — the fitted-artifact
+# memo discipline (classifier._W_CACHE): deterministic given sf_dir.
+_PCA_CACHE: dict[str, tuple[list[float], list[list[float]]]] = {}
+
+
+def embedding_gram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, n, s_ppm) for 1 <= i <= j <= DIM: the upper-triangular
+    scatter matrix in integer ppm, plus the vector count carried on every
+    cell. One explode of DIM*(DIM+1)/2 structs per vector feeding a
+    groupBy(i, j) whose exchange is capped at DIM^2 rows per partition by
+    map-side partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.size("embedding")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.floor(
+                        F.lit(1000000.0)
+                        * (
+                            F.element_at(F.col("embedding"), i).cast("double")
+                            * F.element_at(F.col("embedding"), j).cast("double")
+                        )
+                    )
+                    .cast("long")
+                    .alias("c"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(cells).alias("u"))
+        .groupBy(F.col("u.i").alias("i"), F.col("u.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("u.c").cast("long").alias("s_ppm"),
+        )
+    )
+
+
+@register(
+    "q_embedding_gram",
+    oracle="""
+    WITH g AS (
+        SELECT unnest(flatten(list_transform(range(1, len(embedding) + 1),
+            i -> list_transform(range(i, len(embedding) + 1),
+                j -> {'i': i, 'j': j,
+                      'c': CAST(floor(1000000.0 * (CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE))) AS BIGINT)}))))
+               AS u
+        FROM embeddings
+    )
+    SELECT CAST(u.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u.c) AS BIGINT) AS s_ppm
+    FROM g GROUP BY u.i, u.j
+    """,
+    tags=("embedding", "linalg", "pca", "gram"),
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide scatter matrix in integer ppm — the single distributed
+    reduction behind PCA/whitening. See embedding_gram_ppm for the shape;
+    s_ppm/n recovers E[x_i x_j] to 1e-6, deterministically.
+
+    Scale: output is DIM(DIM+1)/2 rows regardless of corpus size; the
+    explode fan-out (DIM^2/2 structs per vector) is map-local and feeds a
+    partially-aggregated exchange of <= DIM^2 rows per input partition.
+    """
+    out = embedding_gram_ppm(spark, sf_dir)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "s_ppm",
+    )
+
+
+def pca_projection(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[list[float]]]:
+    """Fit PCA from the integer-ppm scatter matrix + per-dim integer-ppm
+    sums: covariance C = S/n - mean meanT on the driver (DIM x DIM doubles),
+    numpy eigh, top-PCA_K eigenvectors sign-fixed (largest-|coord| positive)
+    for full determinism. Driver transfer: DIM^2 + DIM longs."""
+    import numpy as np
+
+    hit = _PCA_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    gram = {(r.i, r.j): (r.n, r.s_ppm) for r in embedding_gram_ppm(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.size("embedding")
+    sums_df = (
+        emb.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.floor(
+                            F.lit(1000000.0)
+                            * F.element_at(F.col("embedding"), i).cast("double")
+                        )
+                        .cast("long")
+                        .alias("c"),
+                    ),
+                )
+            ).alias("u")
+        )
+        .groupBy(F.col("u.i").alias("i"))
+        .agg(F.sum("u.c").cast("long").alias("s_ppm"))
+    )
+    sums = {r.i: r.s_ppm for r in sums_df.collect()}
+    dim = max(i for i, _ in gram)
+    n = gram[(1, 1)][0]
+    mean = np.array([sums[i + 1] / 1e6 / n for i in range(dim)])
+    c = np.zeros((dim, dim))
+    for (i, j), (_, s) in gram.items():
+        v = s / 1e6 / n - mean[i - 1] * mean[j - 1]
+        c[i - 1, j - 1] = v
+        c[j - 1, i - 1] = v
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+        comps.append([float(x) for x in v])
+    fitted = ([float(m) for m in mean], comps)
+    _PCA_CACHE[sf_dir] = fitted
+    return fitted
+
+
+@register("q_embedding_pca", tags=("embedding", "linalg", "pca", "projection"))
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the corpus' top-PCA_K principal
+    components (fit from the oracle-checked integer-ppm scatter matrix —
+    see pca_projection). Output: vec_id, pc1..pc{PCA_K}.
+
+    Rows-only registered (eigenvectors are float linear algebra, not
+    SQL-expressible); the full fit+project pipeline is pinned against an
+    independent pure-numpy implementation in tests/test_pca.py, and the
+    fit is deterministic: integer gram -> eigh on the driver -> sign-fixed
+    components.
+
+    Scale: fit reduces to DIM^2 integers (two bounded exchanges); the
+    projection is a narrow JVM fold per component — no UDF, no shuffle.
+    """
+    mean, comps = pca_projection(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centered = F.zip_with(
+        F.col("embedding"),
+        F.lit(mean).cast("array<double>"),
+        lambda x, m: x.cast("double") - m,
+    )
+    out = emb.select("vec_id", centered.alias("ce"))
+    for k, comp in enumerate(comps, start=1):
+        out = out.withColumn(
+            f"pc{k}",
+            F.aggregate(
+                F.zip_with(
+                    F.col("ce"),
+                    F.lit(comp).cast("array<double>"),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("ce")
