@@ -290,13 +290,15 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm before any reaggregation, so the statistic is partitioning-
     independent and fully oracle-checked.
     """
-    from .dedup import doc_token_arrays
+    from .dedup import _spread_small_scan
 
-    toks = doc_token_arrays(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    tok = toks.join(docs, "doc_id").select(
-        "source", F.explode("toks").alias("t")
+    # source rides the scan directly — no doc_id join against the token
+    # scaffold (the tokenize is one narrow split; a join would re-shuffle
+    # the corpus for a column the scan already has)
+    docs = _spread_small_scan(
+        spark, load_table(spark, sf_dir, "documents").select("source", "text")
     )
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     cell = (
         tok.select(
             "source",
