@@ -575,28 +575,36 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast single row. Driver state is the k-row result itself.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(docs, "doc_id", "n_chars", PRIORITY_SAMPLE_K)
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Reusable Duffield-Lund-Thorup priority k-sample over any frame with
+    a unique ``id_col`` and a positive numeric ``weight_col`` — see
+    q_priority_sample for semantics, exactness, and the scale shape.
+    Output: (id_col, w, priority, w_hat)."""
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long")
         % F.lit(_PRIORITY_M)
     ) + F.lit(1)
-    p2 = docs.select(
-        "doc_id",
-        F.col("n_chars").alias("w"),
+    p2 = df.select(
+        id_col,
+        F.col(weight_col).alias("w"),
         (
-            (F.col("n_chars").cast("double") * F.lit(float(_PRIORITY_M)))
+            (F.col(weight_col).cast("double") * F.lit(float(_PRIORITY_M)))
             / u.cast("double")
         ).alias("priority"),
     )
-    sel = p2.orderBy(F.desc("priority"), F.asc("doc_id")).limit(PRIORITY_SAMPLE_K)
+    sel = p2.orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
     tau = (
-        p2.orderBy(F.desc("priority"), F.asc("doc_id"))
-        .offset(PRIORITY_SAMPLE_K)
+        p2.orderBy(F.desc("priority"), F.asc(id_col))
+        .offset(k)
         .limit(1)
         .select(F.col("priority").alias("t"))
     )
     return sel.join(F.broadcast(tau), F.lit(True), "left").select(
-        "doc_id",
+        id_col,
         "w",
         "priority",
         F.greatest(

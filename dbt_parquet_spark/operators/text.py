@@ -976,6 +976,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting⋈dl equi-join; top-k is TakeOrderedAndProject (per-partition
     heaps, no global sort, no window).
     """
+    return bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, BM25_TOP_K)
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Reusable BM25 retrieval for any term query — see q_bm25_topk for
+    the scoring definition and the scale shape."""
     import math
 
     from .dedup import doc_token_arrays
@@ -986,21 +999,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = float(sum_dl) / float(n)
     tf = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*BM25_QUERY_TERMS))
+        .filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = {r["tok"]: r["df"] for r in tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")).collect()}
     idf_col = F.lit(None).cast("double")
-    for term in BM25_QUERY_TERMS:
+    for term in terms:
         dfv = dfreq.get(term, 0)
         idf = math.log(1.0 + ((float(n) - float(dfv)) + 0.5) / (float(dfv) + 0.5))
         idf_col = F.when(F.col("tok") == term, F.lit(idf)).otherwise(idf_col)
-    tfpart = (F.col("tf").cast("double") * F.lit(2.2)) / (
+    tfpart = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
         F.col("tf").cast("double")
-        + F.lit(1.2)
-        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
     )
     scored = tf.join(dl, "doc_id").select(
         "doc_id",
@@ -1013,5 +1026,5 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("score_ppm"),
         )
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
-        .limit(BM25_TOP_K)
+        .limit(k)
     )

@@ -16,7 +16,7 @@ from dbt_parquet_spark.sources.readers import load_table
 from .conftest import SF_SMALL
 
 
-def _py_bm25(docs, terms=BM25_QUERY_TERMS, k1=1.2, b=0.75):
+def _py_bm25(docs, terms=BM25_QUERY_TERMS, k1=1.2, b=0.75, topk=BM25_TOP_K):
     toks = {r.doc_id: r.text.split(" ") for r in docs}
     n = len(toks)
     avgdl = float(sum(len(t) for t in toks.values())) / float(n)
@@ -40,7 +40,7 @@ def _py_bm25(docs, terms=BM25_QUERY_TERMS, k1=1.2, b=0.75):
         if matched:
             scores[doc_id] = (matched, total)
     order = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
-    return {doc_id: v for doc_id, v in order[:BM25_TOP_K]}
+    return {doc_id: v for doc_id, v in order[:topk]}
 
 
 def test_bm25_matches_pure_python_exactly(spark):
@@ -55,3 +55,18 @@ def test_bm25_deterministic_across_runs(spark):
     a = sorted(map(tuple, q_bm25_topk(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, q_bm25_topk(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_bm25_generic_api_other_query(spark):
+    """The reusable bm25_topk with a different term set / k still matches
+    the pure-Python scorer exactly."""
+    from dbt_parquet_spark.operators.text import bm25_topk
+
+    terms, k = ("merge", "slow"), 25
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    expected = _py_bm25(docs, terms=terms, topk=k)
+    got = {
+        r.doc_id: (r.n_terms, r.score_ppm)
+        for r in bm25_topk(spark, SF_SMALL, terms, k).collect()
+    }
+    assert got == expected

@@ -296,3 +296,28 @@ def test_priority_sample_estimator_is_unbiased_over_thresholds(spark):
     )
     est = sum(r.w_hat for r in rows)
     assert abs(est - total) / total < 3.0 / math.sqrt(PRIORITY_SAMPLE_K)
+
+
+def test_priority_sample_generic_api_on_orders(spark):
+    """The reusable priority_sample over a different frame (orders,
+    double weights) matches the pure-Python scheme exactly."""
+    from dbt_parquet_spark.operators.selection import priority_sample
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    rows = orders.collect()
+    m = 2_147_483_648
+    pri = []
+    for r in rows:
+        u = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:8], 16) % m + 1
+        pri.append((float(r.o_totalprice) * float(m) / float(u), r.o_orderkey, r.o_totalprice))
+    order = sorted(pri, key=lambda t: (-t[0], t[1]))
+    tau = order[32][0] if len(order) > 32 else None
+    expected = {
+        doc: (w, p, float(w) if tau is None else max(float(w), tau))
+        for p, doc, w in order[:32]
+    }
+    got = {
+        r.o_orderkey: (r.w, r.priority, r.w_hat)
+        for r in priority_sample(orders, "o_orderkey", "o_totalprice", 32).collect()
+    }
+    assert got == expected
