@@ -109,6 +109,7 @@ EXTENSION_HEADLINE = [
     "q_source_drift",
     "q_embedding_gram",
     "q_embedding_pca",
+    "q_kneser_ney",
 ]
 
 

@@ -1028,3 +1028,105 @@ def bm25_topk(
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# --- Kneser-Ney smoothed bigram LM ---------------------------------------------
+# The standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
+# interpolated form): absolute discounting of observed bigram counts plus a
+# continuation-probability backoff weighted per context. q_bigram_lm is the
+# MLE table; this is the model a real perplexity filter actually ships.
+# The discount d = 0.75 is exactly dyadic and every other input is an
+# integer count, so p_KN is a fixed dag of exact IEEE ops — frozen to
+# integer ppm, it is bit-identical across engines and fully oracle-checked.
+
+KN_DISCOUNT = 0.75  # exactly representable: 3/4
+
+
+@register(
+    "q_kneser_ney",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    bg AS (
+        SELECT u.w1, u.w2 FROM (
+            SELECT unnest(list_transform(range(1, len(sp)),
+                i -> {{'w1': sp[i], 'w2': sp[i+1]}})) AS u
+            FROM base WHERE len(sp) >= 2
+        )
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1f
+        FROM counts GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p FROM counts GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbt FROM counts)
+    SELECT counts.w1, counts.w2, CAST(counts.c AS BIGINT) AS c,
+           CAST(floor(1000000.0 * (
+               ((CAST(counts.c AS DOUBLE) - {KN_DISCOUNT}) / CAST(ctx.ctx AS DOUBLE))
+               + ((({KN_DISCOUNT} * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.ctx AS DOUBLE))
+                  * (CAST(cont.n1p AS DOUBLE) / CAST(tot.nbt AS DOUBLE)))
+           )) AS BIGINT) AS p_kn_ppm
+    FROM counts JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    """,
+    tags=("text", "lm", "smoothing", "kneser-ney"),
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus, in
+    integer ppm: p_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), d = 0.75. One row per
+    OBSERVED bigram (the stored model; unseen-bigram mass is the λ(w1)
+    backoff, recoverable from the emitted columns). Exactness: by
+    construction Σ_obs (c−d)/ctx + λ(w1) = 1 per context — pinned in
+    tests — and the ppm freeze makes the table engine-identical.
+
+    Scale: the bigram extraction is the shared narrow-zip shape of
+    q_lm_doc_score; counts/ctx/cont are vocabulary-sized groupBys with
+    map-side partials, joined BACK to the counts table (the df/score
+    join-back discipline — AQE can skew-split stop-word contexts, a
+    w1-partitioned window could not); the type total broadcasts as one
+    row. Counts persist once and feed all four branches.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    # persisted: counts feeds ctx, cont, tot, and the final join (the
+    # q_source_drift cell discipline — vocabulary-squared rows, KB-scale)
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = counts.agg(F.count(F.lit(1)).alias("nbt"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (
+        (F.col("c").cast("double") - d) / F.col("ctx").cast("double")
+    ) + (
+        ((d * F.col("n1f").cast("double")) / F.col("ctx").cast("double"))
+        * (F.col("n1p").cast("double") / F.col("nbt").cast("double"))
+    )
+    return (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.floor(F.lit(1000000.0) * p_kn).cast("long").alias("p_kn_ppm"),
+        )
+    )
