@@ -110,6 +110,7 @@ EXTENSION_HEADLINE = [
     "q_embedding_gram",
     "q_embedding_pca",
     "q_kneser_ney",
+    "q_ann_pca",
 ]
 
 

@@ -1157,3 +1157,69 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return out.drop("ce")
+
+
+PCA_CANDIDATES = 50  # reduced-space prefilter width per query
+
+
+@register("q_ann_pca", tags=("similarity", "ann", "pca"))
+def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-prefiltered ANN: rank candidates by cosine in the top-PCA_K
+    component subspace (raw projections z = V·x — a linear isometry onto
+    the high-variance subspace, so angles survive where the energy is),
+    keep PCA_CANDIDATES per query, then exact full-dimension cosine rerank
+    to TOP_K. The dimensionality-reduction prefilter of the ANN family:
+    per-pair cost drops DIM/PCA_K (16× here) while the exact rerank keeps
+    returned cosines true.
+
+    Rows-only registered (eigenvectors are float linear algebra); recall
+    vs q_ann_topk is measured on the clustered fixture in
+    tests/test_joins_ivf.py alongside LSH/IVF/PQ.
+
+    Scale: the projection is a narrow fold; the prefilter ranking rewrites
+    to map-side WindowGroupLimit (plan-gated), so only PCA_CANDIDATES rows
+    per query per input partition cross the exchange; composition with IVF
+    cell pruning (cut the pair COUNT, then cut the per-pair COST) is the
+    production layout.
+    """
+    _, comps = pca_projection(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    z = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.lit(comp).cast("array<double>"),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in comps
+        ]
+    )
+    reduced = emb.select("vec_id", "embedding", z.alias("z"))
+    q = reduced.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("z").alias("qz"),
+    )
+    zcos = cosine(F.col("qz"), F.col("z"))
+    pre = (
+        reduced.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "embedding", zcos.alias("zc"))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("zc"), F.asc("vec_id"))
+    cands = pre.withColumn("prank", F.row_number().over(wpre)).filter(
+        F.col("prank") <= PCA_CANDIDATES
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -97,6 +97,7 @@ def test_ann_recall_on_clustered_corpus(spark, clustered_emb_dir):
         q_ann_ivf,
         q_ann_ivf_pq,
         q_ann_lsh,
+        q_ann_pca,
         q_ann_pq,
     )
 
@@ -104,10 +105,12 @@ def test_ann_recall_on_clustered_corpus(spark, clustered_emb_dir):
     r_ivf = _recall_at_k(spark, clustered_emb_dir, q_ann_ivf)
     r_pq = _recall_at_k(spark, clustered_emb_dir, q_ann_pq)
     r_ivf_pq = _recall_at_k(spark, clustered_emb_dir, q_ann_ivf_pq)
+    r_pca = _recall_at_k(spark, clustered_emb_dir, q_ann_pca)
     assert r_lsh >= 0.9, f"LSH recall on clustered corpus: {r_lsh}"
     assert r_ivf >= 0.9, f"IVF recall on clustered corpus: {r_ivf}"
     assert r_pq >= 0.9, f"PQ recall on clustered corpus: {r_pq}"
     assert r_ivf_pq >= r_ivf, f"IVF-PQ ({r_ivf_pq}) lost recall vs IVF ({r_ivf})"
+    assert r_pca >= 0.9, f"PCA-prefilter recall on clustered corpus: {r_pca}"
 
 
 def test_ivf_pq_sound_on_shipped_corpus(spark):

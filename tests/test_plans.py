@@ -371,6 +371,16 @@ def test_cluster_balanced_sample_window_group_limit(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_pca_prefilter_window_group_limit(spark):
+    # the reduced-space prefilter rank (corpus rows per query) must rewrite
+    # to map-side WindowGroupLimit so only PCA_CANDIDATES rows per query per
+    # input partition cross the exchange; the only nested-loop join is the
+    # intentional broadcast of the <= N_QUERIES query rows.
+    plan = _plan(spark, "q_ann_pca")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_decontamination_broadcast_eval_side(spark):
     # the eval side (benchmark-sized by construction) must reach the chunk
     # equi-join as a broadcast, and candidate generation must never

@@ -130,8 +130,9 @@ def test_registry_exposes_all_queries():
     # +q_source_drift (operators/audit.py — chi-squared contingency drift),
     # +q_embedding_gram (oracle integer-ppm scatter matrix),
     # +q_embedding_pca (rows-only; numpy-pinned fit+projection),
-    # +q_kneser_ney (operators/text.py — interpolated KN bigram LM, oracle)
-    assert len(specs) == 190
+    # +q_kneser_ney (operators/text.py — interpolated KN bigram LM, oracle),
+    # +q_ann_pca (similarity.py — PCA-prefiltered ANN, rows-only + recall)
+    assert len(specs) == 191
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
