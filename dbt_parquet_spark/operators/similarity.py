@@ -1077,6 +1077,8 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[
     if hit is not None:
         return hit
     gram = {(r.i, r.j): (r.n, r.s_ppm) for r in embedding_gram_ppm(spark, sf_dir).collect()}
+    if not gram:  # empty corpus: nothing to fit (BaseEmpty parity)
+        return ([], [])
     emb = load_table(spark, sf_dir, "embeddings")
     d = F.size("embedding")
     sums_df = (
@@ -1137,6 +1139,11 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     mean, comps = pca_projection(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    if not comps:  # empty corpus: empty result, stable schema
+        return emb.select(
+            "vec_id",
+            *[F.lit(None).cast("double").alias(f"pc{k}") for k in range(1, PCA_K + 1)],
+        )
     centered = F.zip_with(
         F.col("embedding"),
         F.lit(mean).cast("array<double>"),
@@ -1184,6 +1191,13 @@ def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _, comps = pca_projection(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not comps:  # empty corpus: empty result, family schema
+        return emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     z = F.array(
         *[
             F.aggregate(

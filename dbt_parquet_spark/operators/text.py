@@ -996,7 +996,9 @@ def bm25_topk(
     toks = doc_token_arrays(spark, sf_dir)
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     sum_dl, n = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
-    avgdl = float(sum_dl) / float(n)
+    # empty corpus: tf is empty so the value never matters, but the
+    # expression must still build (BaseEmpty parity)
+    avgdl = float(sum_dl) / float(n) if n else 1.0
     tf = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*terms))

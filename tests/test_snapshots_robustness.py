@@ -66,7 +66,11 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
                  # round-8 additions
                  "q_zorder_layout", "q_epoch_order", "q_mixture_budget",
                  "q_scd2_history", "q_pit_join", "q_text_chunks",
-                 "q_embedding_quantize", "q_semantic_decontamination"]:
+                 "q_embedding_quantize", "q_semantic_decontamination",
+                 # round-8 continuation additions
+                 "q_curriculum_order", "q_bm25_topk", "q_priority_sample",
+                 "q_source_drift", "q_embedding_gram", "q_embedding_pca",
+                 "q_kneser_ney", "q_ann_pca"]:
         df = specs[name].builder(spark, empty_dir)
         assert df.count() in (0, 1), name  # diff queries emit one all-zero row
         assert len(df.schema.fields) > 0, name
