@@ -111,6 +111,7 @@ EXTENSION_HEADLINE = [
     "q_embedding_pca",
     "q_kneser_ney",
     "q_ann_pca",
+    "q_kn_doc_score",
 ]
 
 

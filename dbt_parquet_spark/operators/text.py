@@ -1132,3 +1132,144 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(1000000.0) * p_kn).cast("long").alias("p_kn_ppm"),
         )
     )
+
+
+# Frozen copy of corpus.TRAIN_THRESHOLD (operators/corpus.py:14) — the oracle
+# string is rendered at import time and text.py loads before corpus.py, so a
+# module-level import would reorder registration (ROADMAP maintenance
+# invariant). Equality is pinned in tests/test_lm.py.
+KN_TRAIN_THRESHOLD = "c" * 32
+
+
+@register(
+    "q_kn_doc_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS sp,
+               (md5(CAST(doc_id AS VARCHAR)) < '{KN_TRAIN_THRESHOLD}') AS is_train
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, is_train, u.w1, u.w2 FROM (
+            SELECT doc_id, is_train, unnest(list_transform(range(1, len(sp)),
+                i -> {{'w1': sp[i], 'w2': sp[i+1]}})) AS u
+            FROM base WHERE len(sp) >= 2
+        )
+    ),
+    counts AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg WHERE is_train GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1f
+        FROM counts GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p FROM counts GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbt FROM counts),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(floor(1000000.0 * (
+                   CASE
+                     WHEN counts.c IS NOT NULL THEN
+                       ((CAST(counts.c AS DOUBLE) - 0.75) / CAST(ctx.ctx AS DOUBLE))
+                       + (((0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.ctx AS DOUBLE))
+                          * (CAST(cont.n1p AS DOUBLE) / CAST(tot.nbt AS DOUBLE)))
+                     WHEN ctx.ctx IS NOT NULL AND cont.n1p IS NOT NULL THEN
+                       ((0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.ctx AS DOUBLE))
+                       * (CAST(cont.n1p AS DOUBLE) / CAST(tot.nbt AS DOUBLE))
+                     WHEN cont.n1p IS NOT NULL THEN
+                       CAST(cont.n1p AS DOUBLE) / CAST(tot.nbt AS DOUBLE)
+                     ELSE 1.0 / CAST(tot.nbt AS DOUBLE)
+                   END
+               )) AS BIGINT) AS s
+        FROM bg
+        LEFT JOIN counts USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont USING (w2)
+        CROSS JOIN tot
+        WHERE NOT bg.is_train
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS sum_score,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_score
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "lm", "kneser-ney", "quality", "score"),
+)
+def q_kn_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity filtering under the smoothed LM: fit the
+    interpolated Kneser-Ney bigram model (q_kneser_ney's definition, d =
+    0.75) on the md5 TRAIN split, score every TEST-split document —
+    unseen bigrams genuinely hit the backoff chain here, unlike a
+    train==score setup: observed → full p_KN; unseen bigram in a seen
+    context → λ(w1)·p_cont(w2); unseen context → p_cont(w2); unseen w2 →
+    the 1/N1+(··) floor. Every branch is rational arithmetic frozen to
+    integer ppm, so the held-out scores are fully oracle-checked — this is
+    the deployable form of the CCNet-style perplexity stage (q_lm_doc_score
+    is the in-sample MLE variant).
+
+    Scale: one narrow pass splits train/test (hash rule, no shuffle);
+    model tables are vocabulary-sized groupBys that LEFT-join BACK to the
+    test bigram stream (AQE-splittable; never a w1-window); the type total
+    broadcasts. Counts persist once and feed all four consumers.
+    """
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    is_train = F.md5(F.col("doc_id").cast("string")) < KN_TRAIN_THRESHOLD
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            is_train.alias("is_train"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "is_train", "b.w1", "b.w2")
+    )
+    counts = (
+        bg.filter("is_train").groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = counts.agg(F.count(F.lit(1)).alias("nbt"))
+    d = F.lit(0.75)
+    full = (
+        (F.col("c").cast("double") - d) / F.col("ctx").cast("double")
+    ) + (
+        ((d * F.col("n1f").cast("double")) / F.col("ctx").cast("double"))
+        * (F.col("n1p").cast("double") / F.col("nbt").cast("double"))
+    )
+    backoff = ((d * F.col("n1f").cast("double")) / F.col("ctx").cast("double")) * (
+        F.col("n1p").cast("double") / F.col("nbt").cast("double")
+    )
+    cont_only = F.col("n1p").cast("double") / F.col("nbt").cast("double")
+    floor_p = F.lit(1.0) / F.col("nbt").cast("double")
+    p = (
+        F.when(F.col("c").isNotNull(), full)
+        .when(F.col("ctx").isNotNull() & F.col("n1p").isNotNull(), backoff)
+        .when(F.col("n1p").isNotNull(), cont_only)
+        .otherwise(floor_p)
+    )
+    scored = (
+        bg.filter(~F.col("is_train"))
+        .join(counts, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.floor(F.lit(1000000.0) * p).cast("long").alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").cast("long").alias("sum_score"),
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("avg_score"),
+    )

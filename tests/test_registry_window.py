@@ -131,8 +131,9 @@ def test_registry_exposes_all_queries():
     # +q_embedding_gram (oracle integer-ppm scatter matrix),
     # +q_embedding_pca (rows-only; numpy-pinned fit+projection),
     # +q_kneser_ney (operators/text.py — interpolated KN bigram LM, oracle),
-    # +q_ann_pca (similarity.py — PCA-prefiltered ANN, rows-only + recall)
-    assert len(specs) == 191
+    # +q_ann_pca (similarity.py — PCA-prefiltered ANN, rows-only + recall),
+    # +q_kn_doc_score (text.py — held-out KN perplexity scoring, oracle)
+    assert len(specs) == 192
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
