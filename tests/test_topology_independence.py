@@ -51,7 +51,11 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          # round-8 additions: top-k / offset-threshold draws whose SETS must
          # not depend on partitioning (ties broken by doc_id), and the
          # driver-frozen idf literals fed from collected scalars
-         "q_bm25_topk", "q_priority_sample", "q_curriculum_order"]
+         "q_bm25_topk", "q_priority_sample", "q_curriculum_order",
+         # ppm-frozen reaggregations: the freeze must make partition count
+         # irrelevant (chi2 cells, gram partials, KN marginals, backoff)
+         "q_source_drift", "q_embedding_gram", "q_kneser_ney",
+         "q_kn_doc_score"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
