@@ -204,3 +204,16 @@ def test_rag_prep_example_runs(tmp_path):
     assert os.path.isdir(os.path.join(out, "rag_chunks.parquet")) or os.path.isfile(
         os.path.join(out, "rag_chunks.parquet")
     )
+
+
+def test_lm_filter_example_runs(tmp_path):
+    out = str(tmp_path / "lm")
+    r = subprocess.run(
+        [sys.executable, "examples/lm_filter.py", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "model: top bigrams" in r.stdout
+    assert "held-out docs" in r.stdout and "published:" in r.stdout
+    assert "drift (chi2 ppm" in r.stdout
+    assert os.path.exists(os.path.join(out, "lm_filtered_docs.parquet"))
