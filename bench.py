@@ -112,6 +112,8 @@ EXTENSION_HEADLINE = [
     "q_kneser_ney",
     "q_ann_pca",
     "q_kn_doc_score",
+    "q_vocab_coverage",
+    "q_kanon_release",
 ]
 
 

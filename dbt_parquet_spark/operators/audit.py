@@ -358,3 +358,59 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- k-anonymous release aggregates --------------------------------------------
+
+KANON_K = 5  # minimum group size a published cell may reveal
+
+
+@register(
+    "q_kanon_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, lang
+    ),
+    lab AS (
+        SELECT CASE WHEN n >= {KANON_K} THEN source ELSE '__suppressed__' END AS source,
+               CASE WHEN n >= {KANON_K} THEN lang ELSE '__suppressed__' END AS lang,
+               n, chars
+        FROM g
+    )
+    SELECT source, lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           (source = '__suppressed__') AS suppressed
+    FROM lab GROUP BY source, lang
+    """,
+    tags=("audit", "privacy", "k-anonymity", "release"),
+)
+def q_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous release statistics: per-(source, lang) document counts
+    and char mass, with every group smaller than KANON_K pooled into one
+    '__suppressed__' cell — the suppression rule a public datasheet
+    (q_corpus_datasheet's per-cell extension) applies so no published cell
+    isolates fewer than k documents. Totals are preserved exactly: the
+    suppressed cell carries the pooled mass rather than dropping it.
+
+    Scale: one groupBy(source, lang) with map-side partials (output =
+    group cardinality), one relabel projection, one re-aggregation over
+    the group table — the corpus is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )
+    keep = F.col("n") >= KANON_K
+    lab = g.select(
+        F.when(keep, F.col("source")).otherwise(F.lit("__suppressed__")).alias("source"),
+        F.when(keep, F.col("lang")).otherwise(F.lit("__suppressed__")).alias("lang"),
+        "n",
+        "chars",
+    )
+    return lab.groupBy("source", "lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        (F.col("source") == "__suppressed__").alias("suppressed"),
+    )

@@ -815,3 +815,79 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(quality, 0.75)").alias("quality_p75"),
         (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
     )
+
+
+# --- Vocabulary coverage curve -------------------------------------------------
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS n_types FROM counts)
+    SELECT k,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           CAST(floor(1000000.0 * (CAST(covered AS DOUBLE) / CAST(total AS DOUBLE)))
+                AS BIGINT) AS coverage_ppm
+    FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {k} AS k,
+                   (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) FROM
+                      (SELECT c FROM counts ORDER BY c DESC, tok LIMIT {k}) top{k})
+                   AS covered'''
+            for k in VOCAB_COVERAGE_KS
+        )}
+    ) legs CROSS JOIN tot
+    """,
+    tags=("corpus", "vocabulary", "coverage", "tokenizer"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    share of total token mass covered by the k most frequent types
+    (integer ppm — exact) plus the corpus type count. The tokenizer-budget
+    accounting every vocab/BPE size decision starts from: coverage_ppm at
+    k=1000 near 1e6 means a small vocabulary suffices; a shallow curve
+    means long-tail types carry real mass.
+
+    Scale: ONE vocabulary-sized groupBy(token); each k-leg is a top-k over
+    that table (TakeOrderedAndProject) reduced to one scalar row — no
+    corpus-sized window, no global sort; the legs and the totals row are
+    single-row broadcasts unioned at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds |Ks|+1 branches (one per leg + totals); KB-scale
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    legs = None
+    for k in VOCAB_COVERAGE_KS:
+        leg = (
+            counts.orderBy(F.desc("c"), F.asc("tok"))
+            .limit(k)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("covered"))
+            .select(F.lit(k).alias("k"), "covered")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_types",
+        F.col("covered").alias("covered_tokens"),
+        F.floor(
+            F.lit(1000000.0) * (F.col("covered").cast("double") / F.col("total").cast("double"))
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

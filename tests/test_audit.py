@@ -138,3 +138,24 @@ def test_source_drift_matches_pure_python_exactly(spark):
         for r in q_source_drift(spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_kanon_release_preserves_mass_and_hides_small_groups(spark):
+    from dbt_parquet_spark.operators.audit import KANON_K, q_kanon_release
+
+    rows = q_kanon_release(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == sum(
+        r.n_chars for r in docs.select("n_chars").collect()
+    )
+    for r in rows:
+        if not r.suppressed:
+            assert r.n_docs >= KANON_K, (r.source, r.lang, r.n_docs)
+    # the pooled cell exists iff any raw group was below k
+    raw = docs.groupBy("source", "lang").count().collect()
+    small = [r for r in raw if r["count"] < KANON_K]
+    assert any(r.suppressed for r in rows) == bool(small)
+    if small:
+        pooled = next(r for r in rows if r.suppressed)
+        assert pooled.n_docs == sum(r["count"] for r in small)

@@ -91,3 +91,18 @@ def test_cooccurrence_cap_exactly_characterized(spark):
     }
     assert capped == expected
     assert len(capped) < len(uncapped), "cap dropped no pair — vacuous corpus"
+
+
+def test_vocab_coverage_monotone_and_saturating(spark):
+    from dbt_parquet_spark.operators.corpus import VOCAB_COVERAGE_KS, q_vocab_coverage
+
+    rows = {r.k: r for r in q_vocab_coverage(spark, SF_ORACLE).collect()}
+    assert set(rows) == set(VOCAB_COVERAGE_KS)
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a].covered_tokens <= rows[b].covered_tokens
+        assert rows[a].coverage_ppm <= rows[b].coverage_ppm
+    n_types = rows[ks[0]].n_types
+    for k in ks:
+        if k >= n_types:
+            assert rows[k].coverage_ppm == 1_000_000

@@ -132,8 +132,10 @@ def test_registry_exposes_all_queries():
     # +q_embedding_pca (rows-only; numpy-pinned fit+projection),
     # +q_kneser_ney (operators/text.py — interpolated KN bigram LM, oracle),
     # +q_ann_pca (similarity.py — PCA-prefiltered ANN, rows-only + recall),
-    # +q_kn_doc_score (text.py — held-out KN perplexity scoring, oracle)
-    assert len(specs) == 192
+    # +q_kn_doc_score (text.py — held-out KN perplexity scoring, oracle),
+    # +q_vocab_coverage (corpus.py — top-k token-mass coverage, oracle),
+    # +q_kanon_release (audit.py — k-anonymous release cells, oracle)
+    assert len(specs) == 194
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
