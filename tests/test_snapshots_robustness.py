@@ -70,9 +70,12 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
                  # round-8 continuation additions
                  "q_curriculum_order", "q_bm25_topk", "q_priority_sample",
                  "q_source_drift", "q_embedding_gram", "q_embedding_pca",
-                 "q_kneser_ney", "q_ann_pca"]:
+                 "q_kneser_ney", "q_ann_pca", "q_kanon_release",
+                 "q_vocab_coverage"]:
         df = specs[name].builder(spark, empty_dir)
-        assert df.count() in (0, 1), name  # diff queries emit one all-zero row
+        # diff queries emit one all-zero row; the coverage curve emits one
+        # (zero-coverage) row per configured k even over an empty corpus
+        assert df.count() in (0, 1, 3), name
         assert len(df.schema.fields) > 0, name
 
 
