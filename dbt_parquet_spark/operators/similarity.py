@@ -990,6 +990,15 @@ def embedding_gram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     is applied per product in float64 — bit-identical to the oracle's
     CAST/floor — and every partial is an exact int64, so the merge is
     order-free."""
+    return gram_ppm_of(load_table(spark, sf_dir, "embeddings"))
+
+
+def gram_ppm_of(emb: DataFrame) -> DataFrame:
+    """The scatter-matrix reduction over ANY frame with an ``embedding``
+    column (see embedding_gram_ppm for the shape and exactness notes).
+    512-row chunks bound the B x DIM x DIM intermediate; each floored
+    product is an integer-valued float64 << 2^53, so the chunk sum is
+    exact before the int64 cast."""
     import numpy as np
     import pandas as pd
 
@@ -1002,9 +1011,6 @@ def embedding_gram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             dim = x.shape[1]
             s = np.zeros((dim, dim), dtype=np.int64)
-            # 512-row chunks bound the B x DIM x DIM intermediate; each
-            # floored product is an integer-valued float64 << 2^53, so the
-            # chunk sum is exact before the int64 cast.
             for lo in range(0, len(x), 512):
                 c = x[lo : lo + 512]
                 s += (
@@ -1022,11 +1028,28 @@ def embedding_gram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    partials = emb.mapInPandas(gram_partials, "i long, j long, n long, c long")
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, "i long, j long, n long, c long"
+    )
     return partials.groupBy("i", "j").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("c").cast("long").alias("s_ppm"),
+    )
+
+
+def merge_gram(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two scatter matrices by integer addition — the incremental
+    maintenance path: gram(corpus ∪ delta) == merge(gram(corpus),
+    gram(delta)) EXACTLY (int64 sums are associative), so a delta batch
+    updates the PCA fit without re-reading the corpus. Store the base
+    gram as a (DIM² rows) table and fold each ingest batch in."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_ppm").cast("long").alias("s_ppm"),
+        )
     )
 
 

@@ -71,3 +71,20 @@ def test_pca_components_ordered_by_variance(spark):
     cols = list(zip(*[[r[f"pc{k}"] for k in range(1, PCA_K + 1)] for r in pcs]))
     variances = [np.var(np.array(c)) for c in cols]
     assert all(variances[k] >= variances[k + 1] - 1e-12 for k in range(PCA_K - 1))
+
+
+def test_gram_is_additive_incremental_merge(spark):
+    """The SCALE claim backed in code: gram(full) == merge(gram(half_a),
+    gram(half_b)) bit-exactly — int64 partial sums are associative, so a
+    delta batch folds into a stored base gram without re-reading the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.similarity import gram_ppm_of, merge_gram
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    full = {(r.i, r.j): (r.n, r.s_ppm) for r in gram_ppm_of(emb).collect()}
+    a = gram_ppm_of(emb.filter(F.col("vec_id") % 2 == 0))
+    b = gram_ppm_of(emb.filter(F.col("vec_id") % 2 == 1))
+    merged = {(r.i, r.j): (r.n, r.s_ppm) for r in merge_gram(a, b).collect()}
+    assert merged == full
