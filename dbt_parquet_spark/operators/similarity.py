@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot
+from ..functions.vector import cosine, dot, norm
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -915,10 +915,17 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q·k rows. Growing the panel with the corpus would instead call for
     the LSH/IVF route (q_ann_lsh / q_ann_ivf) as the candidate stage.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # norms are hoisted OUT of the pair expression: cosine's three folds
+    # per pair become one (the dot) — norm(x) evaluates once per vector
+    # instead of once per (query, vector) pair, bit-identically (the
+    # oracle's inline norms compute the same doubles).
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("label").alias("true_label"),
     )
     scored = (
@@ -929,7 +936,10 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("n_label"),
-            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
