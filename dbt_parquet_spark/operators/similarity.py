@@ -63,18 +63,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     right; the corpus side streams once, no shuffle until the (tiny) top-k
     window. For large Q use q_ann_lsh.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted out of the pair expression (the q_knn_eval discipline):
+    # one dot fold per pair, norm once per vector — bit-identical values.
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
-        load_table(spark, sf_dir, "embeddings")
-        .crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
