@@ -69,11 +69,18 @@ def create_table_as(
     df_or_sql: DataFrame | str,
     single_file: bool = False,
     register: bool = True,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """CTAS (reference macros/adapters.sql:10): execute → write parquet →
     register view. Writes go to a temp name then swap (atomic publish per
     reference impl.py:75-85 rename pattern) so a failed write never clobbers
-    the previous table version."""
+    the previous table version.
+
+    ``partition_by`` writes a hive-partitioned directory layout
+    (``col=value/part-*.parquet``) — the scale lever for selective reads:
+    a filter on the partition column becomes PartitionFilters at the scan
+    (whole directories skipped, no footer even opened). Incompatible with
+    ``single_file`` by construction."""
     io = catalog.io
     df = spark.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
     fs_dest = catalog.fs_path(rel)
@@ -82,8 +89,12 @@ def create_table_as(
     fs_tmp = io.join(parent, f".tmp_{rel.table}_{uuid.uuid4().hex[:8]}")
     spark_tmp = io.spark_url(fs_tmp)  # raises on metadata-only FS (memory://)
     if single_file:
+        assert not partition_by, "single_file layout cannot be partitioned"
         df.coalesce(1).write.mode("overwrite").parquet(spark_tmp)
         _publish_single_file(io, fs_tmp, fs_dest)
+    elif partition_by:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(spark_tmp)
+        _swap_into_place(io, fs_tmp, fs_dest)
     else:
         df.write.mode("overwrite").parquet(spark_tmp)
         _swap_into_place(io, fs_tmp, fs_dest)

@@ -430,3 +430,46 @@ def test_serving_ops_are_map_only(spark):
         plan = _plan(spark, q)
         assert "Exchange" not in plan, q
         assert "Join" not in plan, q
+
+
+def test_pq_index_probe_prunes_partitions(spark):
+    """The materialized IVF-PQ index is hive-partitioned by cell, and
+    q_ann_ivf_pq's probe must reach the scan as PartitionFilters — only the
+    probed cell directories may be opened. Both gates are checked: the plan
+    string shows the partition filter, and the scan's numFiles metric (the
+    files the executed scan actually opened) equals the probed cell count,
+    a strict subset of all IVF_CELLS partitions. NB inputFiles() would NOT
+    measure this — it lists the FileIndex before pruning."""
+    import re
+
+    from dbt_parquet_spark.operators.similarity import (
+        IVF_CELLS,
+        build_pq_index,
+        read_pq_index,
+    )
+
+    def scan_num_files(df) -> int:
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numFiles").value()
+
+    path = build_pq_index(spark, SF_ORACLE)
+    all_cells = {
+        int(m.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        for m in [re.search(r"cell=(\d+)", f)]
+        if m
+    }
+    assert len(all_cells) == IVF_CELLS
+    assert scan_num_files(read_pq_index(spark, SF_ORACLE)) == IVF_CELLS
+    probed = sorted(all_cells)[:3]
+    pruned = read_pq_index(spark, SF_ORACLE, cells=probed)
+    assert scan_num_files(pruned) == len(probed)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf and " IN " in pf
+
+    # and the full query's executed plan carries the same partition filter
+    qplan = _plan(spark, "q_ann_ivf_pq")
+    qpf = [l for l in qplan.splitlines() if "PartitionFilters" in l and "cell" in l]
+    assert qpf, "q_ann_ivf_pq scan lost its cell partition filter"
