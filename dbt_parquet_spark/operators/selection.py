@@ -224,35 +224,97 @@ def _assign_udf(cents):
     return assign
 
 
+_CENT_SCALE = 10**12  # k-means update quantization: exact integer picodims
+
+
+def _centroid_partials(dim: int):
+    """Per-partition k-means partial sums (the q_embedding_gram Arrow
+    partial-reduction discipline applied to the update step): each input
+    partition emits one (cell, cnt, sums) row per occupied cell, where
+    ``sums`` is the dimension-wise EXACT integer sum of embeddings
+    quantized to _CENT_SCALE units. Integer addition is order-free, so the
+    final centroids are bit-identical at any partitioning — the property
+    the former posexplode → groupBy(cell, dim) DECIMAL plan bought with an
+    n·dim-row shuffle per Lloyd's round. Here the shuffle carries only
+    partitions × occupied-cells rows (k·dim·P values, corpus-independent).
+
+    Overflow discipline: per Arrow batch the accumulator is int64
+    (|x|·SCALE ≲ 1e13 over ≤10k-row batches < 2^63); across batches it is
+    promoted to Python ints (dtype=object — unbounded), and the emitted
+    sums are decimal(38,0), exact through the final Spark SUM."""
+
+    def gen(batches):
+        acc: dict[int, object] = {}
+        cnt: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.rint(X * _CENT_SCALE).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, q)  # batch-exact int64 scatter-add
+            counts = np.bincount(inv, minlength=len(uniq))
+            for i, cell in enumerate(uniq):
+                c = int(cell)
+                if c in acc:
+                    acc[c] = acc[c] + sums[i].astype(object)
+                else:
+                    acc[c] = sums[i].astype(object)
+                cnt[c] = cnt.get(c, 0) + int(counts[i])
+        from decimal import Decimal
+
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc),
+                    "cnt": [cnt[c] for c in acc],
+                    "sums": [[Decimal(int(v)) for v in acc[c]] for c in acc],
+                }
+            )
+
+    return gen
+
+
 def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
     """Distributed Lloyd's k-means sized for corpus-proportional k: assign =
     Arrow-batched matmul argmax (centroid matrix in the UDF closure, k·dim
-    doubles broadcast); update = per-cell dimension means over an EXACT
-    DECIMAL sum, so centroids — and therefore the whole operator — are
-    bit-identical at any partitioning. Only the centroids ever reach the
-    driver. Init = the k lowest-vec_id vectors, fixed iteration count."""
+    doubles broadcast); update = per-partition integer partial sums
+    (_centroid_partials) reduced to k·dim exact totals, so centroids — and
+    therefore the whole operator — are bit-identical at any partitioning.
+    Each round's driver-side mean is float(Fraction(sum, SCALE·count)) —
+    one correctly-rounded division per (cell, dim). Only the centroids
+    (k·dim doubles) ever reach the driver. Init = the k lowest-vec_id
+    vectors, fixed iteration count."""
     if sf_dir in _CENT_CACHE:
         return _CENT_CACHE[sf_dir]
+    from fractions import Fraction
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    dim = len(cents[0])
     for _ in range(SEMDEDUP_ITERS):
         assigned = emb.select(
             "embedding", _assign_udf(cents)(F.col("embedding")).alias("cell")
         )
+        partials = assigned.mapInPandas(
+            _centroid_partials(dim), "cell long, cnt long, sums array<decimal(38,0)>"
+        )
+        # one pass: exploding the k·P partial rows is cheap (k·dim·P values);
+        # every (cell, dim) group's SUM(cnt) equals the cell's total count,
+        # so the count rides along — no second consumer of the lineage.
         new = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            partials.select("cell", "cnt", F.posexplode("sums").alias("dim", "s"))
             .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,15)")) / F.count(F.lit(1))
-                ).cast("double").alias("c")
-            )
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-            .select("cell", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+            .agg(F.sum("s").alias("total"), F.sum("cnt").alias("n"))
             .collect()
         )
-        by_cell = {r.cell: list(r.centroid) for r in new}
+        by_cell: dict[int, list[float]] = {}
+        for r in new:
+            by_cell.setdefault(r.cell, [0.0] * dim)[r.dim] = float(
+                Fraction(int(r.total), _CENT_SCALE * int(r.n))
+            )
         cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
     _CENT_CACHE[sf_dir] = cents
     return cents
