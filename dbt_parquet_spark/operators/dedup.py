@@ -924,3 +924,239 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_jaccard(cand, shingle_sets(sh), JACCARD_THRESHOLD)
+
+
+# --- Exact substring dedup (maximal duplicated runs) -------------------------
+# q_span_dedup above scrubs everything covered by a SHORT shared k-gram in
+# >= 2 distinct docs — a blanket boilerplate pass. This family is the other
+# half of the Lee et al. 2022 ExactSubstr treatment: find MAXIMAL exact
+# duplicated runs of length >= SUBSTR_L tokens, counting repeats anywhere
+# (a second occurrence in the SAME document counts — self-plagiarized
+# boilerplate is still a duplicated substring), and emit them as spans.
+# The suffix-array reduction that makes this a join shape: a token position
+# lies inside a duplicated run of length >= L IFF some duplicated L-gram
+# covers it, so duplicated L-gram start positions are a complete witness
+# set, and maximal runs are their sorted-adjacency islands (two dup starts
+# s1 < s2 belong to one run iff s2 <= s1 + L — their coverage windows touch).
+
+SUBSTR_L = 20  # minimum duplicated-run length in tokens (docs avg ~54 here)
+SUBSTR_MIN_COUNT = 2  # occurrences anywhere, same doc included
+
+
+def substr_sql_ctes(src: str, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT) -> str:
+    """Oracle CTE chain (sbase/sgrams/sfreq/sdups) over any relation with
+    (doc_id, text) — shared by q_substring_dedup / q_substring_scrub
+    (src='documents') and q_release_substring_scrub (src='kept')."""
+    gram = " || ' ' || ".join(f"sp[pg.pos+{o}]" for o in range(L))
+    return f"""sbase AS (SELECT doc_id, string_split(text, ' ') AS sp FROM {src}),
+    sgrams AS (
+        SELECT doc_id, pg.pos AS pos, {gram} AS gram
+        FROM (
+            SELECT doc_id, sp, unnest(list_transform(range(1, len(sp) - {L - 2}),
+                i -> {{'pos': i}})) AS pg
+            FROM sbase
+        )
+    ),
+    sfreq AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(*) AS c FROM sgrams GROUP BY gram
+        ) WHERE c >= {min_count}
+    ),
+    sdups AS (SELECT g.doc_id, g.pos FROM sgrams g JOIN sfreq USING (gram))"""
+
+
+def substring_dup_starts(
+    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+) -> DataFrame:
+    """(doc_id, pos) of every duplicated-L-gram start — the single-shuffle
+    posting shape of span_scrub (16-byte md5 gram keys, groupBy carrying
+    the posting list so the singleton majority dies in one exchange), with
+    the occurrence-count test (>= min_count anywhere) instead of the
+    distinct-document test."""
+    gram_at = lambda i: F.unhex(
+        F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + off) for off in range(L)])
+        )
+    )
+    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gkey"))
+    grams = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= L,
+                F.transform(F.sequence(F.lit(1), F.size("toks") - (L - 1)), pg_struct),
+            ).otherwise(F.array().cast("array<struct<pos:int,gkey:binary>>"))
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    return (
+        grams.groupBy("gkey")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("posts"))
+        .filter(F.size("posts") >= min_count)
+        .select(F.explode("posts").alias("dp"))
+        .select(F.col("dp.doc_id").alias("doc_id"), F.col("dp.pos").alias("pos"))
+    )
+
+
+def substring_spans(
+    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+) -> DataFrame:
+    """Maximal duplicated runs as (doc_id, span_start, span_end,
+    n_span_tokens), one row per run.
+
+    Island detection is pure ARRAY arithmetic over the per-doc sorted start
+    list — zip each start with its predecessor (sentinel for the first) and
+    a new island begins where the gap exceeds L. No corpus-keyed window
+    anywhere: the only shuffles are the gram-posting exchange and one
+    groupBy(doc_id) whose groups are bounded by document length."""
+    starts = substring_dup_starts(toks_df, L, min_count).groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("pos")).alias("ss")
+    )
+    # brks = 1-based indexes into ss that begin an island (ss is never
+    # empty here, so brks always contains index 1 via the sentinel)
+    prev = F.concat(
+        F.array(F.lit(-(10**9))), F.slice(F.col("ss"), 1, F.size("ss") - 1)
+    )
+    with_brks = starts.select(
+        "doc_id",
+        "ss",
+        F.filter(
+            F.sequence(F.lit(1), F.size("ss")),
+            lambda j: F.element_at(F.col("ss"), j) > F.element_at(prev, j) + F.lit(L),
+        ).alias("brks"),
+    )
+    mk_span = lambda r: F.struct(
+        F.element_at(F.col("ss"), F.element_at(F.col("brks"), r)).alias("s"),
+        (
+            F.element_at(
+                F.col("ss"),
+                F.when(
+                    r < F.size("brks"), F.element_at(F.col("brks"), r + 1) - 1
+                ).otherwise(F.size("ss")),
+            )
+            + F.lit(L - 1)
+        ).alias("e"),
+    )
+    return (
+        with_brks.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("brks")), mk_span)
+            ).alias("sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("sp.s").cast("long").alias("span_start"),
+            F.col("sp.e").cast("long").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("n_span_tokens"),
+        )
+    )
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH {substr_sql_ctes("documents")},
+    seqd AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > LAG(pos, 1, {-(10**9)}) OVER (
+                        PARTITION BY doc_id ORDER BY pos) + {SUBSTR_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM sdups
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM seqd
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SUBSTR_L - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_L} AS BIGINT) AS n_span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=("dedup", "substring", "text"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact duplicated substrings of >= {SUBSTR_L} tokens (the Lee
+    et al. ExactSubstr scrub list): every maximal run whose every token is
+    covered by an L-gram occurring >= {SUBSTR_MIN_COUNT} times corpus-wide
+    (same doc included). One row per run with its doc and token interval —
+    the actionable artifact (a scrub list / audit table), complementing
+    q_span_dedup's blanket short-gram cleanup.
+
+    Oracle-exact: positions and island arithmetic are integers; the oracle
+    states the identical reduction with a LAG-over-doc window while the
+    Spark plan uses per-doc array zips (no window at corpus scale).
+
+    Scale: identical cost shape to q_span_dedup — one posting shuffle (md5
+    gram keys; a gram's posting list equals its corpus frequency), one
+    groupBy(doc_id) bounded by doc length, island logic narrow per row.
+    """
+    return substring_spans(doc_token_arrays(spark, sf_dir))
+
+
+@register(
+    "q_substring_scrub",
+    oracle=f"""
+    WITH {substr_sql_ctes("documents")},
+    scov AS (
+        SELECT DISTINCT d.doc_id, d.pos + off.o AS pos
+        FROM sdups d, (SELECT unnest(range(0, {SUBSTR_L})) AS o) off
+    ),
+    stoks AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(sp)+1),
+            i -> {{'pos': i, 'tok': sp[i]}})) AS pt
+        FROM sbase
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(c.pos) AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.pt.tok END,
+                               ' ' ORDER BY t.pt.pos), '') AS cleaned_text
+    FROM stoks t LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.pt.pos = c.pos
+    GROUP BY t.doc_id
+    """,
+    tags=("dedup", "substring", "text"),
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable form of q_substring_dedup: remove every token inside
+    a duplicated >= {SUBSTR_L}-token exact run and emit the reconstructed
+    text with removal accounting (q_span_dedup's schema, so the two scrub
+    passes compose/compare directly). A real curation pipeline runs BOTH:
+    the short-gram pass kills boilerplate, this pass kills long verbatim
+    duplication at occurrence granularity."""
+    return substring_scrub(doc_token_arrays(spark, sf_dir))
+
+
+def substring_scrub(
+    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+) -> DataFrame:
+    """Substring-scrub core over (doc_id, toks) — span_scrub's coverage/
+    reconstruction tail driven by duplicated-run starts instead of
+    frequent-span starts (exposed for composition: q_release_substring_scrub
+    feeds it the release pipeline's kept set)."""
+    cov = (
+        substring_dup_starts(toks_df, L, min_count)
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.col("starts"), lambda s: F.sequence(s, s + (L - 1)))
+                )
+            ).alias("cov"),
+        )
+    )
+    joined = toks_df.join(cov, "doc_id", "left")
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(covered, (i + 1).cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

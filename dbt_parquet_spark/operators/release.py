@@ -34,14 +34,22 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.readers import load_table
 from .corpus import PRUNE_PCT, QUALITY_PPM_SQL, quality_ppm_expr
-from .dedup import NGRAM_PAIRS_CTES, span_scrub, span_sql_ctes
+from .dedup import (
+    NGRAM_PAIRS_CTES,
+    SUBSTR_L,
+    span_scrub,
+    span_sql_ctes,
+    substr_sql_ctes,
+    substring_scrub,
+)
 from .graph import q_dedup_components
 
 
-@register(
-    "q_corpus_release",
-    oracle=f"""
-    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+# The dedup→select→prune CTE chain ending in the `kept` relation — shared
+# by every oracle that composes over the release pipeline's survivor set
+# (q_corpus_release here, q_release_substring_scrub below), so the keep
+# semantics can never drift between them. Callers prepend WITH RECURSIVE.
+KEPT_CTES = f"""{NGRAM_PAIRS_CTES},
     sym AS (
         SELECT d1 AS src, d2 AS dst FROM ngram_pairs
         UNION
@@ -78,7 +86,13 @@ from .graph import q_dedup_components
         SELECT d.doc_id, d.source, d.text, d.quality
         FROM dedup d JOIN thresholds t USING (source)
         WHERE d.quality >= t.thr
-    ),
+    )"""
+
+
+@register(
+    "q_corpus_release",
+    oracle=f"""
+    WITH RECURSIVE {KEPT_CTES},
     {span_sql_ctes("kept")}
     SELECT t.doc_id, k.source, k.quality,
            COUNT(*) AS n_tokens,
@@ -148,3 +162,50 @@ def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.count()
     _KEPT_CACHE[key] = kept
     return kept
+
+
+@register(
+    "q_release_substring_scrub",
+    oracle=f"""
+    WITH RECURSIVE {KEPT_CTES},
+    {substr_sql_ctes("kept")},
+    scov AS (
+        SELECT DISTINCT d.doc_id, d.pos + off.o AS pos
+        FROM sdups d, (SELECT unnest(range(0, {SUBSTR_L})) AS o) off
+    ),
+    stoks AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(sp)+1),
+            i -> {{'pos': i, 'tok': sp[i]}})) AS pt
+        FROM sbase
+    )
+    SELECT t.doc_id, k.source, k.quality,
+           COUNT(*) AS n_tokens,
+           COUNT(c.pos) AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.pt.tok END,
+                               ' ' ORDER BY t.pt.pos), '') AS released_text
+    FROM stoks t
+    LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.pt.pos = c.pos
+    JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, k.source, k.quality
+    """,
+    tags=("corpus", "release", "dedup", "substring", "pipeline"),
+)
+def q_release_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ExactSubstr leg of the release pipeline: the same
+    dedup→select→prune survivor set as q_corpus_release (the memoized
+    _kept_docs stage boundary), scrubbed of maximal duplicated runs
+    (operators/dedup.substring_scrub) instead of short frequent spans — the
+    second scrub pass a production release runs after the boilerplate one.
+    Duplicate detection runs WITHIN the kept set: dropping a component's
+    loser docs can legitimately leave the winner's text intact, so the
+    substring pass sees only text that will actually ship."""
+    kept = _kept_docs(spark, sf_dir)
+    scrub = substring_scrub(kept.select("doc_id", F.split("text", " ").alias("toks")))
+    return scrub.join(kept.select("doc_id", "source", "quality"), "doc_id").select(
+        "doc_id",
+        "source",
+        "quality",
+        "n_tokens",
+        "n_removed",
+        F.col("cleaned_text").alias("released_text"),
+    )

@@ -247,3 +247,61 @@ def test_winnowing_matches_python_reference(spark, corpora):
             pos = max(q for q in range(j, j + W) if hs[q] == m)
             want.add((i, pos + 1, m))  # 1-based gram positions
     assert got == want, (corpora, got ^ want)
+
+
+substr_corpora = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=16),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(substr_corpora)
+def test_substring_spans_match_python_reference(spark, corpora):
+    """substring_spans/_scrub == brute-force reference on tiny random
+    corpora: L-gram occurrence counts (same-doc repeats INCLUDED), the
+    covered-position witness-set reduction, maximal-run island merging,
+    and the scrub reconstruction — including empty docs and docs shorter
+    than L."""
+    from dbt_parquet_spark.operators.dedup import substring_scrub, substring_spans
+
+    L, MIN_COUNT = 3, 2
+    rows = [(i, list(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id: long, toks: array<string>")
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_span_tokens)
+        for r in substring_spans(df, L=L, min_count=MIN_COUNT).collect()
+    }
+    got_scrub = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in substring_scrub(df, L=L, min_count=MIN_COUNT).collect()
+    }
+
+    from collections import Counter
+
+    occ = Counter()
+    for i, toks in rows:
+        for p in range(len(toks) - L + 1):
+            occ[tuple(toks[p : p + L])] += 1
+    dup = {g for g, c in occ.items() if c >= MIN_COUNT}
+    want_spans = set()
+    for i, toks in rows:
+        starts = sorted(
+            p + 1 for p in range(len(toks) - L + 1) if tuple(toks[p : p + L]) in dup
+        )
+        runs = []
+        for s in starts:
+            if runs and s <= runs[-1][1] + L:
+                runs[-1][1] = s
+            else:
+                runs.append([s, s])
+        for a, b in runs:
+            want_spans.add((i, a, b + L - 1, b + L - 1 - a + 1))
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + L))  # 1-based
+        kept = [t for j, t in enumerate(toks) if (j + 1) not in covered]
+        want = (len(toks), len(covered), " ".join(kept))
+        assert got_scrub[i] == want, (i, toks, got_scrub[i], want)
+    assert got_spans == want_spans

@@ -135,7 +135,12 @@ def test_registry_exposes_all_queries():
     # +q_kn_doc_score (text.py — held-out KN perplexity scoring, oracle),
     # +q_vocab_coverage (corpus.py — top-k token-mass coverage, oracle),
     # +q_kanon_release (audit.py — k-anonymous release cells, oracle)
-    assert len(specs) == 194
+    # r9: +q_substring_dedup, +q_substring_scrub (operators/dedup.py —
+    # Lee-et-al ExactSubstr maximal duplicated runs via the covered-L-gram
+    # witness-set reduction, both oracle-checked),
+    # +q_release_substring_scrub (operators/release.py — the composed
+    # ExactSubstr leg over the release pipeline's kept set, oracle-checked)
+    assert len(specs) == 197
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
