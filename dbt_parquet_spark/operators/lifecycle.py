@@ -256,3 +256,67 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     odest = os.path.join(tmp, "docs_orc")
     write_orc(back_j, odest)
     return read_orc(spark, odest)
+
+
+# sf_dir -> path of the hive-partitioned documents copy (memoized: built
+# once per corpus by the first consumer, the fitted-artifact discipline)
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+def partitioned_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as a hive-partitioned table (source=*/...)
+    via the CTAS machinery — the fixture for the partitioned-source read
+    surface. In production this directory already exists (it IS the lake
+    layout); here it is built once per corpus and memoized."""
+    hit = _PARTITIONED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="part_docs_"))
+    rel = catalog.relation("documents_by_source")
+    create_table_as(
+        spark,
+        catalog,
+        rel,
+        load_table(spark, sf_dir, "documents"),
+        partition_by=["source"],
+        register=False,
+    )
+    _PARTITIONED_CACHE[sf_dir] = rel.path
+    return rel.path
+
+
+@register(
+    "q_partitioned_scan",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY source, lang
+    """,
+    tags=("sources", "partitioned", "pruning"),
+)
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a hive-partitioned external source with partition
+    pruning: the filter on the partition column never touches 17 of the 20
+    source= directories (PartitionFilters at the scan — gated by plan AND
+    by the scan's numFiles metric in tests/test_plans.py). The oracle
+    states the same query over the flat table: partition layout must be
+    invisible to results.
+
+    Scale: THE first-touch feature for real lakes — a date- or
+    source-partitioned 100 TB corpus serves a 3-partition query by listing
+    3 directories; no footer of any other partition is opened. Combines
+    with parquet row-group pruning (q_zorder_layout) inside the selected
+    partitions."""
+    from ..sources.readers import read_partitioned
+
+    path = partitioned_documents(spark, sf_dir)
+    df = read_partitioned(spark, path).filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -54,7 +54,9 @@ def _ns_timestamp_columns(path: str) -> list[str]:
             fs, fpath = pafs.LocalFileSystem(), path
         info = fs.get_file_info(fpath)
         if info.type == pafs.FileType.Directory:
-            sel = pafs.FileSelector(fpath, recursive=False)
+            # recursive: hive-partitioned sources nest their part files
+            # under col=value/ directories (read_partitioned)
+            sel = pafs.FileSelector(fpath, recursive=True)
             parts = sorted(
                 i.path for i in fs.get_file_info(sel) if i.path.endswith(".parquet")
             )
@@ -124,6 +126,36 @@ def read_parquet(spark: SparkSession, path: str, merge_schema: bool = False) -> 
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def read_partitioned(spark: SparkSession, path: str, base_path: str | None = None) -> DataFrame:
+    """Read an externally-produced hive-partitioned parquet directory
+    (``col=value/.../part-*.parquet``) — the layout every existing lake
+    hands this engine first. Spark's partition discovery turns the directory
+    names into a real column, and any filter on it becomes PartitionFilters
+    at the scan: unselected directories are never opened, not even their
+    footers (plan-gated in tests/test_plans.py). The reference cannot read
+    these at all (single-file tables, reference README.md:49).
+
+    ``base_path`` pins partition-column discovery when ``path`` points
+    INSIDE the partition tree (e.g. reading one ``date=2024-01-01/``
+    subtree while keeping ``date`` as a column). Timestamp normalization
+    (ns/NTZ) matches read_parquet — the probe walks the tree recursively."""
+    from pyspark.sql import functions as F
+
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
     df = reader.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -473,3 +473,38 @@ def test_pq_index_probe_prunes_partitions(spark):
     qplan = _plan(spark, "q_ann_ivf_pq")
     qpf = [l for l in qplan.splitlines() if "PartitionFilters" in l and "cell" in l]
     assert qpf, "q_ann_ivf_pq scan lost its cell partition filter"
+
+
+def test_partitioned_source_scan_prunes(spark):
+    """read_partitioned + a partition-column filter must prune at the
+    DIRECTORY level: the scan's PartitionFilters carries the source IN
+    list, and the executed scan opens only the 3 selected partitions'
+    files out of 20 (numFiles metric, not inputFiles — see the PQ gate)."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.lifecycle import partitioned_documents
+    from dbt_parquet_spark.sources.readers import read_partitioned
+
+    path = partitioned_documents(spark, SF_ORACLE)
+
+    def scan_num_files(df) -> int:
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numFiles").value()
+
+    full = read_partitioned(spark, path)
+    n_all = scan_num_files(full)
+    assert n_all >= 20  # one+ file per source partition
+    pruned = read_partitioned(spark, path).filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    n_pruned = scan_num_files(pruned)
+    assert n_pruned * 6 <= n_all, (n_pruned, n_all)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "source" in pf and "src0" in pf
+
+    qplan = _plan(spark, "q_partitioned_scan")
+    assert any(
+        "PartitionFilters" in l and "src0" in l for l in qplan.splitlines()
+    ), "q_partitioned_scan lost its partition filter"
