@@ -289,3 +289,119 @@ def test_stream_scd2_matches_sequential_batch_merges(spark, tmp_path):
     q2.awaitTermination(300)
     again = {tuple(r) for r in spark.read.parquet(got_rel.path).collect()}
     assert again == got
+
+
+def _two_file_source(spark, tmp_path):
+    """Two parquet files with forced mtime order — a 2-micro-batch stream
+    source (maxFilesPerTrigger=1) over the small events table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.sources.readers import load_table
+
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("user_id") < 40)
+    )
+    mid = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    halves = [
+        events.filter(F.unix_micros("ts") <= mid).toPandas(),
+        events.filter(F.unix_micros("ts") > mid).toPandas(),
+    ]
+    src = tmp_path / "src"
+    if not src.exists():  # restart calls reuse the same source dir
+        src.mkdir()
+        for i, pdf in enumerate(halves):
+            f = str(src / f"part-{i:03d}.parquet")
+            papq.write_table(pa.Table.from_pandas(pdf), f, coerce_timestamps="us")
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", "event_type", "ts")
+    )
+
+
+def _drop_last_commit(ckpt_dir):
+    """Simulate a crash BETWEEN the foreachBatch table publish and the
+    checkpoint commit: the offset log still names the batch, but its commit
+    marker is gone, so a restart re-executes exactly that batch against the
+    already-published table."""
+    import os
+
+    commits = sorted(
+        (e for e in os.listdir(ckpt_dir / "commits") if e.isdigit()), key=int
+    )
+    assert commits, "no commits recorded"
+    os.unlink(ckpt_dir / "commits" / commits[-1])
+    crc = ckpt_dir / "commits" / f".{commits[-1]}.crc"  # local-FS checksum twin
+    if crc.exists():
+        os.unlink(crc)
+    return int(commits[-1])
+
+
+def test_stream_merge_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """stream_merge_to_table survives the at-least-once worst case: kill
+    between the merge's table publish and the checkpoint commit. We run to
+    completion, delete the LAST commit marker (the crash point), plant a
+    stale .tmp_ staging dir (a crashed create_table_as attempt), and
+    restart on the SAME checkpoint — Spark re-executes the final batch and
+    the re-merge must leave the table bit-identical."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.streaming.stream_ops import stream_merge_to_table
+
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    rel = cat.relation("merge_crash")
+    ckpt = tmp_path / "ckpt"
+    q = stream_merge_to_table(
+        _two_file_source(spark, tmp_path), cat, rel, ["user_id"], str(ckpt)
+    )
+    q.awaitTermination(300)
+    q.stop()
+    want = {tuple(r) for r in spark.read.parquet(rel.path).collect()}
+
+    replayed = _drop_last_commit(ckpt)
+    stale = tmp_path / "db" / ".tmp_merge_crash_deadbeef"
+    stale.mkdir()
+    (stale / "part-00000-junk.parquet").write_bytes(b"not parquet")
+
+    q2 = stream_merge_to_table(
+        _two_file_source(spark, tmp_path), cat, rel, ["user_id"], str(ckpt)
+    )
+    q2.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(rel.path).collect()}
+    assert got == want, f"replay of batch {replayed} changed the merged table"
+
+
+def test_stream_scd2_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Same kill-between-write-and-commit drill for the SCD2 sink: the
+    replayed merge must be a no-op under the strictly-newer rule — no
+    duplicate versions, no re-closed intervals."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.streaming.stream_ops import stream_scd2_to_table
+
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    rel = cat.relation("scd2_crash")
+    ckpt = tmp_path / "ckpt"
+    q = stream_scd2_to_table(
+        _two_file_source(spark, tmp_path), cat, rel, "user_id", "ts", str(ckpt)
+    )
+    q.awaitTermination(300)
+    q.stop()
+    want = {tuple(r) for r in spark.read.parquet(rel.path).collect()}
+    closed = [r for r in want if r[-1] is not None]
+    assert closed, "no closed versions — the split produced no history"
+
+    replayed = _drop_last_commit(ckpt)
+    q2 = stream_scd2_to_table(
+        _two_file_source(spark, tmp_path), cat, rel, "user_id", "ts", str(ckpt)
+    )
+    q2.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(rel.path).collect()}
+    assert got == want, f"replay of batch {replayed} changed the SCD2 table"
