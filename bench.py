@@ -114,6 +114,15 @@ EXTENSION_HEADLINE = [
     "q_kn_doc_score",
     "q_vocab_coverage",
     "q_kanon_release",
+    "q_substring_dedup",
+    "q_substring_scrub",
+    "q_release_substring_scrub",
+    "q_partitioned_scan",
+    # ANN-PQ joins the headliners now that the codes table is materialized
+    # (build_pq_index): recorded min-of-3 is the encode-free steady state;
+    # the one-time index build lands in the first (discarded) rep.
+    "q_ann_pq",
+    "q_ann_ivf_pq",
 ]
 
 
@@ -146,6 +155,26 @@ def main() -> None:
     warm.join(F.broadcast(region.select("r_name")), "r_name").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Box-state normalization (PERF_r8: a draw taken right after a heavy
+    # suite/sweep run came in +9-12% uniformly — the benched parquet had
+    # been evicted from the page cache and the box was still flushing).
+    # Deterministically re-warm the cache by reading every benched table's
+    # bytes, then give the box a short settle before the first timed query,
+    # so the committed artifact measures plans, not the previous workload.
+    def _touch(path: str) -> None:
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                _touch(os.path.join(path, entry))
+        elif os.path.isfile(path):
+            with open(path, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    for t in sorted(os.listdir(SF_DIR)):
+        if t.endswith(".parquet"):
+            _touch(os.path.join(SF_DIR, t))
+    time.sleep(3.0)
 
     # Min-of-3 per query INSIDE one invocation, so a single driver draw is
     # low-variance (round-5 lesson: one draw drifted +21% vs a local
