@@ -312,10 +312,15 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions."""
     from ..sources.readers import read_partitioned
 
-    path = partitioned_documents(spark, sf_dir)
-    df = read_partitioned(spark, path).filter(
-        F.col("source").isin("src0", "src1", "src2")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.limit(1).isEmpty():
+        # an empty corpus writes NO partition directories (hive layout has
+        # nowhere to encode them), so partition discovery has nothing to
+        # read — the flat table is the identical relation in that case
+        df = docs
+    else:
+        df = read_partitioned(spark, partitioned_documents(spark, sf_dir))
+    df = df.filter(F.col("source").isin("src0", "src1", "src2"))
     return df.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -519,19 +519,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings the same operator concentrates neighbors into the probed
     cells.)
 
-    Scale: the quantizer is tiny and broadcast; assignment is a map-only
-    argmax; search cost drops from O(Q·N) to O(Q·N·nprobe/cells). This is
-    FAISS IVFFlat's layout expressed as DataFrames: cell id = partition key.
+    Scale: the quantizer is tiny and broadcast; search cost drops from
+    O(Q·N) to O(Q·N·nprobe/cells) — and since r9 the probed cells are READ
+    as partitions of the materialized index (build_pq_index stores the raw
+    vectors next to the codes), so the unprobed majority of the corpus is
+    never opened: FAISS IVFFlat's layout as an actual lake table, with the
+    probe as PartitionFilters (plan-gated).
     """
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )
     cents = train_ivf_quantizer(spark, sf_dir)
     sims = _centroid_sims(cents)
-    # cell = argmax centroid cosine (1-based array_position on the max)
-    assigned = emb.select(
-        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
-    )
     # queries probe their nprobe nearest cells
     q_sims = F.array_sort(
         F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), (i + 1).alias("cell")))
@@ -544,6 +543,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.slice(q_sims, 1, IVF_NPROBE)).alias("probe"),
         )
         .select("query_id", "qe", F.col("probe.cell").alias("cell"))
+    )
+    # probed cells -> static partition filter on the materialized index;
+    # the search never touches an unprobed cell's bytes (the stored raw
+    # vectors make the exact scoring read index partitions, not the base
+    # table — FAISS IVFFlat's storage layout as a lake table)
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    assigned = read_pq_index(spark, sf_dir, cells=probed).select(
+        "vec_id", "embedding", "cell"
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
@@ -709,8 +716,8 @@ def build_pq_index(
     rel=None,
 ) -> str:
     """Encode-once / scan-many: materialize the IVF-PQ index as a real
-    table ``(vec_id, codes: array<int>, cell)`` written hive-partitioned by
-    ``cell`` via the CTAS machinery (materialize.create_table_as with
+    table ``(vec_id, embedding, codes: array<int>, cell)`` written
+    hive-partitioned by ``cell`` via the CTAS machinery (materialize.create_table_as with
     partition_by — the atomic write-then-swap publish). This is the FAISS
     IVFPQ storage layout as a lake table: the coarse-quantizer cell is the
     partition directory, so a probe of nprobe cells becomes PartitionFilters
@@ -723,6 +730,13 @@ def build_pq_index(
     per query batch). Codes and cell assignments are byte-identical to the
     former inline computation (same expressions, ints through parquet), so
     query results are unchanged — pinned by the recall/soundness tests.
+
+    The raw vector is stored alongside the codes so every consumer reads
+    ONLY index partitions: IVF's exact scoring and the PQ rerank pull
+    vectors from the probed cells' files (column-pruned — an ADC scan
+    reads codes without vectors, an IVF scan vectors without codes,
+    plan-gated), and the base embeddings table is touched only for the
+    query vectors themselves.
 
     Pass ``catalog``/``rel`` to publish into a user catalog; by default the
     index lands in a process-lifetime temp database memoized per sf_dir
@@ -747,7 +761,9 @@ def build_pq_index(
     assigned = emb.select(
         "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
     )
-    codes = _pq_encode(assigned.select("vec_id", "cell", "embedding"), books_lit)
+    codes = _pq_encode(
+        assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
+    )
     if catalog is None:
         catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="pq_index_"))
     if rel is None:
@@ -799,12 +815,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     adc = _adc_udf(train_pq_codebooks(spark, sf_dir))
-    codes = read_pq_index(spark, sf_dir).select("vec_id", "codes")
+    idx = read_pq_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     scanned = (
-        codes.crossJoin(F.broadcast(q))
+        idx.select("vec_id", "codes")
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -813,7 +830,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc(F.col("qe"), F.col("codes")).alias("approx_dot"),
         )
     )
-    return _rerank_exact(scanned, emb)
+    # rerank reads the index-stored raw vectors: the base table is touched
+    # only for the Q query vectors (pushdown-pruned point lookups)
+    return _rerank_exact(scanned, idx.select("vec_id", "embedding"))
 
 
 def _pq_sub(col, m):
@@ -826,8 +845,11 @@ def _books_literal(books: list[list[list[float]]]):
     return _dense_lit(books)
 
 
-def _pq_encode(emb: DataFrame, books_lit) -> DataFrame:
+def _pq_encode(emb: DataFrame, books_lit, keep_embedding: bool = False) -> DataFrame:
     """Encode: corpus rows shrink to (vec_id, codes: array<int>).
+    ``keep_embedding`` additionally carries the raw vector through — the
+    index-build path stores it so IVF's exact scoring and the rerank stage
+    read probed partitions instead of re-scanning the base table.
 
     NB: the centroid-distance lambda must stay single-argument — a
     two-parameter lambda (e.g. binding m via a default arg) is interpreted
@@ -842,6 +864,7 @@ def _pq_encode(emb: DataFrame, books_lit) -> DataFrame:
     return emb.select(
         "vec_id",
         *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        *(["embedding"] if keep_embedding else []),
         F.array(
             *[
                 (F.array_position(_dists(m), F.array_min(_dists(m))).cast("int") - 1)
@@ -954,9 +977,10 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (it IS the query plan); folding it into the index read as a static
     # partition filter turns the probe into directory pruning at the scan.
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
-    codes = read_pq_index(spark, sf_dir, cells=probed)
+    pruned = read_pq_index(spark, sf_dir, cells=probed)
     scanned = (
-        codes.join(F.broadcast(q), "cell")
+        pruned.select("vec_id", "codes", "cell")
+        .join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -965,7 +989,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc(F.col("qe"), F.col("codes")).alias("approx_dot"),
         )
     )
-    return _rerank_exact(scanned, emb)
+    # every candidate lives in a probed cell, so the exact rerank reads the
+    # pruned partitions' stored vectors — no base-table scan at all
+    return _rerank_exact(scanned, pruned.select("vec_id", "embedding"))
 
 
 # --- Cluster-balanced sampling -----------------------------------------------

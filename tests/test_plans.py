@@ -469,10 +469,26 @@ def test_pq_index_probe_prunes_partitions(spark):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in pf and " IN " in pf
 
-    # and the full query's executed plan carries the same partition filter
+    # and the full queries' executed plans carry the same partition filter
     qplan = _plan(spark, "q_ann_ivf_pq")
     qpf = [l for l in qplan.splitlines() if "PartitionFilters" in l and "cell" in l]
     assert qpf, "q_ann_ivf_pq scan lost its cell partition filter"
+    # q_ann_ivf reads the same pruned partitions, vectors only (codes
+    # column pruned from the index scan)
+    iplan = _plan(spark, "q_ann_ivf")
+    ipf = [l for l in iplan.splitlines() if "PartitionFilters" in l and "cell" in l]
+    assert ipf, "q_ann_ivf scan lost its cell partition filter"
+    import re as _re
+
+    schemas = [
+        m.group(1)
+        for l in iplan.splitlines()
+        for m in [_re.search(r"ReadSchema: (struct<[^>]*>)", l)]
+        if m
+    ]
+    assert not any("codes" in sch for sch in schemas), (
+        "q_ann_ivf reads the codes column it never uses"
+    )
 
 
 def test_partitioned_source_scan_prunes(spark):

@@ -71,7 +71,10 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
                  "q_curriculum_order", "q_bm25_topk", "q_priority_sample",
                  "q_source_drift", "q_embedding_gram", "q_embedding_pca",
                  "q_kneser_ney", "q_ann_pca", "q_kanon_release",
-                 "q_vocab_coverage"]:
+                 "q_vocab_coverage",
+                 # round-9 additions
+                 "q_substring_dedup", "q_substring_scrub",
+                 "q_release_substring_scrub", "q_partitioned_scan"]:
         df = specs[name].builder(spark, empty_dir)
         # diff queries emit one all-zero row; the coverage curve emits one
         # (zero-coverage) row per configured k even over an empty corpus

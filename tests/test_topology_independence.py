@@ -55,7 +55,11 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          # ppm-frozen reaggregations: the freeze must make partition count
          # irrelevant (chi2 cells, gram partials, KN marginals, backoff)
          "q_source_drift", "q_embedding_gram", "q_kneser_ney",
-         "q_kn_doc_score"]
+         "q_kn_doc_score",
+         # round-9 additions: posting-group islands (collect_set order must
+         # be neutralized by array_sort) and the composed release scrub
+         "q_substring_dedup", "q_substring_scrub",
+         "q_release_substring_scrub", "q_partitioned_scan"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
