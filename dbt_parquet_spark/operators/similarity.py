@@ -775,6 +775,37 @@ def build_pq_index(
     return path
 
 
+def append_to_pq_index(spark: SparkSession, sf_dir: str, delta: DataFrame) -> str:
+    """Incremental index update: encode a delta of new vectors with the
+    FROZEN fitted quantizer and codebooks (standard ANN index practice —
+    FAISS add() after train(); retraining is a separate offline rebuild)
+    and append them into their cell partitions of the materialized index.
+
+    The delta lands as new part files inside the existing ``cell=``
+    directories, so consumers' partition pruning, column pruning, and plan
+    gates apply unchanged — a probe that never touches a cell never sees
+    its new files either. Cost is delta-proportional: assignment +
+    encode are map-only over the delta; no existing file is read or
+    rewritten (the incremental_dedup delta-discipline, applied to index
+    maintenance).
+
+    ``delta`` must carry (vec_id, embedding). Returns the index path."""
+    path = build_pq_index(spark, sf_dir)  # ensures trained + base published
+    cents = train_ivf_quantizer(spark, sf_dir)  # cache hits after build
+    books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
+    sims = _centroid_sims(cents)
+    assigned = delta.select("vec_id", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    ).select(
+        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
+    )
+    codes = _pq_encode(
+        assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
+    )
+    codes.write.mode("append").partitionBy("cell").parquet(path)
+    return path
+
+
 def read_pq_index(spark: SparkSession, sf_dir: str, cells: list[int] | None = None) -> DataFrame:
     """Scan the materialized codes table (building it on first touch).
     ``cells`` applies the probe filter on the PARTITION column before

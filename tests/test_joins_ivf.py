@@ -182,3 +182,59 @@ def test_cluster_balanced_sample_invariants(spark):
     }
     assert got == expected
     assert len(got) > 1  # corpus spans multiple cells
+
+
+def test_append_to_pq_index_delta_encode(spark, tmp_path):
+    """Incremental index maintenance: vectors appended after the build must
+    land in the correct cell partitions with the codes the FROZEN
+    base-fitted codebooks produce — identical to what an inline encode of
+    the delta yields — and partition pruning must keep working over the
+    mixed old+new files."""
+    from dbt_parquet_spark.operators.similarity import (
+        _books_literal,
+        _centroid_sims,
+        _pq_encode,
+        append_to_pq_index,
+        build_pq_index,
+        read_pq_index,
+        train_ivf_quantizer,
+        train_pq_codebooks,
+    )
+    from dbt_parquet_spark.functions.vector import norm
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "base_corpus")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    base.write.parquet(f"{base_dir}/embeddings.parquet")
+
+    build_pq_index(spark, base_dir)
+    n_base = read_pq_index(spark, base_dir).count()
+    assert n_base == 400
+    append_to_pq_index(spark, base_dir, delta)
+
+    idx = read_pq_index(spark, base_dir)
+    assert idx.count() == 500  # old files untouched, delta appended
+
+    # expected delta rows: inline encode with the BASE-fitted artifacts
+    cents = train_ivf_quantizer(spark, base_dir)
+    books_lit = _books_literal(train_pq_codebooks(spark, base_dir))
+    sims = _centroid_sims(cents)
+    assigned = delta.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
+    )
+    want = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in _pq_encode(assigned.select("vec_id", "cell", "embedding"), books_lit)
+        .collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in idx.filter(F.col("vec_id") >= 400).collect()
+    }
+    assert got == want
+
+    # pruning still holds over the mixed files
+    some_cell = idx.select("cell").first().cell
+    pruned = read_pq_index(spark, base_dir, cells=[some_cell])
+    assert {r.cell for r in pruned.select("cell").distinct().collect()} == {some_cell}
