@@ -131,3 +131,130 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").cast("double").alias("q_scale"),
         F.when(F.col("mx") == 0, zeros).otherwise(codes).alias("codes"),
     )
+
+
+# --- Hybrid retrieval (BM25 ⊕ dense, reciprocal-rank fusion) -----------------
+# The serving-stack shape every RAG deployment converges on: a lexical
+# BM25 leg and a dense cosine leg retrieved independently, fused by RRF
+# (Cormack et al. 2009): score(d) = Σ_legs 1/(RRF_K + rank_leg(d)). Rank
+# fusion needs no score calibration between legs — exactly why it is the
+# production default. embeddings.vec_id is the document key (the testdata
+# contract: documents and embeddings are row-aligned).
+
+HYBRID_K = 10  # per-leg and fused top-k
+RRF_K = 60  # the standard RRF constant
+HYBRID_QUERY_VEC = 0  # dense query = this vector; lexical query = BM25 terms
+
+
+def _rank_by_broadcast_count(df: DataFrame, score_col: str, id_col: str, rank_name: str) -> DataFrame:
+    """Rank k rows by (score DESC, id ASC) WITHOUT a window: rank = 1 +
+    count of strictly-better rows, via a broadcast self-join. The input is
+    a top-k result (≤ HYBRID_K rows), so the k² comparison is constant
+    work — and the package-wide no-corpus-keyed-window gate stays clean."""
+    other = df.select(F.col(score_col).alias("_s2"), F.col(id_col).alias("_d2"))
+    better = (F.col("_s2") > F.col(score_col)) | (
+        (F.col("_s2") == F.col(score_col)) & (F.col("_d2") < F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(other), better, "left")
+        .groupBy(*df.columns)
+        .agg((F.count("_d2") + 1).cast("long").alias(rank_name))
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .similarity import _duck_cosine
+    from .text import BM25_QUERY_TERMS, bm25_oracle_sql
+
+    return f"""
+    WITH lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r_lex
+        FROM ({bm25_oracle_sql(BM25_QUERY_TERMS, HYBRID_K)}) bm
+    ),
+    dense_scored AS (
+        SELECT e.vec_id AS doc_id, {_duck_cosine("q.qe", "e.embedding")} AS cs
+        FROM (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {HYBRID_QUERY_VEC}) q, embeddings e
+        WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    dense AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r_dense
+        FROM dense_scored ORDER BY cs DESC, doc_id LIMIT {HYBRID_K}
+    )
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.r_lex AS r_lex,
+           d.r_dense AS r_dense,
+           CAST(floor(1000000.0 * (
+               COALESCE(1.0 / CAST({RRF_K} + l.r_lex AS DOUBLE), 0.0)
+             + COALESCE(1.0 / CAST({RRF_K} + d.r_dense AS DOUBLE), 0.0)
+           )) AS BIGINT) AS rrf_ppm
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    ORDER BY rrf_ppm DESC, doc_id LIMIT {HYBRID_K}
+    """
+
+
+@register("q_hybrid_retrieval", oracle=_hybrid_oracle(), tags=("serving", "retrieval", "hybrid", "rrf"))
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 top-k (text.bm25_topk — the shared scoring
+    definition) and the dense cosine top-k for the fixed hybrid query:
+    rrf_ppm = floor(1e6 · Σ 1/(60 + rank)), full-outer over the two legs'
+    doc sets, fused top-HYBRID_K. Oracle-exact: ranks are integers; the
+    per-leg reciprocal and the two-term sum are fixed-order IEEE doubles
+    (identical in both engines), frozen to integer ppm before the final
+    order.
+
+    Scale: each leg is its own already-gated shape — BM25's filtered
+    posting groupBy + TakeOrderedAndProject, dense's broadcast-query
+    cosine + TakeOrderedAndProject. Ranking the two k-row leg results
+    is a broadcast self-join (no window, no shuffle), and the fusion
+    join moves ≤ 2k rows. Per-query cost at 100 TB = two top-k scans;
+    for query batches both legs batch by query id (bm25_topk's generic
+    API + q_ann_topk's broadcast-queries shape).
+    """
+    from .text import BM25_QUERY_TERMS, bm25_topk
+    from ..functions.vector import cosine
+
+    lex = bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, HYBRID_K).select(
+        "doc_id", "score_ppm"
+    )
+    lex_ranked = _rank_by_broadcast_count(lex, "score_ppm", "doc_id", "r_lex").select(
+        "doc_id", "r_lex"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    dense_top = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(HYBRID_K)
+    )
+    dense_ranked = _rank_by_broadcast_count(dense_top, "cs", "doc_id", "r_dense").select(
+        "doc_id", "r_dense"
+    )
+
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+    rrf = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")).cast("double"), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")).cast("double"),
+                F.lit(0.0),
+            )
+        )
+    ).cast("long")
+    return (
+        fused.select("doc_id", "r_lex", "r_dense", rrf.alias("rrf_ppm"))
+        .orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+        .limit(HYBRID_K)
+    )

@@ -918,9 +918,11 @@ BM25_QUERY_TERMS = ("spark", "vector", "customer")
 BM25_TOP_K = 10
 
 
-@register(
-    "q_bm25_topk",
-    oracle=f"""
+def bm25_oracle_sql(terms: tuple[str, ...], k: int) -> str:
+    """The BM25 oracle chain as a function of (terms, k) — shared by
+    q_bm25_topk and the hybrid-retrieval fusion oracle (serving.py), so
+    the lexical scoring definition can never drift between them."""
+    return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
     dl AS (SELECT doc_id, len(sp) AS dl FROM toks),
     stats AS (
@@ -931,7 +933,7 @@ BM25_TOP_K = 10
     tf AS (
         SELECT doc_id, tok, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest(sp) AS tok FROM toks)
-        WHERE tok IN {BM25_QUERY_TERMS!r}
+        WHERE tok IN {terms!r}
         GROUP BY doc_id, tok
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
@@ -956,8 +958,13 @@ BM25_TOP_K = 10
            CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(SUM(c) AS BIGINT) AS score_ppm
     FROM scored GROUP BY doc_id
-    ORDER BY score_ppm DESC, doc_id LIMIT {BM25_TOP_K}
-    """,
+    ORDER BY score_ppm DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "q_bm25_topk",
+    oracle=bm25_oracle_sql(BM25_QUERY_TERMS, BM25_TOP_K),
     tags=("text", "retrieval", "bm25", "index"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,8 +141,10 @@ def test_registry_exposes_all_queries():
     # +q_release_substring_scrub (operators/release.py — the composed
     # ExactSubstr leg over the release pipeline's kept set, oracle-checked),
     # +q_partitioned_scan (operators/lifecycle.py — hive-partitioned source
-    # read with directory-level pruning, oracle-checked)
-    assert len(specs) == 198
+    # read with directory-level pruning, oracle-checked),
+    # +q_hybrid_retrieval (operators/serving.py — BM25 ⊕ dense RRF fusion,
+    # oracle-checked)
+    assert len(specs) == 199
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

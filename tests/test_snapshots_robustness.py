@@ -74,7 +74,8 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
                  "q_vocab_coverage",
                  # round-9 additions
                  "q_substring_dedup", "q_substring_scrub",
-                 "q_release_substring_scrub", "q_partitioned_scan"]:
+                 "q_release_substring_scrub", "q_partitioned_scan",
+                 "q_hybrid_retrieval"]:
         df = specs[name].builder(spark, empty_dir)
         # diff queries emit one all-zero row; the coverage curve emits one
         # (zero-coverage) row per configured k even over an empty corpus
