@@ -1160,3 +1160,120 @@ def substring_scrub(
         F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+# position-packing for the witness key: doc_id * 2^20 + pos. Positions are
+# token offsets within ONE document; 2^20 (~1M tokens/doc) bounds any
+# curation-granularity document, and doc_id keeps 2^43 headroom in int64.
+_POS_PACK = 1 << 20
+
+
+@register(
+    "q_substring_evidence",
+    oracle=f"""
+    WITH {substr_sql_ctes("documents")},
+    sposts AS (
+        SELECT g.gram, g.doc_id, g.pos,
+               g.doc_id * {_POS_PACK} + g.pos AS k
+        FROM sgrams g JOIN sfreq USING (gram)
+    ),
+    swit AS (
+        SELECT a.doc_id, a.pos, MIN(b.k) AS wk
+        FROM sposts a JOIN sposts b USING (gram)
+        WHERE b.k <> a.k
+        GROUP BY a.doc_id, a.pos
+    ),
+    seqd AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > LAG(pos, 1, {-(10**9)}) OVER (
+                        PARTITION BY doc_id ORDER BY pos) + {SUBSTR_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM sdups
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM seqd
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {SUBSTR_L - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + {SUBSTR_L} AS BIGINT) AS n_span_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT s.doc_id, s.span_start, s.span_end, s.n_span_tokens,
+           CAST(w.wk // {_POS_PACK} AS BIGINT) AS src_doc,
+           CAST(w.wk % {_POS_PACK} AS BIGINT) AS src_pos
+    FROM spans s JOIN swit w ON s.doc_id = w.doc_id AND s.span_start = w.pos
+    """,
+    tags=("dedup", "substring", "evidence", "audit"),
+)
+def q_substring_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance for q_substring_dedup's scrub list: each maximal
+    duplicated run annotated with its canonical WITNESS — the globally
+    earliest other occurrence (min packed (doc, pos)) of the run's anchor
+    gram. The who-duplicates-whom audit row (q_dedup_evidence's role for
+    the ExactSubstr family): a reviewer can open src_doc at src_pos and
+    see the same {SUBSTR_L}-token text.
+
+    Scale: NO pair expansion anywhere — the witness is an array-min over
+    each gram's posting list inside the same single posting shuffle the
+    dedup already pays (the oracle states it as a posting self-join; the
+    Spark plan computes min(sorted packed keys) per posting group, so a
+    boilerplate gram with a million occurrences still emits one witness
+    per occurrence, never a million² pair stream)."""
+    toks_df = doc_token_arrays(spark, sf_dir)
+    L, min_count = SUBSTR_L, SUBSTR_MIN_COUNT
+    gram_at = lambda i: F.unhex(
+        F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + off) for off in range(L)])
+        )
+    )
+    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gkey"))
+    grams = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= L,
+                F.transform(F.sequence(F.lit(1), F.size("toks") - (L - 1)), pg_struct),
+            ).otherwise(F.array().cast("array<struct<pos:int,gkey:binary>>"))
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    posts = (
+        grams.groupBy("gkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.col("doc_id") * F.lit(_POS_PACK) + F.col("pos")
+                )
+            ).alias("ks")
+        )
+        .filter(F.size("ks") >= min_count)
+    )
+    wit = (
+        posts.select(F.explode("ks").alias("k"), "ks")
+        .select(
+            F.expr(f"k div {_POS_PACK}").alias("doc_id"),
+            (F.col("k") % _POS_PACK).cast("long").alias("pos"),
+            F.when(
+                F.element_at("ks", 1) == F.col("k"), F.element_at("ks", 2)
+            ).otherwise(F.element_at("ks", 1)).alias("wk"),
+        )
+    )
+    spans = substring_spans(toks_df, L, min_count)
+    return (
+        spans.join(
+            wit,
+            (spans.doc_id == wit.doc_id) & (spans.span_start == wit.pos),
+        )
+        .select(
+            spans.doc_id,
+            "span_start",
+            "span_end",
+            "n_span_tokens",
+            F.expr(f"wk div {_POS_PACK}").alias("src_doc"),
+            (F.col("wk") % _POS_PACK).cast("long").alias("src_pos"),
+        )
+    )

@@ -143,8 +143,10 @@ def test_registry_exposes_all_queries():
     # +q_partitioned_scan (operators/lifecycle.py — hive-partitioned source
     # read with directory-level pruning, oracle-checked),
     # +q_hybrid_retrieval (operators/serving.py — BM25 ⊕ dense RRF fusion,
-    # oracle-checked)
-    assert len(specs) == 199
+    # oracle-checked),
+    # +q_substring_evidence (operators/dedup.py — who-duplicates-whom
+    # witness per maximal run, array-min over posting groups, oracle-checked)
+    assert len(specs) == 200
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

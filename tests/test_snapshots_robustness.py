@@ -75,7 +75,7 @@ def test_queries_survive_empty_inputs(spark, db, tmp_path):
                  # round-9 additions
                  "q_substring_dedup", "q_substring_scrub",
                  "q_release_substring_scrub", "q_partitioned_scan",
-                 "q_hybrid_retrieval"]:
+                 "q_hybrid_retrieval", "q_substring_evidence"]:
         df = specs[name].builder(spark, empty_dir)
         # diff queries emit one all-zero row; the coverage curve emits one
         # (zero-coverage) row per configured k even over an empty corpus

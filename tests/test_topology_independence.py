@@ -60,7 +60,7 @@ names = ["q_agg_multi", "q_except_diff", "q_window_running", "q_stddev_exact",
          # be neutralized by array_sort) and the composed release scrub
          "q_substring_dedup", "q_substring_scrub",
          "q_release_substring_scrub", "q_partitioned_scan",
-         "q_hybrid_retrieval"]
+         "q_hybrid_retrieval", "q_substring_evidence"]
 fails = [n for n in names if not compare_spark_duckdb(qs[n](spark, sf), con, osql[n])[0]]
 print("FAILS:" + ",".join(fails))
 """
