@@ -965,21 +965,18 @@ def substr_sql_ctes(src: str, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COU
     sdups AS (SELECT g.doc_id, g.pos FROM sgrams g JOIN sfreq USING (gram))"""
 
 
-def substring_dup_starts(
-    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
-) -> DataFrame:
-    """(doc_id, pos) of every duplicated-L-gram start — the single-shuffle
-    posting shape of span_scrub (16-byte md5 gram keys, groupBy carrying
-    the posting list so the singleton majority dies in one exchange), with
-    the occurrence-count test (>= min_count anywhere) instead of the
-    distinct-document test."""
+def positioned_gkeys(toks_df: DataFrame, L: int = SUBSTR_L) -> DataFrame:
+    """(doc_id, pos, gkey) for every L-gram start: 16-byte md5 gram keys
+    over the token arrays (the span_scrub trick — fixed-width binary
+    shuffle keys). Shared by the substring-dedup family and its streaming
+    ingest twin."""
     gram_at = lambda i: F.unhex(
         F.md5(
             F.concat_ws(" ", *[F.element_at(F.col("toks"), i + off) for off in range(L)])
         )
     )
     pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gkey"))
-    grams = toks_df.select(
+    return toks_df.select(
         "doc_id",
         F.explode(
             F.when(
@@ -988,6 +985,32 @@ def substring_dup_starts(
             ).otherwise(F.array().cast("array<struct<pos:int,gkey:binary>>"))
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+
+
+def substring_dup_keys(
+    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+) -> DataFrame:
+    """(gkey) of every L-gram occurring >= min_count times — the corpus
+    duplicated-gram dictionary, the STATIC side of the streaming scrub
+    ingest (a fixed-width join key set, broadcastable/bucketable)."""
+    return (
+        positioned_gkeys(toks_df, L)
+        .groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gkey")
+    )
+
+
+def substring_dup_starts(
+    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+) -> DataFrame:
+    """(doc_id, pos) of every duplicated-L-gram start — the single-shuffle
+    posting shape of span_scrub (16-byte md5 gram keys, groupBy carrying
+    the posting list so the singleton majority dies in one exchange), with
+    the occurrence-count test (>= min_count anywhere) instead of the
+    distinct-document test."""
+    grams = positioned_gkeys(toks_df, L)
     return (
         grams.groupBy("gkey")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("posts"))
@@ -1136,9 +1159,17 @@ def substring_scrub(
     reconstruction tail driven by duplicated-run starts instead of
     frequent-span starts (exposed for composition: q_release_substring_scrub
     feeds it the release pipeline's kept set)."""
+    return scrub_from_starts(toks_df, substring_dup_starts(toks_df, L, min_count), L)
+
+
+def scrub_from_starts(toks_df: DataFrame, starts: DataFrame, L: int) -> DataFrame:
+    """Coverage + reconstruction from a (doc_id, pos) duplicated-start
+    frame: expand each start to its L-token window AFTER the doc_id
+    groupBy (array ops, one int per start crosses the shuffle), then
+    rebuild the text with an indexed array filter. Shared by
+    substring_scrub and the streaming scrub ingest."""
     cov = (
-        substring_dup_starts(toks_df, L, min_count)
-        .groupBy("doc_id")
+        starts.groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))
         .select(
             "doc_id",
@@ -1226,21 +1257,7 @@ def q_substring_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per occurrence, never a million² pair stream)."""
     toks_df = doc_token_arrays(spark, sf_dir)
     L, min_count = SUBSTR_L, SUBSTR_MIN_COUNT
-    gram_at = lambda i: F.unhex(
-        F.md5(
-            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + off) for off in range(L)])
-        )
-    )
-    pg_struct = lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gkey"))
-    grams = toks_df.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= L,
-                F.transform(F.sequence(F.lit(1), F.size("toks") - (L - 1)), pg_struct),
-            ).otherwise(F.array().cast("array<struct<pos:int,gkey:binary>>"))
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    grams = positioned_gkeys(toks_df, L)
     posts = (
         grams.groupBy("gkey")
         .agg(

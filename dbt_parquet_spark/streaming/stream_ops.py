@@ -533,3 +533,57 @@ def stream_scd2_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_substring_scrub_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog,
+    rel,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming ExactSubstr scrub ingest: documents stream through the
+    corpus duplicated-L-gram dictionary (operators/dedup.substring_dup_keys
+    — the STATIC side, persisted once per stream; in production a
+    materialized table bucketed by the 16-byte gram key) and land scrubbed
+    of every >= SUBSTR_L-token duplicated run, with removal accounting —
+    q_substring_scrub's exact semantics applied at ingest time, so new
+    arrivals never re-introduce verbatim duplication the batch pass already
+    scrubbed. Exactly-once via _idempotent_batch_append (batch-id-keyed
+    deterministic file names).
+
+    Scale: per-batch cost is one posting equi-join of the batch's grams
+    against the dictionary — delta-proportional, the
+    stream_neardup_ingest_to_table discipline."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        SUBSTR_L,
+        doc_token_arrays,
+        positioned_gkeys,
+        scrub_from_starts,
+        substring_dup_keys,
+    )
+
+    dup = substring_dup_keys(doc_token_arrays(spark, sf_dir)).persist()
+    dup.count()
+    stream = read_documents_stream(spark, sf_dir)
+    catalog.io.makedirs(catalog.fs_path(rel))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select("doc_id", F.split("text", " ").alias("toks"))
+        starts = (
+            positioned_gkeys(toks, SUBSTR_L).join(dup, "gkey").select("doc_id", "pos")
+        )
+        out = scrub_from_starts(toks, starts, SUBSTR_L)
+        _idempotent_batch_append(catalog, rel, out, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -238,3 +238,22 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
     some_cell = idx.select("cell").first().cell
     pruned = read_pq_index(spark, base_dir, cells=[some_cell])
     assert {r.cell for r in pruned.select("cell").distinct().collect()} == {some_cell}
+
+
+def test_build_pq_index_publishes_into_catalog(spark, tmp_path):
+    """The lifecycle form: build_pq_index(catalog=, rel=) must publish the
+    index as a catalog relation (atomic CTAS) whose partition layout and
+    contents match the memoized default build."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.operators.similarity import build_pq_index, read_pq_index
+
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    rel = cat.relation("ann_index")
+    path = build_pq_index(spark, SF_ORACLE, catalog=cat, rel=rel)
+    assert path == rel.path
+    published = spark.read.parquet(path)
+    assert set(published.columns) == {"vec_id", "embedding", "codes", "cell"}
+    default = read_pq_index(spark, SF_ORACLE)
+    want = {(r.vec_id, tuple(r.codes), r.cell) for r in default.collect()}
+    got = {(r.vec_id, tuple(r.codes), r.cell) for r in published.collect()}
+    assert got == want

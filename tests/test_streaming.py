@@ -405,3 +405,38 @@ def test_stream_scd2_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination(300)
     got = {tuple(r) for r in spark.read.parquet(rel.path).collect()}
     assert got == want, f"replay of batch {replayed} changed the SCD2 table"
+
+
+def test_stream_substring_scrub_matches_batch(spark, tmp_path):
+    """The streaming ExactSubstr scrub ingest must land, per doc, exactly
+    q_substring_scrub's batch output (same dictionary, same coverage, same
+    reconstruction), and a same-checkpoint restart must append nothing."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.operators.dedup import q_substring_scrub
+    from dbt_parquet_spark.streaming.stream_ops import stream_substring_scrub_to_table
+
+    from .conftest import SF_SMALL
+
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    rel = cat.relation("substr_scrubbed")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_substring_scrub_to_table(spark, SF_SMALL, cat, rel, ckpt)
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in spark.read.parquet(rel.path).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in q_substring_scrub(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(nr > 0 for _, nr, _ in got.values()), "no duplication scrubbed — vacuous"
+
+    q2 = stream_substring_scrub_to_table(spark, SF_SMALL, cat, rel, ckpt)
+    q2.awaitTermination(300)
+    assert {
+        r.doc_id for r in spark.read.parquet(rel.path).collect()
+    } == set(got), "restart changed the table"
