@@ -176,6 +176,12 @@ def main() -> None:
     for t in sorted(os.listdir(SF_DIR)):
         if t.endswith(".parquet"):
             _touch(os.path.join(SF_DIR, t))
+    # flush our own dirty pages (fixture/index writes from a prior run
+    # otherwise write back DURING the timed queries) and settle
+    try:
+        os.sync()
+    except (AttributeError, OSError):
+        pass
     time.sleep(3.0)
 
     # Min-of-3 per query INSIDE one invocation, so a single driver draw is
