@@ -45,3 +45,13 @@ def test_frozen_bits_contrast_shows_scaling_is_load_bearing(sweep):
     assert (
         s["x40"]["emb_cand_per_vec_frozen_bits"] >= 4 * s["x40"]["emb_cand_per_vec"]
     ), "freezing bits at the 1x width should blow up occupancy at 40x"
+
+
+def test_substring_dup_start_rate_flat_at_40x(sweep):
+    s = sweep["scales"]
+    if "substr_dup_starts_per_doc" not in s["x1"]:
+        pytest.skip("artifact predates the substring-family sweep")
+    assert (
+        s["x40"]["substr_dup_starts_per_doc"]
+        <= 1.15 * s["x1"]["substr_dup_starts_per_doc"]
+    ), "duplicated-L-gram starts per doc grew at 40x"

@@ -176,7 +176,12 @@ def blocking() -> None:
     from pyspark.sql import functions as F
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from dbt_parquet_spark.operators.dedup import doc_shingles, release_shingle_cache
+    from dbt_parquet_spark.operators.dedup import (
+        doc_shingles,
+        doc_token_arrays,
+        release_shingle_cache,
+        substring_dup_starts,
+    )
     from dbt_parquet_spark.operators.similarity import (
         blocked_candidates,
         neardup_chunk_bits,
@@ -201,6 +206,11 @@ def blocking() -> None:
             .distinct()
             .count()
         )
+        # substring-dedup witness stage (q_substring_dedup's blocker):
+        # duplicated-L-gram starts; per-replica token NAMESPACING means
+        # cross-replica grams never collide, so the per-doc rate must
+        # stay flat as the corpus grows
+        substr = substring_dup_starts(doc_token_arrays(spark, sf_dir)).count()
         release_shingle_cache()
         bits = neardup_chunk_bits(n_vecs)
         if base_bits is None:
@@ -221,6 +231,8 @@ def blocking() -> None:
             "emb_cand": ecand,
             "emb_cand_per_vec": round(ecand / n_vecs, 4),
             "emb_cand_per_vec_frozen_bits": round(ecand_frozen / n_vecs, 4),
+            "substr_dup_starts": substr,
+            "substr_dup_starts_per_doc": round(substr / n_docs, 4),
         }
         out["scales"][f"x{m}"] = row
         print(f"x{m}: {row}")
@@ -231,6 +243,9 @@ def blocking() -> None:
         s["x1"]["emb_cand_per_vec"], s["x10"]["emb_cand_per_vec"]
     )
     assert s["x40"]["emb_cand_per_vec_frozen_bits"] >= 4 * s["x40"]["emb_cand_per_vec"]
+    assert (
+        s["x40"]["substr_dup_starts_per_doc"] <= 1.15 * s["x1"]["substr_dup_starts_per_doc"]
+    )
     with open(ARTIFACT, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", ARTIFACT)
