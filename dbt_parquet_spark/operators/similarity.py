@@ -806,6 +806,54 @@ def append_to_pq_index(spark: SparkSession, sf_dir: str, delta: DataFrame) -> st
     return path
 
 
+def compact_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_cell: int = 1,
+) -> str:
+    """Per-cell compaction after delta appends: each ``append_to_pq_index``
+    adds part files inside the touched cell directories, and small files
+    are the silent killer at scale (a task + footer read + listing entry
+    each). Only FRAGMENTED cells (more than ``max_files_per_cell`` files)
+    are rewritten — selected from a directory listing, read partition-
+    pruned, coalesced, and swapped in per cell (write-to-temp + rename, so
+    a probe never sees a half-compacted cell; untouched cells' files are
+    not read, not rewritten, not even listed twice). The maintenance
+    .compact discipline, scoped to the hive layout.
+
+    Returns the index path. Contents are unchanged — pinned by test."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    path = build_pq_index(spark, sf_dir)
+    root = path[len("file:"):] if path.startswith("file:") else path
+    fragmented = []
+    for cell_dir in sorted(_glob.glob(os.path.join(root, "cell=*"))):
+        parts = [e for e in os.listdir(cell_dir) if e.endswith(".parquet")]
+        if len(parts) > max_files_per_cell:
+            fragmented.append(cell_dir)
+    for cell_dir in fragmented:
+        df = spark.read.parquet(cell_dir).coalesce(max_files_per_cell)
+        tmp = os.path.join(root, f".compact_{_uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        new_parts = [
+            e for e in os.listdir(tmp)
+            if e.startswith("part-") and e.endswith(".parquet")
+        ]
+        old_parts = [e for e in os.listdir(cell_dir) if e.endswith(".parquet")]
+        for i, e in enumerate(new_parts):
+            os.rename(
+                os.path.join(tmp, e),
+                os.path.join(cell_dir, f"compact-{_uuid.uuid4().hex[:8]}-{i:05d}.parquet"),
+            )
+        for e in old_parts:
+            os.remove(os.path.join(cell_dir, e))
+        shutil.rmtree(tmp)
+    return path
+
+
 def read_pq_index(spark: SparkSession, sf_dir: str, cells: list[int] | None = None) -> DataFrame:
     """Scan the materialized codes table (building it on first touch).
     ``cells`` applies the probe filter on the PARTITION column before

@@ -257,3 +257,49 @@ def test_build_pq_index_publishes_into_catalog(spark, tmp_path):
     want = {(r.vec_id, tuple(r.codes), r.cell) for r in default.collect()}
     got = {(r.vec_id, tuple(r.codes), r.cell) for r in published.collect()}
     assert got == want
+
+
+def test_compact_pq_index_merges_delta_files(spark, tmp_path):
+    """After delta appends fragment the cell directories, compaction must
+    bring every cell back to one file WITHOUT changing the index contents,
+    and only touch fragmented cells."""
+    import glob
+    import os
+
+    from dbt_parquet_spark.operators.similarity import (
+        append_to_pq_index,
+        build_pq_index,
+        compact_pq_index,
+        read_pq_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
+    build_pq_index(spark, base_dir)
+    for shift in (1_000_000, 2_000_000):
+        delta = emb.filter(F.col("vec_id") >= 400).select(
+            (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+        )
+        append_to_pq_index(spark, base_dir, delta)
+
+    before = {
+        (r.vec_id, tuple(r.codes), r.cell) for r in read_pq_index(spark, base_dir).collect()
+    }
+    path = build_pq_index(spark, base_dir)
+    root = path[len("file:"):] if path.startswith("file:") else path
+
+    def files_per_cell():
+        return {
+            d: len([e for e in os.listdir(d) if e.endswith(".parquet")])
+            for d in glob.glob(os.path.join(root, "cell=*"))
+        }
+
+    assert any(n > 1 for n in files_per_cell().values()), "appends did not fragment"
+    compact_pq_index(spark, base_dir)
+    after_counts = files_per_cell()
+    assert all(n == 1 for n in after_counts.values()), after_counts
+    after = {
+        (r.vec_id, tuple(r.codes), r.cell) for r in read_pq_index(spark, base_dir).collect()
+    }
+    assert after == before
