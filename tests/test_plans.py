@@ -524,3 +524,14 @@ def test_partitioned_source_scan_prunes(spark):
     assert any(
         "PartitionFilters" in l and "src0" in l for l in qplan.splitlines()
     ), "q_partitioned_scan lost its partition filter"
+
+
+def test_hybrid_retrieval_leg_shapes(spark):
+    """Both retrieval legs must end in TakeOrderedAndProject (per-partition
+    heaps, no global sort), the k-row rank joins must be broadcasts, and
+    nothing may degrade to a cartesian product (the 1-row query vector
+    rides a broadcast nested-loop, which is the correct shape)."""
+    plan = _plan(spark, "q_hybrid_retrieval")
+    assert plan.count("TakeOrderedAndProject") >= 2  # each leg + final fuse
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
