@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.vector import cosine, dot, norm
 from ..registry import register
@@ -373,18 +373,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means centroids — same join shape.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    buckets = []
-    for t in range(LSH_TABLES):
-        bucket = None
-        for j in range(LSH_BITS):
-            h = planes[t * LSH_BITS + j]
-            proj = dot(F.col("embedding"), _dense_lit(list(h)))
-            bit = F.when(proj > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(bucket)
     bucketed = emb.select(
-        "vec_id", "embedding", F.posexplode(F.array(*buckets)).alias("table_idx", "bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode(_lsh_buckets_udf()(F.col("embedding"))).alias(
+            "table_idx", "bucket"
+        ),
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "table_idx", "bucket"
@@ -405,6 +399,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _lsh_buckets_udf():
+    """Arrow-batched multi-table bucket assignment: all LSH_TABLES×LSH_BITS
+    sign projections as ONE (n x dim)@(dim x planes) matmul per batch, bits
+    packed per table — replacing a 48-branch JVM projection tree whose
+    Catalyst analysis alone cost ~1.7 s per query build (the _adc_udf
+    finding; the plane matrix is KBs of closure state)."""
+    P = np.asarray(_hyperplanes(), dtype=np.float64)  # (tables*bits, dim)
+    weights = np.array(
+        [1 << j for j in range(LSH_BITS)], dtype=np.int64
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        signs = (X @ P.T) > 0  # n x (tables*bits)
+        b = signs.reshape(len(X), LSH_TABLES, LSH_BITS) @ weights  # n x tables
+        return pd.Series(list(b))
+
+    return buckets
 
 
 IVF_CELLS = 10
