@@ -320,6 +320,37 @@ def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[fl
     return cents
 
 
+# Memo of the persisted (vec_id, embedding, cluster) assignment per
+# (applicationId, sf_dir) — q_semdedup reads it from THREE plan branches
+# (pair-left, pair-right, final keep join); without the persist barrier
+# each branch re-runs the scan + assign UDF (the release.py _KEPT_CACHE
+# multi-consumer discipline). Deterministic given the memoized centroids.
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _assigned_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ASSIGN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = semdedup_k(emb.count())  # footer-only count, no data scan
+    cents = semdedup_centroids(spark, sf_dir, k)
+    assigned = emb.select(
+        "vec_id", "embedding", _assign_udf(cents)(F.col("embedding")).alias("cluster")
+    ).persist()
+    assigned.count()
+    _ASSIGN_CACHE[key] = assigned
+    return assigned
+
+
+def release_assign_cache() -> None:
+    """Unpersist and forget all memoized cluster assignments (the
+    dedup.release_shingle_cache discipline for this module)."""
+    for key in list(_ASSIGN_CACHE):
+        _ASSIGN_CACHE.pop(key).unpersist()
+
+
 @register("q_semdedup", tags=("similarity", "dedup", "semdedup", "embedding"))
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-cluster the embedding space, then inside each
@@ -341,12 +372,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul that scales in k where a k-branch column expression cannot.
     Only centroids (k·dim doubles) touch the driver.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = semdedup_k(emb.count())  # footer-only count, no data scan
-    cents = semdedup_centroids(spark, sf_dir, k)
-    assigned = emb.select(
-        "vec_id", "embedding", _assign_udf(cents)(F.col("embedding")).alias("cluster")
-    )
+    assigned = _assigned_clusters(spark, sf_dir)
     a = assigned.select(
         F.col("cluster"), F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
     )

@@ -126,9 +126,10 @@ def test_semdedup_deterministic_under_repartition(spark):
     """K-means must be retrained from scratch at a different partitioning
     and still produce the identical result (exact DECIMAL centroid means),
     so the memoized-centroid cache is cleared between the two runs."""
-    from dbt_parquet_spark.operators.selection import _CENT_CACHE
+    from dbt_parquet_spark.operators.selection import _CENT_CACHE, release_assign_cache
 
     _CENT_CACHE.clear()
+    release_assign_cache()
     base = sorted(
         (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
     )
@@ -136,6 +137,7 @@ def test_semdedup_deterministic_under_repartition(spark):
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         _CENT_CACHE.clear()
+        release_assign_cache()
         again = sorted(
             (r.vec_id, r.cluster, r.is_kept) for r in q_semdedup(spark, SF_SMALL).collect()
         )
