@@ -120,10 +120,22 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_TOKEN_BUDGET = 6000  # token budget for the budgeted variant (test SFs)
 
 
+# Memo of the persisted scored table per (applicationId, sf_dir): the
+# budget variant reads it from three plan branches (min/max agg, band
+# totals, banded cumsum) and the per-token md5 scoring is the expensive
+# part — the _ASSIGN_CACHE / release._KEPT_CACHE multi-consumer
+# discipline. One thin row per raw-pool doc.
+_DSIR_SCORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_tokens, weight_unats) for every raw-pool doc —
     the shared scoring stage of both DSIR variants. Map-only integer
     arithmetic; the LLR table rides in the expression closure."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DSIR_SCORE_CACHE.get(key)
+    if hit is not None:
+        return hit
     llr = dsir_llr_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
@@ -134,9 +146,12 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return raw.select(
+    scored = raw.select(
         "doc_id", "source", F.size(toks).cast("long").alias("n_tokens"), weight.alias("weight_unats")
-    )
+    ).persist()
+    scored.count()
+    _DSIR_SCORE_CACHE[key] = scored
+    return scored
 
 
 @register("q_dsir_budget", tags=("corpus", "selection", "dsir", "budget"))
@@ -345,10 +360,12 @@ def _assigned_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def release_assign_cache() -> None:
-    """Unpersist and forget all memoized cluster assignments (the
-    dedup.release_shingle_cache discipline for this module)."""
+    """Unpersist and forget all memoized cluster assignments and DSIR
+    score tables (the dedup.release_shingle_cache discipline)."""
     for key in list(_ASSIGN_CACHE):
         _ASSIGN_CACHE.pop(key).unpersist()
+    for key in list(_DSIR_SCORE_CACHE):
+        _DSIR_SCORE_CACHE.pop(key).unpersist()
 
 
 @register("q_semdedup", tags=("similarity", "dedup", "semdedup", "embedding"))
