@@ -9,8 +9,11 @@ Stages (each one an independently oracle-checked operator):
   1. q_corpus_datasheet  — pre-release accounting per source
   2. q_corpus_release    — near-dup clusters -> canonical keep ->
                            per-source quality prune -> span scrub
-  3. catalog CTAS        — publish the released corpus (atomic swap)
-  4. write_training_shards — deterministic hash shards + additive manifest
+  3. q_release_substring_scrub — the second scrub pass: maximal exact
+                           duplicated runs (ExactSubstr) over the SAME
+                           kept set, reported next to the span pass
+  4. catalog CTAS        — publish the released corpus (atomic swap)
+  5. write_training_shards — deterministic hash shards + additive manifest
 """
 
 from __future__ import annotations
@@ -50,6 +53,19 @@ def main() -> int:
         )
 
     released = q_corpus_release(spark, args.sf_dir)
+
+    from pyspark.sql import functions as _F
+
+    from dbt_parquet_spark.operators.release import q_release_substring_scrub
+
+    substr = q_release_substring_scrub(spark, args.sf_dir)
+    span_rm, sub_rm = (
+        released.agg(_F.sum("n_removed")).first()[0] or 0,
+        substr.agg(_F.sum("n_removed")).first()[0] or 0,
+    )
+    print(f"== scrub accounting: span pass removed {span_rm} tokens, "
+          f"exact-substring pass {sub_rm} tokens over the kept set")
+
     create_table_as(spark, cat, cat.relation("released_corpus"), released)
     n = spark.table("released_corpus").count()
     print(f"== released {n} docs -> {cat.relation('released_corpus').path}")
