@@ -723,7 +723,51 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     return fitted
 
 
-_PQ_INDEX_CACHE: dict[str, str] = {}  # sf_dir -> Spark path of the codes table
+# (applicationId, sf_dir) -> Spark path, the scaffold-cache keying discipline
+# (a new session must not inherit another session's temp-dir index).
+# _PQ_INDEX_CACHE is the IMMUTABLE base the registered ANN queries read;
+# _LIFECYCLE_CACHE is the mutable index that default-path append/compact
+# operate on (cloned from the base on first touch), so lifecycle mutation
+# can never drift the registered queries' results mid-session.
+_PQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_LIFECYCLE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _index_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def release_pq_index_cache() -> None:
+    """Drop the memoized index paths AND the fitted artifacts (quantizer
+    centroids, PQ codebooks) — the release_shingle_cache family's hook for
+    the ANN index. The next consumer re-trains and re-builds; on-disk files
+    are left for the tempdir/catalog owner to reap."""
+    _PQ_INDEX_CACHE.clear()
+    _LIFECYCLE_CACHE.clear()
+    _IVF_CACHE.clear()
+    _PQBOOK_CACHE.clear()
+
+
+def _lifecycle_index(spark: SparkSession, sf_dir: str) -> str:
+    """The mutable index for default-path lifecycle ops (append/compact):
+    a byte-for-byte clone of the immutable base, created on first touch.
+    Registered queries keep reading the base; lifecycle mutation happens
+    here. Local-FS clone (the default index lives in a process tempdir);
+    an explicit ``path=`` handle bypasses this entirely."""
+    import shutil
+    import tempfile
+
+    key = _index_key(spark, sf_dir)
+    hit = _LIFECYCLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = build_pq_index(spark, sf_dir)
+    src = base[len("file:"):] if base.startswith("file:") else base
+    dst = tempfile.mkdtemp(prefix="pq_index_lifecycle_")
+    shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+    _LIFECYCLE_CACHE[key] = dst
+    return dst
 
 
 def build_pq_index(
@@ -755,13 +799,19 @@ def build_pq_index(
     plan-gated), and the base embeddings table is touched only for the
     query vectors themselves.
 
-    Pass ``catalog``/``rel`` to publish into a user catalog; by default the
-    index lands in a process-lifetime temp database memoized per sf_dir
-    (the fitted-index discipline of _IVF_CACHE/_PQBOOK_CACHE).
+    Pass ``catalog``/``rel`` to publish into a user catalog; a catalog
+    build is the caller's relation (droppable, renamable) and is NOT
+    installed as the process default — registered queries keep reading
+    the memoized base build, so a user dropping their copy can't break
+    them. The default build lands in a process-lifetime temp database
+    memoized per (applicationId, sf_dir) — the scaffold-cache keying —
+    and is IMMUTABLE: default-path append/compact operate on a lifecycle
+    clone (_lifecycle_index), released via release_pq_index_cache().
     Returns the Spark-readable path of the codes table."""
-    hit = _PQ_INDEX_CACHE.get(sf_dir)
-    if hit is not None and catalog is None:
-        return hit
+    if catalog is None:
+        hit = _PQ_INDEX_CACHE.get(_index_key(spark, sf_dir))
+        if hit is not None:
+            return hit
     import tempfile
 
     from ..catalog import FilesystemCatalog
@@ -781,18 +831,21 @@ def build_pq_index(
     codes = _pq_encode(
         assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
     )
+    is_default = catalog is None
     if catalog is None:
         catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="pq_index_"))
     if rel is None:
         rel = catalog.relation("pq_codes")
     create_table_as(spark, catalog, rel, codes, partition_by=["cell"], register=False)
     path = rel.path
-    if sf_dir not in _PQ_INDEX_CACHE:
-        _PQ_INDEX_CACHE[sf_dir] = path
+    if is_default:  # user-catalog builds never become the process default
+        _PQ_INDEX_CACHE[_index_key(spark, sf_dir)] = path
     return path
 
 
-def append_to_pq_index(spark: SparkSession, sf_dir: str, delta: DataFrame) -> str:
+def append_to_pq_index(
+    spark: SparkSession, sf_dir: str, delta: DataFrame, path: str | None = None
+) -> str:
     """Incremental index update: encode a delta of new vectors with the
     FROZEN fitted quantizer and codebooks (standard ANN index practice —
     FAISS add() after train(); retraining is a separate offline rebuild)
@@ -806,8 +859,15 @@ def append_to_pq_index(spark: SparkSession, sf_dir: str, delta: DataFrame) -> st
     rewritten (the incremental_dedup delta-discipline, applied to index
     maintenance).
 
-    ``delta`` must carry (vec_id, embedding). Returns the index path."""
-    path = build_pq_index(spark, sf_dir)  # ensures trained + base published
+    ``delta`` must carry (vec_id, embedding). ``path`` is the index handle
+    to mutate (from build_pq_index(catalog=...) or a prior append); when
+    omitted the append goes to the LIFECYCLE clone of the base — never to
+    the immutable base itself, so the registered ANN queries (which read
+    the base) cannot silently change results after a lifecycle append.
+    Returns the path of the mutated index — read it back with
+    ``read_pq_index(..., path=...)``."""
+    if path is None:
+        path = _lifecycle_index(spark, sf_dir)
     cents = train_ivf_quantizer(spark, sf_dir)  # cache hits after build
     books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
     sims = _centroid_sims(cents)
@@ -823,60 +883,98 @@ def append_to_pq_index(spark: SparkSession, sf_dir: str, delta: DataFrame) -> st
     return path
 
 
+def _compact_cell(spark, root: str, cell_dir: str, max_files: int, after_snapshot=None) -> None:
+    """Compact one cell directory with an atomic-publish protocol:
+
+    1. SNAPSHOT the cell's part-file list, then read exactly those files
+       (explicit leaf paths — a file appended after the snapshot is never
+       read, and therefore never deleted either: no lost-append window).
+    2. Write the coalesced replacement into a hidden ``.compact_*`` dir
+       under the index root (dot-prefixed, invisible to Spark listings).
+    3. Publish by DIRECTORY swap: rename the live cell dir to a hidden
+       trash dir, move any post-snapshot appends from trash into the new
+       dir, rename the new dir into place. Each rename is one atomic
+       syscall, so a reader lists either the old file set or the new one —
+       never both (the duplicate-rows window of the old rename-files-in-
+       then-delete protocol). The only exposure is the sub-ms gap between
+       the two renames, where the cell is briefly absent (a manifest-based
+       commit would close even that; POSIX has no multi-file atomic op).
+    4. Delete trash LAST — a crash at any earlier point leaves the live
+       tree duplicate-free, with all bytes recoverable from the hidden
+       dirs.
+
+    ``after_snapshot`` is a test seam invoked between snapshot+write and
+    the swap, to simulate a concurrent append."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    snapshot = sorted(e for e in os.listdir(cell_dir) if e.endswith(".parquet"))
+    if len(snapshot) <= max_files:
+        return
+    tmp = os.path.join(root, f".compact_{_uuid.uuid4().hex[:8]}")
+    df = spark.read.parquet(*[os.path.join(cell_dir, e) for e in snapshot])
+    df.coalesce(max_files).write.mode("overwrite").parquet(tmp)
+    for e in os.listdir(tmp):  # drop _SUCCESS/.crc noise from the staged dir
+        if not e.endswith(".parquet") or e.startswith("."):
+            os.remove(os.path.join(tmp, e))
+    if after_snapshot is not None:
+        after_snapshot()
+    trash = os.path.join(root, f".trash_{_uuid.uuid4().hex[:8]}")
+    os.rename(cell_dir, trash)  # atomic: readers now see neither old nor dupes
+    for e in os.listdir(trash):  # carry over files appended after the snapshot
+        if e.endswith(".parquet") and e not in snapshot:
+            os.rename(os.path.join(trash, e), os.path.join(tmp, e))
+    os.rename(tmp, cell_dir)  # atomic: readers see the complete new set
+    shutil.rmtree(trash)  # delete last: no earlier crash point loses bytes
+
+
 def compact_pq_index(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_cell: int = 1,
+    path: str | None = None,
 ) -> str:
     """Per-cell compaction after delta appends: each ``append_to_pq_index``
     adds part files inside the touched cell directories, and small files
     are the silent killer at scale (a task + footer read + listing entry
     each). Only FRAGMENTED cells (more than ``max_files_per_cell`` files)
-    are rewritten — selected from a directory listing, read partition-
-    pruned, coalesced, and swapped in per cell (write-to-temp + rename, so
-    a probe never sees a half-compacted cell; untouched cells' files are
-    not read, not rewritten, not even listed twice). The maintenance
-    .compact discipline, scoped to the hive layout.
+    are rewritten; untouched cells' files are not read, not rewritten, not
+    even listed twice. Publication is per-cell atomic (see _compact_cell:
+    snapshot-scoped read, whole-directory rename swap, trash deleted last),
+    so concurrent probes never observe duplicated rows and a concurrent
+    append is carried over, not deleted. The maintenance .compact
+    discipline, scoped to the hive layout.
 
-    Returns the index path. Contents are unchanged — pinned by test."""
+    ``path`` selects the index to compact (the handle returned by
+    build/append); default is the mutable lifecycle index if one exists,
+    else the registered-query base (compaction is content-preserving, so
+    compacting the base is safe). Returns the compacted index's path.
+    Contents are unchanged — pinned by test."""
     import glob as _glob
     import os
-    import shutil
-    import uuid as _uuid
 
-    path = build_pq_index(spark, sf_dir)
+    if path is None:
+        path = _LIFECYCLE_CACHE.get(_index_key(spark, sf_dir)) or build_pq_index(spark, sf_dir)
     root = path[len("file:"):] if path.startswith("file:") else path
-    fragmented = []
     for cell_dir in sorted(_glob.glob(os.path.join(root, "cell=*"))):
-        parts = [e for e in os.listdir(cell_dir) if e.endswith(".parquet")]
-        if len(parts) > max_files_per_cell:
-            fragmented.append(cell_dir)
-    for cell_dir in fragmented:
-        df = spark.read.parquet(cell_dir).coalesce(max_files_per_cell)
-        tmp = os.path.join(root, f".compact_{_uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(tmp)
-        new_parts = [
-            e for e in os.listdir(tmp)
-            if e.startswith("part-") and e.endswith(".parquet")
-        ]
-        old_parts = [e for e in os.listdir(cell_dir) if e.endswith(".parquet")]
-        for i, e in enumerate(new_parts):
-            os.rename(
-                os.path.join(tmp, e),
-                os.path.join(cell_dir, f"compact-{_uuid.uuid4().hex[:8]}-{i:05d}.parquet"),
-            )
-        for e in old_parts:
-            os.remove(os.path.join(cell_dir, e))
-        shutil.rmtree(tmp)
+        _compact_cell(spark, root, cell_dir, max_files_per_cell)
     return path
 
 
-def read_pq_index(spark: SparkSession, sf_dir: str, cells: list[int] | None = None) -> DataFrame:
+def read_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: list[int] | None = None,
+    path: str | None = None,
+) -> DataFrame:
     """Scan the materialized codes table (building it on first touch).
     ``cells`` applies the probe filter on the PARTITION column before
     anything else, so the scan's PartitionFilters prune to exactly those
-    directories (plan-gated in tests/test_plans.py)."""
-    idx = spark.read.parquet(build_pq_index(spark, sf_dir))
+    directories (plan-gated in tests/test_plans.py). Default target is the
+    IMMUTABLE base index (what the registered queries read); pass the
+    ``path`` handle returned by append/compact to read a mutated index."""
+    idx = spark.read.parquet(path if path is not None else build_pq_index(spark, sf_dir))
     if cells is not None:
         idx = idx.filter(F.col("cell").isin([int(c) for c in cells]))
     # the hive partition column reads back as int; restore the long the

@@ -68,11 +68,13 @@ def main() -> int:
     print("[2] IVF-PQ neighbors (probed cells only, exact rerank):")
     hits.show(10, truncate=False)
 
-    # 3. append a delta encoded with the frozen codebooks
+    # 3. append a delta encoded with the frozen codebooks — into the
+    # PUBLISHED catalog index (explicit handle; the registered queries'
+    # memoized base build is immutable and unaffected)
     emb = load_table(spark, args.sf_dir, "embeddings").select("vec_id", "embedding")
     delta = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding").limit(50)
-    append_to_pq_index(spark, args.sf_dir, delta)
-    n2 = read_pq_index(spark, args.sf_dir).count()
+    append_to_pq_index(spark, args.sf_dir, delta, path=path)
+    n2 = read_pq_index(spark, args.sf_dir, path=path).count()
     print(f"[3] delta appended: index now {n2} vectors (no existing file rewritten)")
 
     # 4. hybrid retrieval over the same corpus

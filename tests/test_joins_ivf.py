@@ -211,10 +211,13 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
     build_pq_index(spark, base_dir)
     n_base = read_pq_index(spark, base_dir).count()
     assert n_base == 400
-    append_to_pq_index(spark, base_dir, delta)
+    handle = append_to_pq_index(spark, base_dir, delta)
 
-    idx = read_pq_index(spark, base_dir)
+    idx = read_pq_index(spark, base_dir, path=handle)
     assert idx.count() == 500  # old files untouched, delta appended
+    # the IMMUTABLE base the registered queries read is not mutated by a
+    # default-path lifecycle append (it goes to the lifecycle clone)
+    assert read_pq_index(spark, base_dir).count() == 400
 
     # expected delta rows: inline encode with the BASE-fitted artifacts
     cents = train_ivf_quantizer(spark, base_dir)
@@ -236,7 +239,7 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
 
     # pruning still holds over the mixed files
     some_cell = idx.select("cell").first().cell
-    pruned = read_pq_index(spark, base_dir, cells=[some_cell])
+    pruned = read_pq_index(spark, base_dir, cells=[some_cell], path=handle)
     assert {r.cell for r in pruned.select("cell").distinct().collect()} == {some_cell}
 
 
@@ -277,16 +280,17 @@ def test_compact_pq_index_merges_delta_files(spark, tmp_path):
     base_dir = str(tmp_path / "corpus")
     emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
     build_pq_index(spark, base_dir)
+    path = None
     for shift in (1_000_000, 2_000_000):
         delta = emb.filter(F.col("vec_id") >= 400).select(
             (F.col("vec_id") + shift).alias("vec_id"), "embedding"
         )
-        append_to_pq_index(spark, base_dir, delta)
+        path = append_to_pq_index(spark, base_dir, delta, path=path)
 
     before = {
-        (r.vec_id, tuple(r.codes), r.cell) for r in read_pq_index(spark, base_dir).collect()
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in read_pq_index(spark, base_dir, path=path).collect()
     }
-    path = build_pq_index(spark, base_dir)
     root = path[len("file:"):] if path.startswith("file:") else path
 
     def files_per_cell():
@@ -296,10 +300,65 @@ def test_compact_pq_index_merges_delta_files(spark, tmp_path):
         }
 
     assert any(n > 1 for n in files_per_cell().values()), "appends did not fragment"
-    compact_pq_index(spark, base_dir)
+    compact_pq_index(spark, base_dir, path=path)
     after_counts = files_per_cell()
     assert all(n == 1 for n in after_counts.values()), after_counts
     after = {
-        (r.vec_id, tuple(r.codes), r.cell) for r in read_pq_index(spark, base_dir).collect()
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in read_pq_index(spark, base_dir, path=path).collect()
     }
     assert after == before
+
+
+def test_compact_cell_preserves_concurrent_append(spark, tmp_path):
+    """The compaction publish protocol must not lose a file appended
+    between the snapshot read and the directory swap (the lost-append
+    hazard of the old list-after-write protocol), must leave no duplicate
+    rows, and must leave no hidden staging dirs behind."""
+    import glob
+    import os
+    import shutil
+
+    from dbt_parquet_spark.operators.similarity import (
+        _compact_cell,
+        append_to_pq_index,
+        build_pq_index,
+        read_pq_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
+    build_pq_index(spark, base_dir)
+    delta = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    path = append_to_pq_index(spark, base_dir, delta)
+    root = path[len("file:"):] if path.startswith("file:") else path
+    cell_dirs = [
+        d for d in sorted(glob.glob(os.path.join(root, "cell=*")))
+        if len([e for e in os.listdir(d) if e.endswith(".parquet")]) > 1
+    ]
+    assert cell_dirs, "no fragmented cell to compact"
+    cell_dir = cell_dirs[0]
+    donor = next(
+        os.path.join(d, e)
+        for d in sorted(glob.glob(os.path.join(root, "cell=*")))
+        if d != cell_dir
+        for e in sorted(os.listdir(d))
+        if e.endswith(".parquet")
+    )
+    donor_rows = {r.vec_id for r in spark.read.parquet(donor).collect()}
+    before = {r.vec_id for r in spark.read.parquet(cell_dir).collect()}
+
+    def race_append():  # lands after the snapshot, before the swap
+        shutil.copy(donor, os.path.join(cell_dir, "late-append.parquet"))
+
+    _compact_cell(spark, root, cell_dir, 1, after_snapshot=race_append)
+    after = [r.vec_id for r in spark.read.parquet(cell_dir).collect()]
+    assert sorted(after) == sorted(before | donor_rows)  # no loss, no dupes
+    assert len(after) == len(set(after))
+    assert not glob.glob(os.path.join(root, ".compact_*"))
+    assert not glob.glob(os.path.join(root, ".trash_*"))
+    # the full-index read still sees a consistent hive layout
+    assert read_pq_index(spark, base_dir, path=path).count() == 500 + len(donor_rows)
