@@ -166,6 +166,11 @@ def release_shingle_cache(spark: SparkSession | None = None) -> None:
     for key in list(_TOKEN_HASH_CACHE):
         if app is None or key[0] == app:
             _TOKEN_HASH_CACHE.pop(key).unpersist()
+    # the streaming scrub dictionary is part of the same scaffold family;
+    # lazy import keeps registration order untouched (build invariant)
+    from ..streaming.stream_ops import release_scrub_dict_cache
+
+    release_scrub_dict_cache(spark)
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:

@@ -535,6 +535,35 @@ def stream_scd2_to_table(
     return writer.start()
 
 
+# Persisted duplicated-gram dictionaries for the streaming scrub ingest,
+# keyed (applicationId, sf_dir) — a member of the dedup scaffold-cache
+# family, released by operators.dedup.release_shingle_cache().
+_SCRUB_DICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scrub_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SCRUB_DICT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..operators.dedup import doc_token_arrays, substring_dup_keys
+
+    dup = substring_dup_keys(doc_token_arrays(spark, sf_dir)).persist()
+    dup.count()
+    _SCRUB_DICT_CACHE[key] = dup
+    return dup
+
+
+def release_scrub_dict_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist and forget the streaming-scrub dictionaries (for the given
+    application only, if ``spark`` is passed). Called from
+    release_shingle_cache so one hook frees the whole dedup scaffold set."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_SCRUB_DICT_CACHE):
+        if app is None or key[0] == app:
+            _SCRUB_DICT_CACHE.pop(key).unpersist()
+
+
 def stream_substring_scrub_to_table(
     spark: SparkSession,
     sf_dir: str,
@@ -545,7 +574,7 @@ def stream_substring_scrub_to_table(
 ):
     """Streaming ExactSubstr scrub ingest: documents stream through the
     corpus duplicated-L-gram dictionary (operators/dedup.substring_dup_keys
-    — the STATIC side, persisted once per stream; in production a
+    — the STATIC side, persisted once per corpus; in production a
     materialized table bucketed by the 16-byte gram key) and land scrubbed
     of every >= SUBSTR_L-token duplicated run, with removal accounting —
     q_substring_scrub's exact semantics applied at ingest time, so new
@@ -553,21 +582,23 @@ def stream_substring_scrub_to_table(
     scrubbed. Exactly-once via _idempotent_batch_append (batch-id-keyed
     deterministic file names).
 
+    The persisted dictionary lives in the dedup scaffold-cache family
+    (_SCRUB_DICT_CACHE via _scrub_dictionary, keyed (applicationId,
+    sf_dir)): repeated streams over one corpus share a single cached
+    dictionary instead of stacking persists, and release_shingle_cache()
+    frees it with the other dedup scaffolds — no executor-cache leak after
+    the stream terminates, and no ad-hoc per-stream unpersist that could
+    evict an identical-plan cache entry out from under a concurrent
+    consumer (the CacheManager keys-by-logical-plan pitfall).
+
     Scale: per-batch cost is one posting equi-join of the batch's grams
     against the dictionary — delta-proportional, the
     stream_neardup_ingest_to_table discipline."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import (
-        SUBSTR_L,
-        doc_token_arrays,
-        positioned_gkeys,
-        scrub_from_starts,
-        substring_dup_keys,
-    )
+    from ..operators.dedup import SUBSTR_L, positioned_gkeys, scrub_from_starts
 
-    dup = substring_dup_keys(doc_token_arrays(spark, sf_dir)).persist()
-    dup.count()
+    dup = _scrub_dictionary(spark, sf_dir)
     stream = read_documents_stream(spark, sf_dir)
     catalog.io.makedirs(catalog.fs_path(rel))
 

@@ -440,3 +440,33 @@ def test_stream_substring_scrub_matches_batch(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(rel.path).collect()
     } == set(got), "restart changed the table"
+
+
+def test_scrub_dictionary_released_with_shingle_caches(spark, tmp_path):
+    """The streaming scrub's persisted gram dictionary is scaffold-cache
+    state: repeated streams share ONE persisted frame (no stacking), and
+    release_shingle_cache frees it (no executor-cache leak after the
+    stream ends)."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.operators.dedup import release_shingle_cache
+    from dbt_parquet_spark.streaming import stream_ops
+    from dbt_parquet_spark.streaming.stream_ops import stream_substring_scrub_to_table
+
+    from .conftest import SF_SMALL
+
+    release_shingle_cache(spark)
+    assert not stream_ops._SCRUB_DICT_CACHE
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    for i in range(2):
+        rel = cat.relation(f"scrubbed_{i}")
+        q = stream_substring_scrub_to_table(
+            spark, SF_SMALL, cat, rel, str(tmp_path / f"ckpt{i}")
+        )
+        q.awaitTermination(300)
+        q.stop()
+        assert len(stream_ops._SCRUB_DICT_CACHE) == 1  # shared, not stacked
+    dup = next(iter(stream_ops._SCRUB_DICT_CACHE.values()))
+    assert dup.storageLevel.useMemory or dup.storageLevel.useDisk
+    release_shingle_cache(spark)
+    assert not stream_ops._SCRUB_DICT_CACHE
+    assert not dup.storageLevel.useMemory and not dup.storageLevel.useDisk
