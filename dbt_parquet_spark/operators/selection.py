@@ -13,11 +13,8 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..functions.vector import cosine
 from ..registry import register
@@ -222,74 +219,13 @@ def semdedup_k(n_vectors: int) -> int:
     return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n_vectors // SEMDEDUP_TARGET_CELL))
 
 
-def _assign_udf(cents):
-    """Arrow-batched cluster assignment: argmax cosine against the centroid
-    matrix as one numpy matmul per batch. Scales in k where a k-branch JVM
-    expression tree cannot (k is corpus-proportional here); ties break to
-    the lowest cluster id (np.argmax first-max)."""
-    C = np.asarray(cents, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    @F.pandas_udf(LongType())
-    def assign(embs: pd.Series) -> pd.Series:
-        X = np.vstack(embs.to_numpy())
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series(np.argmax(Xn @ Cn.T, axis=1) + 1)
-
-    return assign
-
-
-_CENT_SCALE = 10**12  # k-means update quantization: exact integer picodims
-
-
-def _centroid_partials(dim: int):
-    """Per-partition k-means partial sums (the q_embedding_gram Arrow
-    partial-reduction discipline applied to the update step): each input
-    partition emits one (cell, cnt, sums) row per occupied cell, where
-    ``sums`` is the dimension-wise EXACT integer sum of embeddings
-    quantized to _CENT_SCALE units. Integer addition is order-free, so the
-    final centroids are bit-identical at any partitioning — the property
-    the former posexplode → groupBy(cell, dim) DECIMAL plan bought with an
-    n·dim-row shuffle per Lloyd's round. Here the shuffle carries only
-    partitions × occupied-cells rows (k·dim·P values, corpus-independent).
-
-    Overflow discipline: per Arrow batch the accumulator is int64
-    (|x|·SCALE ≲ 1e13 over ≤10k-row batches < 2^63); across batches it is
-    promoted to Python ints (dtype=object — unbounded), and the emitted
-    sums are decimal(38,0), exact through the final Spark SUM."""
-
-    def gen(batches):
-        acc: dict[int, object] = {}
-        cnt: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.rint(X * _CENT_SCALE).astype(np.int64)
-            cells = pdf["cell"].to_numpy()
-            uniq, inv = np.unique(cells, return_inverse=True)
-            sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
-            np.add.at(sums, inv, q)  # batch-exact int64 scatter-add
-            counts = np.bincount(inv, minlength=len(uniq))
-            for i, cell in enumerate(uniq):
-                c = int(cell)
-                if c in acc:
-                    acc[c] = acc[c] + sums[i].astype(object)
-                else:
-                    acc[c] = sums[i].astype(object)
-                cnt[c] = cnt.get(c, 0) + int(counts[i])
-        from decimal import Decimal
-
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "cell": list(acc),
-                    "cnt": [cnt[c] for c in acc],
-                    "sums": [[Decimal(int(v)) for v in acc[c]] for c in acc],
-                }
-            )
-
-    return gen
+# Assignment + exact-integer update live in the shared k-means core
+# (operators/kmeans.py) since r10 — one implementation serves SemDeDup
+# and the IVF coarse quantizer. These aliases keep this module's
+# historical internal names meaningful to readers of the r8/r9 notes.
+from .kmeans import _CENT_SCALE  # noqa: E402  (re-export for tests)
+from .kmeans import assign_udf as _assign_udf  # noqa: E402
+from .kmeans import centroid_partials as _centroid_partials  # noqa: E402
 
 
 def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
@@ -304,33 +240,11 @@ def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[fl
     vectors, fixed iteration count."""
     if sf_dir in _CENT_CACHE:
         return _CENT_CACHE[sf_dir]
-    from fractions import Fraction
+    from .kmeans import fit_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
-    dim = len(cents[0])
-    for _ in range(SEMDEDUP_ITERS):
-        assigned = emb.select(
-            "embedding", _assign_udf(cents)(F.col("embedding")).alias("cell")
-        )
-        partials = assigned.mapInPandas(
-            _centroid_partials(dim), "cell long, cnt long, sums array<decimal(38,0)>"
-        )
-        # one pass: exploding the k·P partial rows is cheap (k·dim·P values);
-        # every (cell, dim) group's SUM(cnt) equals the cell's total count,
-        # so the count rides along — no second consumer of the lineage.
-        new = (
-            partials.select("cell", "cnt", F.posexplode("sums").alias("dim", "s"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("s").alias("total"), F.sum("cnt").alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, list[float]] = {}
-        for r in new:
-            by_cell.setdefault(r.cell, [0.0] * dim)[r.dim] = float(
-                Fraction(int(r.total), _CENT_SCALE * int(r.n))
-            )
-        cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    init = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    cents = fit_kmeans(emb, init, SEMDEDUP_ITERS)
     _CENT_CACHE[sf_dir] = cents
     return cents
 

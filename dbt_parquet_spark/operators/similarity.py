@@ -424,9 +424,34 @@ def _lsh_buckets_udf():
     return buckets
 
 
-IVF_CELLS = 10
-IVF_NPROBE = 3
+# The coarse quantizer is FOOTER-SCALED (the semdedup_k / neardup_chunk_bits
+# occupancy discipline): cells = n / target-occupancy, clamped, so the probe
+# FRACTION (nprobe/cells) shrinks as the corpus grows instead of pinning a
+# constant 30% scan forever. At the shipped test scales (500-2000 vectors)
+# this clamps to the historical 10 cells / 3 probes, so recall fixtures and
+# plan gates are unchanged; at the 10x sweep (20k vectors) it becomes 78
+# cells / 8 probes (a 10% scan), and at 100M vectors ~65k cells / 255
+# probes (0.4%) — FAISS-order growth without retuning.
+IVF_TARGET_CELL_ROWS = 256
+IVF_MIN_CELLS = 10
+IVF_MAX_CELLS = 65536
+IVF_NPROBE_MIN = 3
 IVF_KMEANS_ITERS = 3
+
+
+def ivf_cells(n_vectors: int) -> int:
+    """Coarse-quantizer cell count for a corpus of n vectors."""
+    return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, n_vectors // IVF_TARGET_CELL_ROWS))
+
+
+def ivf_nprobe(cells: int) -> int:
+    """Probed cells per query: ~sqrt(cells) (FAISS's shape — recall decays
+    slowly in the probe fraction once cells are balanced), floored at the
+    historical 3. The probe FRACTION nprobe/cells is then ~cells^-1/2:
+    30% at 10 cells, 10% at 78, 0.4% at 65k."""
+    import math
+
+    return max(IVF_NPROBE_MIN, math.isqrt(cells))
 
 # sf_dir -> fitted coarse quantizer / codebooks (the _PCA_CACHE discipline)
 _IVF_CACHE: dict[str, list[list[float]]] = {}
@@ -452,38 +477,28 @@ def _dense_lit(x):
     return F.expr(_dense_lit_sql(x))
 
 
-def _centroid_sims(cents):
-    """Cosine array vs the KB-scale centroid literals with the norm hoists
-    (requires a ``nrm`` = norm(embedding) column on the frame): one dot
-    fold per centroid instead of three — norm(embedding) evaluates once
-    per vector, centroid norms once on the DRIVER with the same sequential
-    fold and IEEE sqrt, so every sim is bit-identical to the inline
-    cosine (measured, and covered by the recall/parity pins)."""
-    import math
-
-    def pynorm(c):
-        acc = 0.0
-        for x in c:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    return F.array(
-        *[
-            (
-                dot(F.col("embedding"), _dense_lit(list(c)))
-                / (F.col("nrm") * F.lit(pynorm(c)))
-            )
-            for c in cents
-        ]
-    )
+# NOTE (r10): centroid similarity/assignment moved to the shared Arrow
+# matmul core in operators/kmeans.py (assign_udf / probe_udf /
+# assign_with_centrality_udf). The former `_centroid_sims` JVM expression
+# array — one dot fold per centroid — had Catalyst analysis cost linear in
+# the cell count, which caps the quantizer at toy k; with footer-scaled
+# cells the k-branch expression tree is no longer viable (the _adc_udf /
+# q_ann_lsh finding).
 
 
 def train_ivf_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Train the IVF coarse quantizer: distributed Lloyd's k-means over the
-    embedding column, expressed in DataFrame ops (assign = argmax centroid
-    cosine, map-only; update = per-cell dimension means via posexplode).
+    """Train the IVF coarse quantizer: distributed Lloyd's k-means via the
+    SHARED k-means core (operators/kmeans.py — one implementation with
+    SemDeDup since r10): assign = Arrow-batched argmax-cosine matmul,
+    update = per-partition exact integer partial sums, means on the driver.
     Only the centroids (cells×dim doubles, a few KB) ever reach the driver —
-    at 100 TB the assignment/update jobs stay fully distributed.
+    at 100 TB the assignment/update jobs stay fully distributed, and the
+    centroids are bit-identical at any partitioning (order-free integer
+    reduction, pinned by test).
+
+    The cell count is FOOTER-SCALED: k = ivf_cells(corpus row count), so
+    the index's probe fraction shrinks as the corpus grows (see the
+    constants block above). len(return value) IS the fitted cell count.
 
     Deterministic: init = the lowest-vec_id vectors, fixed iteration count.
     Memoized per sf_dir (the _PCA_CACHE fitted-artifact discipline): the
@@ -494,29 +509,12 @@ def train_ivf_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     hit = _IVF_CACHE.get(sf_dir)
     if hit is not None:
         return hit
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
-    cents = [r.embedding for r in emb.orderBy("vec_id").limit(IVF_CELLS).collect()]
-    for _ in range(IVF_KMEANS_ITERS):
-        sims = _centroid_sims(cents)
-        assigned = emb.select(
-            "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
-        )
-        new = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("c"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-            .select("cell", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
-            .collect()
-        )
-        by_cell = {r.cell: list(r.centroid) for r in new}
-        cents = [by_cell.get(i + 1, cents[i]) for i in range(IVF_CELLS)]
-    fitted = [[float(x) for x in c] for c in cents]
+    from .kmeans import fit_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = ivf_cells(emb.count())  # parquet footer count, no data scan
+    init = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    fitted = fit_kmeans(emb, init, IVF_KMEANS_ITERS)
     _IVF_CACHE[sf_dir] = fitted
     return fitted
 
@@ -526,7 +524,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the centroid-quantizer alternative to sign-
     LSH: train a k-means coarse quantizer on the corpus, assign every vector
     to its nearest centroid's cell, then search only the query's
-    ``nprobe=3`` nearest cells with exact cosine.
+    ``ivf_nprobe(cells)`` nearest cells with exact cosine.
 
     Rows-only driver check; tests verify soundness + returned-score
     correctness and report recall (NOTE: this synthetic embedding table is
@@ -543,23 +541,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never opened: FAISS IVFFlat's layout as an actual lake table, with the
     probe as PartitionFilters (plan-gated).
     """
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
+    from .kmeans import probe_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
     cents = train_ivf_quantizer(spark, sf_dir)
-    sims = _centroid_sims(cents)
-    # queries probe their nprobe nearest cells
-    q_sims = F.array_sort(
-        F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), (i + 1).alias("cell")))
-    )
+    # queries probe their nprobe nearest cells (nprobe scales ~sqrt(cells))
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(F.slice(q_sims, 1, IVF_NPROBE)).alias("probe"),
+            F.explode(
+                probe_udf(cents, ivf_nprobe(len(cents)))(F.col("embedding"))
+            ).alias("cell"),
         )
-        .select("query_id", "qe", F.col("probe.cell").alias("cell"))
     )
     # probed cells -> static partition filter on the materialized index;
     # the search never touches an unprobed cell's bytes (the stored raw
@@ -817,16 +812,13 @@ def build_pq_index(
     from ..catalog import FilesystemCatalog
     from ..materialize import create_table_as
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
+    from .kmeans import assign_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_quantizer(spark, sf_dir)
     books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
-    sims = _centroid_sims(cents)
     assigned = emb.select(
-        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
+        "vec_id", "embedding", assign_udf(cents)(F.col("embedding")).alias("cell")
     )
     codes = _pq_encode(
         assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
@@ -866,15 +858,14 @@ def append_to_pq_index(
     the base) cannot silently change results after a lifecycle append.
     Returns the path of the mutated index — read it back with
     ``read_pq_index(..., path=...)``."""
+    from .kmeans import assign_udf
+
     if path is None:
         path = _lifecycle_index(spark, sf_dir)
     cents = train_ivf_quantizer(spark, sf_dir)  # cache hits after build
     books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
-    sims = _centroid_sims(cents)
-    assigned = delta.select("vec_id", "embedding").withColumn(
-        "nrm", norm(F.col("embedding"))
-    ).select(
-        "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
+    assigned = delta.select(
+        "vec_id", "embedding", assign_udf(cents)(F.col("embedding")).alias("cell")
     )
     codes = _pq_encode(
         assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
@@ -1147,25 +1138,20 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-gated) — unprobed cells are never opened. Codebooks and centroids
     stay KB-scale literals.
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
+    from .kmeans import probe_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_quantizer(spark, sf_dir)
     adc = _adc_udf(train_pq_codebooks(spark, sf_dir))
-    sims = _centroid_sims(cents)
-    q_sims = F.array_sort(
-        F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), (i + 1).alias("cell")))
-    )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(F.slice(q_sims, 1, IVF_NPROBE)).alias("probe"),
+            F.explode(
+                probe_udf(cents, ivf_nprobe(len(cents)))(F.col("embedding"))
+            ).alias("cell"),
         )
-        .select("query_id", "qe", F.col("probe.cell").alias("cell"))
     )
     # the probed cell set is queries x nprobe — driver-scale by definition
     # (it IS the query plan); folding it into the index read as a static
@@ -1213,16 +1199,14 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-keyed window never moves a full cell population through one task
     despite cells being corpus-scale partitions.
     """
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
+    from .kmeans import assign_with_centrality_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_quantizer(spark, sf_dir)
-    sims = _centroid_sims(cents)
     assigned = emb.select(
         "vec_id",
-        F.array_position(sims, F.array_max(sims)).alias("cell"),
-        F.array_max(sims).alias("centrality"),
-    )
+        assign_with_centrality_udf(cents)(F.col("embedding")).alias("a"),
+    ).select("vec_id", F.col("a.cell").alias("cell"), F.col("a.centrality").alias("centrality"))
     w = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
     return (
         assigned.select(

@@ -438,15 +438,17 @@ def test_pq_index_probe_prunes_partitions(spark):
     probed cell directories may be opened. Both gates are checked: the plan
     string shows the partition filter, and the scan's numFiles metric (the
     files the executed scan actually opened) equals the probed cell count,
-    a strict subset of all IVF_CELLS partitions. NB inputFiles() would NOT
-    measure this — it lists the FileIndex before pruning."""
+    a strict subset of all fitted-cell partitions. NB inputFiles() would
+    NOT measure this — it lists the FileIndex before pruning."""
     import re
 
     from dbt_parquet_spark.operators.similarity import (
-        IVF_CELLS,
         build_pq_index,
+        ivf_cells,
         read_pq_index,
+        train_ivf_quantizer,
     )
+    from dbt_parquet_spark.sources.readers import load_table
 
     def scan_num_files(df) -> int:
         df.collect()
@@ -454,14 +456,17 @@ def test_pq_index_probe_prunes_partitions(spark):
         return scan.metrics().apply("numFiles").value()
 
     path = build_pq_index(spark, SF_ORACLE)
+    n_vectors = load_table(spark, SF_ORACLE, "embeddings").count()
+    n_cells = ivf_cells(n_vectors)
+    assert len(train_ivf_quantizer(spark, SF_ORACLE)) == n_cells
     all_cells = {
         int(m.group(1))
         for f in spark.read.parquet(path).inputFiles()
         for m in [re.search(r"cell=(\d+)", f)]
         if m
     }
-    assert len(all_cells) == IVF_CELLS
-    assert scan_num_files(read_pq_index(spark, SF_ORACLE)) == IVF_CELLS
+    assert len(all_cells) == n_cells  # every fitted cell is occupied here
+    assert scan_num_files(read_pq_index(spark, SF_ORACLE)) == n_cells
     probed = sorted(all_cells)[:3]
     pruned = read_pq_index(spark, SF_ORACLE, cells=probed)
     assert scan_num_files(pruned) == len(probed)
