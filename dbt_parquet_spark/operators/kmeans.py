@@ -48,6 +48,8 @@ def assign_udf(cents):
 
     @F.pandas_udf(LongType())
     def assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.Series([], dtype="int64")
         X = np.vstack(embs.to_numpy())
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         return pd.Series(np.argmax(Xn @ Cn.T, axis=1) + 1)
@@ -64,6 +66,9 @@ def assign_with_centrality_udf(cents):
 
     @F.pandas_udf("cell long, centrality double")
     def assign(embs: pd.Series) -> pd.DataFrame:
+        if len(embs) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "centrality": pd.Series([], dtype="float64")})
         X = np.vstack(embs.to_numpy())
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         sims = Xn @ Cn.T
@@ -165,6 +170,38 @@ def lloyd_round(emb: DataFrame, cents: list[list[float]]) -> list[list[float]]:
             Fraction(int(r.total), _CENT_SCALE * int(r.n))
         )
     return [by_cell.get(i + 1, cents[i]) for i in range(len(cents))]
+
+
+def distinct_init(emb: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means init: the first ``k`` DISTINCT embedding
+    vectors in ``vec_id`` order. Exact-duplicate init vectors would
+    tie-break every assignment to the lower cell id, leaving the twin cell
+    permanently empty (empty cells keep their init centroid) — so we
+    over-fetch a bounded window (4k rows, KBs-to-MBs on the driver even at
+    the 65536-cell clamp) and de-duplicate preserving vec_id order. If the
+    window holds fewer than k distinct vectors the tail is padded with the
+    remaining rows in order (duplicates and all) so the fitted cell count
+    stays exactly k — footer-scaled consumers pin len(centroids) ==
+    ivf_cells(n)."""
+    rows = [
+        list(map(float, r.embedding))
+        for r in emb.select("embedding").orderBy("vec_id").limit(4 * k).collect()
+    ]
+    seen: set[tuple] = set()
+    out: list[list[float]] = []
+    dupes: list[list[float]] = []
+    for v in rows:
+        key = tuple(v)
+        if key in seen:
+            dupes.append(v)
+        else:
+            seen.add(key)
+            out.append(v)
+        if len(out) == k:
+            break
+    while len(out) < k and dupes:
+        out.append(dupes.pop(0))
+    return out
 
 
 def fit_kmeans(emb: DataFrame, init: list[list[float]], iters: int) -> list[list[float]]:

@@ -37,7 +37,8 @@ DSIR_TOP_N = 200
 # table / centroids ARE the fitted model — deterministic given sf_dir — so
 # repeated invocations (bench min-of-3, composed queries) skip refitting.
 _LLR_CACHE: dict[str, list[int]] = {}
-_CENT_CACHE: dict[str, list[list[float]]] = {}
+# (applicationId, sf_dir, k) — the similarity._IVF_CACHE keying discipline
+_CENT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
 
 
 def _bucket(tok):
@@ -238,14 +239,15 @@ def semdedup_centroids(spark: SparkSession, sf_dir: str, k: int) -> list[list[fl
     one correctly-rounded division per (cell, dim). Only the centroids
     (k·dim doubles) ever reach the driver. Init = the k lowest-vec_id
     vectors, fixed iteration count."""
-    if sf_dir in _CENT_CACHE:
-        return _CENT_CACHE[sf_dir]
-    from .kmeans import fit_kmeans
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key in _CENT_CACHE:
+        return _CENT_CACHE[key]
+    from .kmeans import distinct_init, fit_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    init = distinct_init(emb, k)  # duplicate inits would strand twin cells empty
     cents = fit_kmeans(emb, init, SEMDEDUP_ITERS)
-    _CENT_CACHE[sf_dir] = cents
+    _CENT_CACHE[key] = cents
     return cents
 
 

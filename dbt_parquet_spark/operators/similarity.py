@@ -454,8 +454,12 @@ def ivf_nprobe(cells: int) -> int:
     return max(IVF_NPROBE_MIN, math.isqrt(cells))
 
 # sf_dir -> fitted coarse quantizer / codebooks (the _PCA_CACHE discipline)
-_IVF_CACHE: dict[str, list[list[float]]] = {}
-_PQBOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+# Keyed (applicationId, sf_dir) like _PQ_INDEX_CACHE/_LIFECYCLE_CACHE — one
+# scaffold-cache keying discipline package-wide: a new Spark session never
+# inherits another session's fitted artifacts (training is deterministic
+# today, so this is hygiene, not correctness).
+_IVF_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+_PQBOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
 
 
 def _dense_lit_sql(x) -> str:
@@ -506,16 +510,16 @@ def train_ivf_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     repeated invocations (all four IVF/PQ consumers, driver reps) skip the
     Lloyd iterations.
     """
-    hit = _IVF_CACHE.get(sf_dir)
+    hit = _IVF_CACHE.get(_index_key(spark, sf_dir))
     if hit is not None:
         return hit
-    from .kmeans import fit_kmeans
+    from .kmeans import distinct_init, fit_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = ivf_cells(emb.count())  # parquet footer count, no data scan
-    init = [list(r.embedding) for r in emb.orderBy("vec_id").limit(k).collect()]
+    init = distinct_init(emb, k)  # duplicate inits would strand twin cells empty
     fitted = fit_kmeans(emb, init, IVF_KMEANS_ITERS)
-    _IVF_CACHE[sf_dir] = fitted
+    _IVF_CACHE[_index_key(spark, sf_dir)] = fitted
     return fitted
 
 
@@ -659,7 +663,7 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     count -> keep-1-in-ceil(n/max)), so training cost is constant in corpus
     size while the encode pass stays full-corpus.
     """
-    hit = _PQBOOK_CACHE.get(sf_dir)
+    hit = _PQBOOK_CACHE.get(_index_key(spark, sf_dir))
     if hit is not None:
         return hit
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -714,7 +718,7 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
             [upd.get((m, k), books[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
         ]
     fitted = [[[float(x) for x in c] for c in b] for b in books]
-    _PQBOOK_CACHE[sf_dir] = fitted
+    _PQBOOK_CACHE[_index_key(spark, sf_dir)] = fitted
     return fitted
 
 
@@ -874,7 +878,9 @@ def append_to_pq_index(
     return path
 
 
-def _compact_cell(spark, root: str, cell_dir: str, max_files: int, after_snapshot=None) -> None:
+def _compact_cell(
+    spark, root: str, cell_dir: str, max_files: int, after_snapshot=None, after_trash=None
+) -> None:
     """Compact one cell directory with an atomic-publish protocol:
 
     1. SNAPSHOT the cell's part-file list, then read exactly those files
@@ -895,7 +901,9 @@ def _compact_cell(spark, root: str, cell_dir: str, max_files: int, after_snapsho
        dirs.
 
     ``after_snapshot`` is a test seam invoked between snapshot+write and
-    the swap, to simulate a concurrent append."""
+    the swap, and ``after_trash`` one invoked inside the swap window (after
+    the trash rename, before the publish rename) — both simulate a
+    concurrent append."""
     import os
     import shutil
     import uuid as _uuid
@@ -916,7 +924,22 @@ def _compact_cell(spark, root: str, cell_dir: str, max_files: int, after_snapsho
     for e in os.listdir(trash):  # carry over files appended after the snapshot
         if e.endswith(".parquet") and e not in snapshot:
             os.rename(os.path.join(trash, e), os.path.join(tmp, e))
-    os.rename(tmp, cell_dir)  # atomic: readers see the complete new set
+    if after_trash is not None:
+        after_trash()
+    try:
+        os.rename(tmp, cell_dir)  # atomic: readers see the complete new set
+    except OSError:
+        # A concurrent append recreated cell_dir inside the swap window.
+        # Fall back to a file-level merge into the recreated dir: part-file
+        # names are write-UUID-unique so nothing collides, the append's
+        # files are preserved, and no bytes are stranded in hidden dirs.
+        # The merge is not a single atomic publish (a reader can list a
+        # partial new set mid-merge) — the one-maintainer-at-a-time
+        # assumption in compact_pq_index's docstring is what makes this
+        # path a rare race-recovery rather than a steady state.
+        for e in sorted(os.listdir(tmp)):
+            os.rename(os.path.join(tmp, e), os.path.join(cell_dir, e))
+        os.rmdir(tmp)
     shutil.rmtree(trash)  # delete last: no earlier crash point loses bytes
 
 
@@ -934,8 +957,12 @@ def compact_pq_index(
     even listed twice. Publication is per-cell atomic (see _compact_cell:
     snapshot-scoped read, whole-directory rename swap, trash deleted last),
     so concurrent probes never observe duplicated rows and a concurrent
-    append is carried over, not deleted. The maintenance .compact
-    discipline, scoped to the hive layout.
+    append is carried over, not deleted (even one landing inside the swap
+    window — see _compact_cell's merge fallback). Run ONE maintainer at a
+    time per index: concurrent compactors of the SAME cell could each
+    publish a coalesced copy of the same snapshot (duplicates); appends
+    and readers need no coordination. The maintenance .compact discipline,
+    scoped to the hive layout.
 
     ``path`` selects the index to compact (the handle returned by
     build/append); default is the mutable lifecycle index if one exists,

@@ -192,7 +192,6 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
     mixed old+new files."""
     from dbt_parquet_spark.operators.similarity import (
         _books_literal,
-        _centroid_sims,
         _pq_encode,
         append_to_pq_index,
         build_pq_index,
@@ -200,7 +199,7 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
         train_ivf_quantizer,
         train_pq_codebooks,
     )
-    from dbt_parquet_spark.functions.vector import norm
+    from dbt_parquet_spark.functions.vector import cosine
 
     emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
     base_dir = str(tmp_path / "base_corpus")
@@ -219,11 +218,20 @@ def test_append_to_pq_index_delta_encode(spark, tmp_path):
     # default-path lifecycle append (it goes to the lifecycle clone)
     assert read_pq_index(spark, base_dir).count() == 400
 
-    # expected delta rows: inline encode with the BASE-fitted artifacts
+    # expected delta rows: inline encode with the BASE-fitted artifacts.
+    # The cell assignment is recomputed INDEPENDENTLY of the shared Arrow
+    # kmeans core under test: the pre-r10 JVM expression shape (one cosine
+    # fold per centroid + first-max array_position, same tie-break as
+    # numpy argmax) so this stays a genuine cross-implementation check.
     cents = train_ivf_quantizer(spark, base_dir)
     books_lit = _books_literal(train_pq_codebooks(spark, base_dir))
-    sims = _centroid_sims(cents)
-    assigned = delta.withColumn("nrm", norm(F.col("embedding"))).select(
+    sims = F.array(
+        *[
+            cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    assigned = delta.select(
         "vec_id", "embedding", F.array_position(sims, F.array_max(sims)).alias("cell")
     )
     want = {
@@ -361,4 +369,59 @@ def test_compact_cell_preserves_concurrent_append(spark, tmp_path):
     assert not glob.glob(os.path.join(root, ".compact_*"))
     assert not glob.glob(os.path.join(root, ".trash_*"))
     # the full-index read still sees a consistent hive layout
+    assert read_pq_index(spark, base_dir, path=path).count() == 500 + len(donor_rows)
+
+
+def test_compact_cell_merges_append_inside_swap_window(spark, tmp_path):
+    """The narrowest race: an append that RECREATES the cell directory
+    between the two swap renames (while the cell is briefly absent). The
+    publish rename then fails and _compact_cell must fall back to a
+    file-level merge — nothing lost, nothing duplicated, no bytes stranded
+    in hidden .compact_*/.trash_* dirs."""
+    import glob
+    import os
+    import shutil
+
+    from dbt_parquet_spark.operators.similarity import (
+        _compact_cell,
+        append_to_pq_index,
+        build_pq_index,
+        read_pq_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
+    build_pq_index(spark, base_dir)
+    delta = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    path = append_to_pq_index(spark, base_dir, delta)
+    root = path[len("file:"):] if path.startswith("file:") else path
+    cell_dirs = [
+        d for d in sorted(glob.glob(os.path.join(root, "cell=*")))
+        if len([e for e in os.listdir(d) if e.endswith(".parquet")]) > 1
+    ]
+    assert cell_dirs, "no fragmented cell to compact"
+    cell_dir = cell_dirs[0]
+    donor = next(
+        os.path.join(d, e)
+        for d in sorted(glob.glob(os.path.join(root, "cell=*")))
+        if d != cell_dir
+        for e in sorted(os.listdir(d))
+        if e.endswith(".parquet")
+    )
+    donor_rows = {r.vec_id for r in spark.read.parquet(donor).collect()}
+    before = {r.vec_id for r in spark.read.parquet(cell_dir).collect()}
+
+    def swap_window_append():  # cell_dir was just renamed away: recreate it
+        os.makedirs(cell_dir)
+        shutil.copy(donor, os.path.join(cell_dir, "swap-window-append.parquet"))
+
+    _compact_cell(spark, root, cell_dir, 1, after_trash=swap_window_append)
+    after = [r.vec_id for r in spark.read.parquet(cell_dir).collect()]
+    assert sorted(after) == sorted(before | donor_rows)  # no loss, no dupes
+    assert len(after) == len(set(after))
+    assert not glob.glob(os.path.join(root, ".compact_*"))
+    assert not glob.glob(os.path.join(root, ".trash_*"))
     assert read_pq_index(spark, base_dir, path=path).count() == 500 + len(donor_rows)
