@@ -204,6 +204,67 @@ def distinct_init(emb: DataFrame, k: int) -> list[list[float]]:
     return out
 
 
+def spread_init(emb: DataFrame, k: int, candidates_per_cell: int = 4) -> list[list[float]]:
+    """Deterministic farthest-point (greedy k-center) init over a
+    hash-sampled candidate pool — the ADAPTIVE init for retrains over a
+    drifted corpus. A lowest-vec_id init can sit entirely inside the
+    original distribution's region; Lloyd's iterations then capture a far
+    drifted cluster with ONE centroid and can never split it (every
+    drifted point stays nearest that same centroid), so the refit learns
+    no resolution where the drift happened. Farthest-point guarantees the
+    init covers every occupied region of the CURRENT data.
+
+    Deterministic at any partitioning: the pool is an xxhash 1-in-step
+    sample collected in vec_id order; selection starts from the lowest
+    vec_id and breaks ties to the first (lowest-index) candidate. Driver
+    cost is O(pool x k) numpy — pool ~ 4k vectors, fine at the test and
+    sweep scales; at the 65536-cell clamp this is a heavy driver job,
+    which is acceptable for an explicit offline REBUILD (the per-corpus
+    trainers keep the O(k)-collect lowest-id init)."""
+    n = emb.count()
+    pool_target = max(k * candidates_per_cell, 64)
+    step = max(1, n // pool_target)
+    pool = (
+        emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(int(step))) == 0
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not pool:
+        return []
+    X = np.asarray([list(map(float, r.embedding)) for r in pool], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(nrm == 0.0, 1.0, nrm)
+    chosen = [0]
+    minsim = Xn @ Xn[0]  # per-candidate max cosine to any chosen centroid
+    while len(chosen) < min(k, len(X)):
+        nxt = int(np.argmin(minsim))  # farthest (least similar); first-min tie-break
+        chosen.append(nxt)
+        minsim = np.maximum(minsim, Xn @ Xn[nxt])
+    out = [list(map(float, X[i])) for i in chosen]
+    rest = [i for i in range(len(X)) if i not in set(chosen)]
+    while len(out) < k and rest:  # pool smaller than k: pad in id order
+        out.append(list(map(float, X[rest.pop(0)])))
+    while len(out) < k and len(out) > 0:  # corpus smaller than k: keep k stable
+        out.append(list(out[len(out) % max(1, len(chosen))]))
+    return out
+
+
+def farthest_point_l2(X: "np.ndarray", k: int) -> list[int]:
+    """Greedy k-center indices over rows of X in l2 — the subvector-space
+    flavor of spread_init (PQ codebooks assign by l2, not cosine). Starts
+    at row 0, ties break to the first index: deterministic."""
+    chosen = [0]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(X)):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, ((X - X[nxt]) ** 2).sum(axis=1))
+    return chosen
+
+
 def fit_kmeans(emb: DataFrame, init: list[list[float]], iters: int) -> list[list[float]]:
     """Fixed-iteration Lloyd's from a deterministic init. Only the
     centroids (k·dim doubles) ever reach the driver; every pass over the

@@ -513,14 +513,31 @@ def train_ivf_quantizer(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     hit = _IVF_CACHE.get(_index_key(spark, sf_dir))
     if hit is not None:
         return hit
-    from .kmeans import distinct_init, fit_kmeans
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = ivf_cells(emb.count())  # parquet footer count, no data scan
-    init = distinct_init(emb, k)  # duplicate inits would strand twin cells empty
-    fitted = fit_kmeans(emb, init, IVF_KMEANS_ITERS)
+    fitted = fit_ivf_quantizer(emb)
     _IVF_CACHE[_index_key(spark, sf_dir)] = fitted
     return fitted
+
+
+def fit_ivf_quantizer(emb: DataFrame, spread: bool = False) -> list[list[float]]:
+    """The un-memoized trainer over an arbitrary (vec_id, embedding)
+    frame — train_ivf_quantizer's core, also the retrain path of
+    rebuild_pq_index (which fits on the index's CURRENT contents,
+    deltas included, rather than the original source table).
+
+    ``spread=True`` switches to the farthest-point init (kmeans.
+    spread_init): required for DRIFT-ADAPTING retrains — a lowest-id init
+    drawn from the original region leaves the drifted mass captured by a
+    single centroid that Lloyd's can never split. The per-corpus memoized
+    trainer keeps the cheap lowest-id init (first fit, no drift yet)."""
+    from .kmeans import distinct_init, fit_kmeans, spread_init
+
+    k = ivf_cells(emb.count())  # parquet footer count, no data scan
+    if spread:
+        init = spread_init(emb, k)
+    else:
+        init = distinct_init(emb, k)  # duplicate inits strand twin cells empty
+    return fit_kmeans(emb, init, IVF_KMEANS_ITERS)
 
 
 @register("q_ann_ivf", tags=("similarity", "ann", "ivf"))
@@ -667,6 +684,49 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
     if hit is not None:
         return hit
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fitted = fit_pq_codebooks(emb)
+    _PQBOOK_CACHE[_index_key(spark, sf_dir)] = fitted
+    return fitted
+
+
+def _spread_books_init(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace farthest-point codebook init over a deterministic
+    hash-sampled pool (collected once, sliced driver-side): each subspace
+    gets PQ_K l2-spread subvectors, so a retrain's codebooks start with
+    coverage of every occupied region — including drifted ones."""
+    from .kmeans import farthest_point_l2
+
+    n = emb.count()
+    step = max(1, n // (PQ_K * 8))
+    pool = (
+        emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(int(step))) == 0
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(pool) < PQ_K:  # tiny corpus: the deterministic full head
+        pool = emb.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K * 8).collect()
+    if len(pool) < PQ_K:
+        raise ValueError(
+            f"PQ training needs >= {PQ_K} vectors, got {len(pool)}; "
+            "use q_ann_topk (exact) for corpora smaller than the codebook"
+        )
+    X = np.asarray([list(map(float, r.embedding)) for r in pool], dtype=np.float64)
+    books = []
+    for m in range(PQ_M):
+        sub = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        books.append([[float(v) for v in sub[i]] for i in farthest_point_l2(sub, PQ_K)])
+    return books
+
+
+def fit_pq_codebooks(emb: DataFrame, spread: bool = False) -> list[list[list[float]]]:
+    """The un-memoized codebook trainer over an arbitrary (vec_id,
+    embedding) frame — train_pq_codebooks' core, also the retrain path of
+    rebuild_pq_index. ``spread=True`` uses a per-subspace farthest-point
+    init (fit_ivf_quantizer's drift-adaptation argument, in subvector
+    space with the l2 metric the PQ assignment uses)."""
     n = emb.count()  # parquet footer count, no data scan
     if n > PQ_TRAIN_MAX:
         keep_1_in = -(-n // PQ_TRAIN_MAX)  # ceil
@@ -681,22 +741,27 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
             )
         ).alias("m", "sub"),
     )
-    # init = the PQ_K lowest vec_ids PRESENT (the sample may not contain
-    # ids 0..PQ_K-1), mapped to codebook slots in id order
-    init_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()]
-    if len(init_ids) < PQ_K:
-        # Fewer vectors than codebook slots: unfilled slots would stay None
-        # and crash the literal build below. PQ on a corpus this small is
-        # pointless (the exact scan is cheaper) — fail with intent.
-        raise ValueError(
-            f"PQ training needs >= {PQ_K} vectors, got {len(init_ids)}; "
-            "use q_ann_topk (exact) for corpora smaller than the codebook"
-        )
-    slot = {v: i for i, v in enumerate(init_ids)}
-    init = subs.filter(F.col("vec_id").isin(init_ids)).collect()
-    books = [[None] * PQ_K for _ in range(PQ_M)]
-    for r in init:
-        books[r.m][slot[r.vec_id]] = [float(x) for x in r.sub]
+    if spread:
+        books = _spread_books_init(emb)
+    else:
+        # init = the PQ_K lowest vec_ids PRESENT (the sample may not contain
+        # ids 0..PQ_K-1), mapped to codebook slots in id order
+        init_ids = [
+            r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+        ]
+        if len(init_ids) < PQ_K:
+            # Fewer vectors than codebook slots: unfilled slots would stay None
+            # and crash the literal build below. PQ on a corpus this small is
+            # pointless (the exact scan is cheaper) — fail with intent.
+            raise ValueError(
+                f"PQ training needs >= {PQ_K} vectors, got {len(init_ids)}; "
+                "use q_ann_topk (exact) for corpora smaller than the codebook"
+            )
+        slot = {v: i for i, v in enumerate(init_ids)}
+        init = subs.filter(F.col("vec_id").isin(init_ids)).collect()
+        books = [[None] * PQ_K for _ in range(PQ_M)]
+        for r in init:
+            books[r.m][slot[r.vec_id]] = [float(x) for x in r.sub]
     for _ in range(PQ_ITERS):
         books_lit = _dense_lit(books)
         cents_m = F.element_at(books_lit, F.col("m") + 1)
@@ -717,9 +782,7 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
         books = [
             [upd.get((m, k), books[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
         ]
-    fitted = [[[float(x) for x in c] for c in b] for b in books]
-    _PQBOOK_CACHE[_index_key(spark, sf_dir)] = fitted
-    return fitted
+    return [[[float(x) for x in c] for c in b] for b in books]
 
 
 # (applicationId, sf_dir) -> Spark path, the scaffold-cache keying discipline
@@ -820,12 +883,13 @@ def build_pq_index(
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_quantizer(spark, sf_dir)
-    books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
+    books = train_pq_codebooks(spark, sf_dir)
     assigned = emb.select(
         "vec_id", "embedding", assign_udf(cents)(F.col("embedding")).alias("cell")
     )
     codes = _pq_encode(
-        assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
+        assigned.select("vec_id", "cell", "embedding"), _books_literal(books),
+        keep_embedding=True,
     )
     is_default = catalog is None
     if catalog is None:
@@ -834,6 +898,11 @@ def build_pq_index(
         rel = catalog.relation("pq_codes")
     create_table_as(spark, catalog, rel, codes, partition_by=["cell"], register=False)
     path = rel.path
+    # the fitted artifacts travel WITH the index (underscore-prefixed, so
+    # Spark's listing ignores the file like _SUCCESS): any session holding
+    # just the path handle — and any post-rebuild consumer — encodes and
+    # probes with the artifacts that match these codes, not a retrain.
+    _write_artifacts(path, cents, books)
     if is_default:  # user-catalog builds never become the process default
         _PQ_INDEX_CACHE[_index_key(spark, sf_dir)] = path
     return path
@@ -866,16 +935,244 @@ def append_to_pq_index(
 
     if path is None:
         path = _lifecycle_index(spark, sf_dir)
-    cents = train_ivf_quantizer(spark, sf_dir)  # cache hits after build
-    books_lit = _books_literal(train_pq_codebooks(spark, sf_dir))
+    # the index's OWN artifacts (sidecar), so an append after a rebuild
+    # encodes with the retrained codebooks; memoized-trainer fallback for
+    # pre-sidecar handles
+    cents, books = _index_artifacts(spark, sf_dir, path)
     assigned = delta.select(
         "vec_id", "embedding", assign_udf(cents)(F.col("embedding")).alias("cell")
     )
     codes = _pq_encode(
-        assigned.select("vec_id", "cell", "embedding"), books_lit, keep_embedding=True
+        assigned.select("vec_id", "cell", "embedding"), _books_literal(books),
+        keep_embedding=True,
     )
     codes.write.mode("append").partitionBy("cell").parquet(path)
     return path
+
+
+# --- Index freshness: artifacts sidecar, recall-drift audit, rebuild ---------
+#
+# append_to_pq_index encodes deltas with FROZEN artifacts (FAISS add()-
+# after-train() semantics) — correct, but as the delta fraction grows, or
+# if the delta's distribution drifts from what the quantizer/codebooks were
+# fitted on, recall degrades SILENTLY: the index keeps answering, just
+# worse. The repo monitors source drift (q_source_drift); this block makes
+# it monitor its own index the same way — measure recall@k of the
+# production probe path against exact brute force over the index's own
+# stored vectors, and expose a threshold-gated offline rebuild.
+
+_ARTIFACTS_FILE = "_ann_artifacts.json"
+RECALL_AUDIT_SAMPLE_1_IN = 8  # deterministic 1-in-8 xxhash query panel
+
+
+def _local_root(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _write_artifacts(path: str, cents, books) -> None:
+    """Persist the fitted (centroids, codebooks) next to the codes they
+    produced. JSON doubles round-trip exactly (repr shortest-string, the
+    _dense_lit argument), so a reload encodes bit-identically. KB-to-MB
+    scale at any clamp (65536 cells x 64 dims ~ a few hundred MB worst
+    case — move to a parquet sidecar if that clamp is ever reached)."""
+    import json
+    import os
+
+    with open(os.path.join(_local_root(path), _ARTIFACTS_FILE), "w") as fh:
+        json.dump({"centroids": cents, "codebooks": books}, fh)
+
+
+def _index_artifacts(spark: SparkSession, sf_dir: str, path: str | None):
+    """The fitted artifacts that MATCH an index's codes: the sidecar if the
+    handle carries one (builds and rebuilds write it; the lifecycle clone
+    copies it), else the memoized per-corpus trainers."""
+    import json
+    import os
+
+    if path is not None:
+        f = os.path.join(_local_root(path), _ARTIFACTS_FILE)
+        if os.path.exists(f):
+            with open(f) as fh:
+                a = json.load(fh)
+            return a["centroids"], a["codebooks"]
+    return train_ivf_quantizer(spark, sf_dir), train_pq_codebooks(spark, sf_dir)
+
+
+def index_recall_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    sample_1_in: int = RECALL_AUDIT_SAMPLE_1_IN,
+) -> DataFrame:
+    """Recall@TOP_K of the index's PRODUCTION query path (probe -> pruned
+    ADC scan -> exact rerank, exactly q_ann_ivf_pq's plan) against exact
+    brute-force cosine over the index's own stored vectors, per query.
+
+    The query panel is a deterministic xxhash 1-in-``sample_1_in`` sample
+    of the index rows themselves — appended rows are eligible as queries,
+    so drift concentrated in a delta region is visible, not averaged away
+    at the sampling step. Returns (query_id, n_hits, n_true, recall).
+
+    Scale: the approximate side costs one probed index read (partition-
+    pruned, same as production). The exact side is the honest price of
+    ground truth — panel x corpus cosines — bounded by the sample rate and
+    run as a broadcast of the KB-scale panel against a single corpus scan
+    (top-k via the rank<=k window that rewrites to map-side
+    WindowGroupLimit). Audit at a sample rate sized to your budget; the
+    panel never shuffles the corpus."""
+    from .kmeans import probe_udf
+
+    idx = read_pq_index(spark, sf_dir, path=path)
+    cents, books = _index_artifacts(spark, sf_dir, path)
+    adc = _adc_udf(books)
+    q = idx.filter(
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(int(sample_1_in))) == 0
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # -- approximate: the production composition over THIS index
+    probes = q.select(
+        "query_id",
+        "qe",
+        F.explode(probe_udf(cents, ivf_nprobe(len(cents)))(F.col("qe"))).alias("cell"),
+    )
+    probed = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    pruned = read_pq_index(spark, sf_dir, cells=probed, path=path)
+    scanned = (
+        pruned.select("vec_id", "codes", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            adc(F.col("qe"), F.col("codes")).alias("approx_dot"),
+        )
+    )
+    approx = _rerank_exact(scanned, pruned.select("vec_id", "embedding")).select(
+        "query_id", "neighbor_id"
+    )
+    # -- exact ground truth over ALL index rows (q_ann_topk's shape)
+    pairs = (
+        idx.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = (
+        pairs.select("query_id", "neighbor_id", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    truth = exact.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    return (
+        q.select("query_id")
+        .join(truth, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            (
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.coalesce("n_true", F.lit(0)), F.lit(1))
+            ).cast("double").alias("recall"),
+        )
+    )
+
+
+@register("q_index_recall_audit", tags=("similarity", "ann", "audit", "ivf", "pq"))
+def q_index_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered freshness monitor: one summary row of the recall
+    audit over the immutable base index (mean/min over the deterministic
+    panel). Rows-only driver check — k-means-fitted artifacts are operator
+    identity, not SQL-expressible; the audit MACHINERY is pinned instead by
+    the adversarial drift test (appended shifted-distribution delta
+    degrades measured recall, rebuild_pq_index restores it,
+    tests/test_joins_ivf.py)."""
+    per_q = index_recall_audit(spark, sf_dir)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.avg("recall").alias("mean_recall"),
+        F.min("recall").alias("min_recall"),
+    ).select(F.lit(TOP_K).cast("long").alias("k"), "n_queries", "mean_recall", "min_recall")
+
+
+def rebuild_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    recall_threshold: float | None = None,
+) -> dict:
+    """Threshold-gated offline rebuild — the drift monitor's actuator.
+
+    With ``recall_threshold``, the recall audit runs first and a fresh-
+    enough index (mean recall >= threshold) is left untouched. Otherwise
+    the quantizer and codebooks are RETRAINED on the index's CURRENT
+    contents (deltas included — the whole point: the frozen artifacts are
+    what went stale), every row is re-encoded, and the result is published
+    by atomic directory swap (the _compact_cell protocol at whole-index
+    scope, retrained artifacts staged INSIDE the new directory so the
+    publish is atomic including the sidecar). Subsequent appends on this
+    handle encode with the retrained codebooks via _index_artifacts.
+
+    Returns {"path", "recall", "rebuilt"}; ``recall`` is the pre-rebuild
+    audit mean (None when no threshold was given — unconditional rebuild).
+    Run ONE maintainer at a time per index (the compact_pq_index rule)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from .kmeans import assign_udf
+
+    if path is None:
+        path = _lifecycle_index(spark, sf_dir)
+    recall_before = None
+    if recall_threshold is not None:
+        row = index_recall_audit(spark, sf_dir, path=path).agg(
+            F.avg("recall").alias("m")
+        ).collect()[0]
+        recall_before = float(row.m) if row.m is not None else 1.0
+        if recall_before >= recall_threshold:
+            return {"path": path, "recall": recall_before, "rebuilt": False}
+    rows = read_pq_index(spark, sf_dir, path=path).select("vec_id", "embedding")
+    # persist barrier: the retrain + encode pipeline reads this frame many
+    # times (count, init collect, Lloyd rounds, codebook rounds, encode)
+    rows = rows.persist()
+    rows.count()
+    try:
+        # spread (farthest-point) inits: the rebuild exists BECAUSE the
+        # distribution drifted — a lowest-id init from the original region
+        # would capture the drifted mass with one unsplittable centroid
+        cents = fit_ivf_quantizer(rows, spread=True)
+        books = fit_pq_codebooks(rows, spread=True)
+        assigned = rows.select(
+            "vec_id", "embedding", assign_udf(cents)(F.col("embedding")).alias("cell")
+        )
+        codes = _pq_encode(
+            assigned.select("vec_id", "cell", "embedding"), _books_literal(books),
+            keep_embedding=True,
+        )
+        root = _local_root(path)
+        parent = os.path.dirname(root.rstrip("/"))
+        tmp = os.path.join(parent, f".rebuild_{_uuid.uuid4().hex[:8]}")
+        codes.write.partitionBy("cell").parquet(tmp)
+        _write_artifacts(tmp, cents, books)
+    finally:
+        rows.unpersist()
+    trash = os.path.join(parent, f".trash_{_uuid.uuid4().hex[:8]}")
+    os.rename(root, trash)
+    os.rename(tmp, root)
+    shutil.rmtree(trash)
+    return {"path": path, "recall": recall_before, "rebuilt": True}
 
 
 def _compact_cell(

@@ -425,3 +425,132 @@ def test_compact_cell_merges_append_inside_swap_window(spark, tmp_path):
     assert not glob.glob(os.path.join(root, ".compact_*"))
     assert not glob.glob(os.path.join(root, ".trash_*"))
     assert read_pq_index(spark, base_dir, path=path).count() == 500 + len(donor_rows)
+
+
+def test_recall_drift_monitor_and_rebuild(spark, tmp_path):
+    """Index freshness end-to-end on a CLUSTERED corpus (the honest ANN
+    benchmark — on isotropic noise recall is probe-fraction-bound and no
+    retrain can move it): an adversarial drifted delta — eight TIGHT
+    sub-clusters around one novel master direction, sub-separation below
+    the base codebooks\' resolution — must degrade the measured recall of
+    the frozen-artifact index (the coarse quantizer funnels the whole
+    region into few cells and ADC cannot rank within it); the threshold-
+    gated rebuild must fire, retrain on the current contents with SPREAD
+    inits, republish atomically (sidecar included), and measurably restore
+    it without hurting the base region."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.operators.similarity import (
+        _ARTIFACTS_FILE,
+        _index_artifacts,
+        append_to_pq_index,
+        build_pq_index,
+        index_recall_audit,
+        read_pq_index,
+        rebuild_pq_index,
+        train_ivf_quantizer,
+        train_pq_codebooks,
+    )
+
+    # base: the clustered_emb_dir recipe (8 well-separated unit clusters)
+    rng = np.random.default_rng(4242)
+    n_clusters, n, dim = 8, 480, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    pts = centers[labels] + 0.05 * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    base_dir = str(tmp_path / "corpus")
+    os.makedirs(base_dir)
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    pts.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(base_dir, "embeddings.parquet"),
+    )
+    base_path = build_pq_index(spark, base_dir)
+
+    # the sidecar round-trips the fitted artifacts bit-exactly
+    root = base_path[len("file:"):] if base_path.startswith("file:") else base_path
+    assert os.path.exists(os.path.join(root, _ARTIFACTS_FILE))
+    cents, books = _index_artifacts(spark, base_dir, base_path)
+    assert cents == train_ivf_quantizer(spark, base_dir)
+    assert books == train_pq_codebooks(spark, base_dir)
+
+    # drifted delta: 2x the base mass, 8 sub-clusters (separation 0.05)
+    # around ONE novel direction, within-sub noise 0.015 — real structure,
+    # but finer than the frozen artifacts can resolve
+    n2 = 960
+    rng2 = np.random.default_rng(777)
+    master = rng2.standard_normal(dim)
+    master /= np.linalg.norm(master)
+    subs = master + 0.05 * rng2.standard_normal((8, dim))
+    subs /= np.linalg.norm(subs, axis=1, keepdims=True)
+    pts2 = subs[np.arange(n2) % 8] + 0.015 * rng2.standard_normal((n2, dim))
+    pts2 /= np.linalg.norm(pts2, axis=1, keepdims=True)
+    dpath = str(tmp_path / "delta.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(1000, 1000 + n2), pa.int64()),
+                "embedding": pa.array(
+                    pts2.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        dpath,
+    )
+    handle = append_to_pq_index(spark, base_dir, spark.read.parquet(dpath))
+    assert read_pq_index(spark, base_dir, path=handle).count() == n + n2
+
+    def seg(audit_rows, pred):
+        vals = [r.recall for r in audit_rows if pred(r.query_id)]
+        assert vals
+        return sum(vals) / len(vals)
+
+    rows1 = index_recall_audit(spark, base_dir, path=handle).collect()
+    drift1 = seg(rows1, lambda q: q >= 1000)
+    base1 = seg(rows1, lambda q: q < 1000)
+    mean1 = seg(rows1, lambda q: True)
+    # measured at authoring time: delta 0.53, base 1.0 — the monitor SEES
+    # the drift the frozen artifacts cause, localized to the delta region
+    assert drift1 < 0.75, f"frozen artifacts unexpectedly fine: {drift1}"
+    assert base1 >= 0.95, f"base region should be unaffected: {base1}"
+
+    # fresh-enough gate: a threshold below the degraded mean does nothing
+    res_noop = rebuild_pq_index(spark, base_dir, path=handle,
+                                recall_threshold=mean1 / 2)
+    assert res_noop["rebuilt"] is False
+    assert res_noop["recall"] is not None
+
+    res = rebuild_pq_index(spark, base_dir, path=handle, recall_threshold=0.9)
+    assert res["rebuilt"] is True and res["path"] == handle
+    assert read_pq_index(spark, base_dir, path=handle).count() == n + n2
+    local = handle[len("file:"):] if handle.startswith("file:") else handle
+    assert os.path.exists(os.path.join(local, _ARTIFACTS_FILE))
+    parent = os.path.dirname(local.rstrip("/"))
+    assert not glob.glob(os.path.join(parent, ".rebuild_*"))
+    assert not glob.glob(os.path.join(parent, ".trash_*"))
+
+    rows2 = index_recall_audit(spark, base_dir, path=handle).collect()
+    drift2 = seg(rows2, lambda q: q >= 1000)
+    base2 = seg(rows2, lambda q: q < 1000)
+    # measured at authoring time: delta 0.53 -> 0.86, base stays 1.0
+    assert drift2 > drift1 + 0.15, (drift1, drift2)
+    assert base2 >= 0.95, f"rebuild hurt the base region: {base2}"
+    assert seg(rows2, lambda q: True) > mean1
+    # the retrained artifacts are what appends now encode with
+    cents2, _ = _index_artifacts(spark, base_dir, handle)
+    assert cents2 != cents
+    # and the immutable base the registered queries read is untouched
+    assert read_pq_index(spark, base_dir).count() == n

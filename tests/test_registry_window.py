@@ -146,7 +146,10 @@ def test_registry_exposes_all_queries():
     # oracle-checked),
     # +q_substring_evidence (operators/dedup.py — who-duplicates-whom
     # witness per maximal run, array-min over posting groups, oracle-checked)
-    assert len(specs) == 200
+    # r11: +q_index_recall_audit (operators/similarity.py — recall@k drift
+    # monitor of the materialized ANN index vs exact, rows-only; the
+    # machinery is pinned by the adversarial drift/rebuild test)
+    assert len(specs) == 201
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

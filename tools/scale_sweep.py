@@ -78,6 +78,7 @@ def gen() -> None:
 
 
 def run() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results = {}
     for label, sf_dir in [("sf0.1", BASE), ("sf1", DEST)]:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -87,17 +88,98 @@ def run() -> None:
         )
         line = out.stdout.strip().splitlines()[-1]
         results[label] = json.loads(line)
+        try:  # bench's sidecar carries the warm_cache names (overwritten per run)
+            with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+                results[label]["warm_cache"] = json.load(f).get("warm_cache", [])
+        except (OSError, ValueError):
+            results[label]["warm_cache"] = []
         print(label, "total", results[label]["value"], f"({time.time()-t0:.0f}s wall)")
     qs = results["sf0.1"]["queries"]
-    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    # '*' = the recorded min rode a memoized scaffold cache at BOTH scales
+    # (bench's _SpyDict instrumentation) — its ratio measures the warm
+    # steady state, not a cold build, so don't over-credit it.
+    warm = set(results["sf0.1"]["warm_cache"]) & set(results["sf1"]["warm_cache"])
+    print(f"{'query':29s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}   (* = warm scaffold cache)")
     for name, t in sorted(qs.items(), key=lambda kv: -results['sf1']['queries'].get(kv[0], 0)):
         big = results["sf1"]["queries"].get(name)
         if big is None:
             continue
         ratio = big / t if t > 0 else float("inf")
-        print(f"{name:28s} {t:8.3f} {big:8.3f} {ratio:6.1f}")
+        mark = "*" if name in warm else " "
+        print(f"{name + mark:29s} {t:8.3f} {big:8.3f} {ratio:6.1f}")
     with open("/tmp/spark_graft_sweep/results.json", "w") as f:
         json.dump(results, f, indent=2)
+
+
+def ivf() -> None:
+    """Measure the FOOTER-SCALED coarse quantizer on the generated sf1
+    corpus — the r10 growth path that, at the shipped test scales, always
+    clamps to IVF_MIN_CELLS and so had never executed outside arithmetic:
+    fitted cells must GROW past the clamp at 10x vectors, every occupied
+    cell is a partition dir, and a probed read's executed scan opens
+    exactly the probed dirs (numFiles == nprobe), so the probe FRACTION
+    shrinks as the corpus grows. Writes IVF_SWEEP.json next to this repo's
+    BLOCKING_SWEEP.json."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import glob as _glob
+
+    from dbt_parquet_spark.operators.similarity import (
+        IVF_MIN_CELLS,
+        build_pq_index,
+        ivf_cells,
+        ivf_nprobe,
+        read_pq_index,
+        train_ivf_quantizer,
+    )
+    from dbt_parquet_spark.session import get_spark
+
+    spark = get_spark("ivf_sweep")
+
+    def scan_num_files(df) -> int:
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numFiles").value()
+
+    out: dict = {}
+    for label, sf_dir in [("sf0.1", BASE), ("sf1", DEST)]:
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        cells, nprobe = ivf_cells(n), ivf_nprobe(ivf_cells(n))
+        t0 = time.time()
+        cents = train_ivf_quantizer(spark, sf_dir)
+        t_train = time.time() - t0
+        t0 = time.time()
+        path = build_pq_index(spark, sf_dir)
+        t_build = time.time() - t0
+        root = path[len("file:"):] if path.startswith("file:") else path
+        occupied = len(_glob.glob(os.path.join(root, "cell=*")))
+        probe = list(range(1, nprobe + 1))
+        probed_files = scan_num_files(read_pq_index(spark, sf_dir, cells=probe))
+        out[label] = {
+            "n_vectors": n,
+            "fitted_cells": len(cents),
+            "occupied_cells": occupied,
+            "nprobe": nprobe,
+            "probe_fraction": round(nprobe / len(cents), 4),
+            "probed_scan_numFiles": probed_files,
+            "train_sec": round(t_train, 2),
+            "build_sec": round(t_build, 2),
+        }
+        assert len(cents) == cells
+        assert probed_files <= nprobe  # == when every probed cell is occupied
+        print(label, out[label])
+    # the growth-path claims, machine-checked from the measurement itself:
+    assert out["sf1"]["fitted_cells"] > IVF_MIN_CELLS
+    assert out["sf1"]["fitted_cells"] > out["sf0.1"]["fitted_cells"]
+    assert out["sf1"]["probe_fraction"] < out["sf0.1"]["probe_fraction"]
+    assert out["sf1"]["occupied_cells"] == out["sf1"]["fitted_cells"], (
+        "empty fitted cells at sweep scale — distinct_init/occupancy regressed"
+    )
+    artifact = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "IVF_SWEEP.json"
+    )
+    with open(artifact, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", artifact)
 
 
 # --- Blocking-family sweep (r8: the 100x evidence) ---------------------------
@@ -252,4 +334,6 @@ def blocking() -> None:
 
 
 if __name__ == "__main__":
-    {"gen": gen, "run": run, "genblk": gen_blocking, "blocking": blocking}[sys.argv[1]]()
+    {"gen": gen, "run": run, "genblk": gen_blocking, "blocking": blocking, "ivf": ivf}[
+        sys.argv[1]
+    ]()
