@@ -54,12 +54,39 @@ class RunResult:
     skipped: bool = False
 
 
+@dataclass
+class ExternalSource:
+    """A ``source()`` declaration that points OUTSIDE the catalog — at an
+    existing parquet file or a hive-partitioned lake directory (dbt's
+    sources.yml external-location shape). ``partitioned=True`` resolves
+    through read_partitioned, so a model's WHERE on the partition column
+    prunes whole directories at the scan (PartitionFilters — the layout
+    every existing lake hands this engine first; the reference is
+    restricted to single-file tables, reference README.md:49)."""
+
+    schema: str
+    table: str
+    path: str
+    partitioned: bool = False
+
+
 class Project:
     """Models + sources over one FilesystemCatalog database."""
 
     def __init__(self, catalog: FilesystemCatalog, models: list[Model] | None = None):
         self.catalog = catalog
         self.models: dict[str, Model] = {m.name: m for m in (models or [])}
+        self.external_sources: dict[tuple[str, str], ExternalSource] = {}
+
+    def add_source(
+        self, schema: str, table: str, path: str, partitioned: bool = False
+    ) -> None:
+        """Declare an external location for ``{{ source(schema, table) }}``:
+        models referencing it read the given path directly (partition-
+        discovering when ``partitioned``) instead of a catalog relation."""
+        self.external_sources[(schema, table)] = ExternalSource(
+            schema, table, path, partitioned
+        )
 
     @classmethod
     def from_dir(cls, catalog: FilesystemCatalog, models_dir: str, schema: str = DEFAULT_SCHEMA) -> "Project":
@@ -164,6 +191,28 @@ class Project:
 
         import pyarrow.parquet as pq
 
+        ext = self.external_sources.get((schema, table))
+        if ext is not None:
+            # external lake path (possibly a nested partition tree): walk
+            # recursively with the same (relpath, size, footer rows) triples
+            entries_ext: list[tuple[str, int, int]] = []
+            if os.path.isfile(ext.path):
+                files_ext = [(os.path.basename(ext.path), ext.path)]
+            else:
+                files_ext = [
+                    (os.path.relpath(os.path.join(r, fn), ext.path), os.path.join(r, fn))
+                    for r, _, fns in os.walk(ext.path)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                ]
+            if not files_ext:
+                return "absent"
+            for name, f in sorted(files_ext):
+                entries_ext.append(
+                    (name, os.path.getsize(f), pq.ParquetFile(f).metadata.num_rows)
+                )
+            return hashlib.md5(json.dumps(entries_ext).encode()).hexdigest()
+
         io = self.catalog.io
         path = self.catalog.fs_path(Relation(self.catalog.database, schema, table))
         entries: list[tuple[str, int, int]] = []
@@ -239,6 +288,18 @@ class Project:
             raise ValueError(f"unsupported state mode: {state!r}")
         register_duckdb_compat(spark)  # DuckDB-dialect model SQL runs unchanged
         self.catalog.register_all_views(spark)
+        # external source() declarations resolve to views over their lake
+        # paths; a temp view is just a named plan, so partition pruning and
+        # filter pushdown reach the scan through it unchanged (plan-gated)
+        from .sources.readers import read_parquet, read_partitioned
+
+        for src in self.external_sources.values():
+            df = (read_partitioned if src.partitioned else read_parquet)(
+                spark, src.path
+            )
+            df.createOrReplaceTempView(
+                Relation(self.catalog.database, src.schema, src.table).view_name
+            )
 
         names = self.select_models(select) if select else list(self.models)
         selected = set(names)

@@ -17,6 +17,9 @@ Stages (each one an independently verified operator):
                            partitions (FAISS add-after-train, as a lake op)
   4. q_hybrid_retrieval  — BM25 ⊕ dense cosine, reciprocal-rank fused
                            (the serving-stack default)
+  5. index_recall_audit  — measure recall@k of the frozen-artifact index
+     + rebuild_pq_index    vs exact over its own vectors; retrain +
+                           atomically republish when below threshold
 """
 
 from __future__ import annotations
@@ -80,6 +83,25 @@ def main() -> int:
     # 4. hybrid retrieval over the same corpus
     print("[4] hybrid BM25 ⊕ dense RRF top-k:")
     q_hybrid_retrieval(spark, args.sf_dir).show(10, truncate=False)
+
+    # 5. freshness: audit recall of the (frozen-artifact) index incl. the
+    # appended delta; rebuild retrains on current contents and republishes
+    # atomically when the mean falls below the threshold
+    from dbt_parquet_spark.operators.similarity import (
+        index_recall_audit,
+        rebuild_pq_index,
+    )
+
+    audit = index_recall_audit(spark, args.sf_dir, path=path)
+    mean = audit.agg(F.avg("recall").alias("m")).first().m
+    print(f"[5] recall audit over {audit.count()} sampled queries: mean={mean:.3f}")
+    res = rebuild_pq_index(spark, args.sf_dir, path=path, recall_threshold=0.99)
+    n3 = read_pq_index(spark, args.sf_dir, path=path).count()
+    print(
+        f"[5] rebuild (threshold 0.99): rebuilt={res['rebuilt']}, "
+        f"index still {n3} vectors"
+    )
+    print("OK ann index lifecycle complete")
     return 0
 
 

@@ -217,3 +217,19 @@ def test_lm_filter_example_runs(tmp_path):
     assert "held-out docs" in r.stdout and "published:" in r.stdout
     assert "drift (chi2 ppm" in r.stdout
     assert os.path.exists(os.path.join(out, "lm_filtered_docs.parquet"))
+
+
+def test_ann_index_example_runs(tmp_path):
+    out = str(tmp_path / "ann")
+    r = subprocess.run(
+        [sys.executable, "examples/ann_index.py", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "index published at" in r.stdout
+    assert "delta appended" in r.stdout
+    assert "recall audit over" in r.stdout
+    assert "OK ann index lifecycle complete" in r.stdout
+    assert os.path.isdir(os.path.join(out, "ann_index.parquet")) or os.path.isdir(
+        os.path.join(out, "ann_index")
+    )

@@ -154,6 +154,17 @@ def ivf() -> None:
         occupied = len(_glob.glob(os.path.join(root, "cell=*")))
         probe = list(range(1, nprobe + 1))
         probed_files = scan_num_files(read_pq_index(spark, sf_dir, cells=probe))
+        # a cell DIR can hold several part files (parallel CTAS write);
+        # pruning is per-directory, so the gate is: the executed scan
+        # opened exactly the files living under the probed dirs, no more
+        files_in_probed = sum(
+            len([e for e in os.listdir(os.path.join(root, f"cell={c}")) if e.endswith(".parquet")])
+            for c in probe
+            if os.path.isdir(os.path.join(root, f"cell={c}"))
+        )
+        total_files = len(
+            [f for f in _glob.glob(os.path.join(root, "cell=*", "*.parquet"))]
+        )
         out[label] = {
             "n_vectors": n,
             "fitted_cells": len(cents),
@@ -161,11 +172,14 @@ def ivf() -> None:
             "nprobe": nprobe,
             "probe_fraction": round(nprobe / len(cents), 4),
             "probed_scan_numFiles": probed_files,
+            "files_in_probed_cells": files_in_probed,
+            "total_index_files": total_files,
             "train_sec": round(t_train, 2),
             "build_sec": round(t_build, 2),
         }
         assert len(cents) == cells
-        assert probed_files <= nprobe  # == when every probed cell is occupied
+        assert probed_files == files_in_probed  # pruned to exactly the probed dirs
+        assert probed_files < total_files  # and the pruning is real
         print(label, out[label])
     # the growth-path claims, machine-checked from the measurement itself:
     assert out["sf1"]["fitted_cells"] > IVF_MIN_CELLS
