@@ -1,0 +1,150 @@
+"""Manifest-committed index protocol: snapshot/read equivalence, staged
+invisibility, compaction with NO absent-or-duplicate window, one-generation
+retirement grace, crash-orphan vacuum."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dbt_parquet_spark.operators.index_manifest import (
+    MANIFEST,
+    manifest_append,
+    manifest_compact,
+    manifest_read,
+    manifest_snapshot,
+    manifest_vacuum,
+)
+from dbt_parquet_spark.operators.similarity import build_pq_index, read_pq_index
+from dbt_parquet_spark.sources.readers import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _mk_index(spark, tmp_path):
+    """A private manifest-protocol index over the 400-vector base corpus."""
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    path = build_pq_index(spark, base_dir, catalog=cat, rel=cat.relation("midx"))
+    manifest_snapshot(path)
+    return base_dir, path, emb
+
+
+def _rows(df):
+    return {(r.vec_id, tuple(r.codes), r.cell) for r in df.collect()}
+
+
+def test_manifest_read_equals_listing_read_and_prunes(spark, tmp_path):
+    base_dir, path, _ = _mk_index(spark, tmp_path)
+    listing = _rows(read_pq_index(spark, base_dir, path=path))
+    viamanifest = _rows(manifest_read(spark, path))
+    assert viamanifest == listing and len(listing) == 400
+    # cells selection = file-level pruning straight from the manifest
+    some = sorted({c for _, _, c in listing})[:2]
+    pruned = manifest_read(spark, path, cells=some)
+    assert {r.cell for r in pruned.select("cell").distinct().collect()} == set(some)
+    assert _rows(pruned) == {t for t in listing if t[2] in set(some)}
+    # and the scan's file set is exactly the manifest's selection
+    m = json.load(open(os.path.join(path[len("file:"):] if path.startswith("file:") else path, MANIFEST)))
+    want_files = sum(len(m["cells"][str(c)]) for c in some)
+    assert len(pruned.inputFiles()) == want_files
+
+
+def test_manifest_append_staged_invisible_then_committed(spark, tmp_path):
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    before = _rows(manifest_read(spark, path))
+    delta = emb.filter(F.col("vec_id") >= 400)
+
+    seen_mid_stage: dict = {}
+
+    def probe():  # files staged into live cell dirs, commit not yet done
+        seen_mid_stage["rows"] = _rows(manifest_read(spark, path))
+
+    m = manifest_append(spark, base_dir, path, delta, before_commit=probe)
+    assert seen_mid_stage["rows"] == before  # staged files invisible
+    after = _rows(manifest_read(spark, path))
+    assert len(after) == 500 and before < after
+    assert m["generation"] == 2
+    # the appended rows carry the SAME codes the listing-protocol append
+    # produces (same frozen artifacts) — cross-checked via read of the
+    # whole directory tree, which sees committed files only because every
+    # staged file was committed
+    assert _rows(read_pq_index(spark, base_dir, path=path)) == after
+
+
+def test_manifest_compact_no_absent_window_and_retirement(spark, tmp_path):
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    manifest_append(spark, base_dir, path, emb.filter(F.col("vec_id") >= 400))
+    root = path[len("file:"):] if path.startswith("file:") else path
+    want = _rows(manifest_read(spark, path))
+    m0 = json.load(open(os.path.join(root, MANIFEST)))
+    assert any(len(v) > 1 for v in m0["cells"].values()), "nothing fragmented"
+
+    mid: dict = {}
+
+    def probe():  # replacement files staged, commit not yet done
+        mid["rows"] = _rows(manifest_read(spark, path))
+
+    m1 = manifest_compact(spark, path, max_files_per_cell=1, before_commit=probe)
+    # a reader inside the window sees the OLD complete snapshot — never an
+    # absent cell, never duplicates
+    assert mid["rows"] == want
+    assert _rows(manifest_read(spark, path)) == want
+    assert all(len(v) == 1 for v in m1["cells"].values())
+    # the replaced files are retired, not deleted: an in-flight reader of
+    # the previous generation can still finish
+    assert m1["retired"]
+    for cell, f in m1["retired"]:
+        assert os.path.exists(os.path.join(root, f"cell={cell}", f))
+    # the NEXT compaction deletes them (grace expired) — force one by
+    # appending more fragmentation first
+    manifest_append(spark, base_dir, path,
+                    emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    retired_before = list(m1["retired"])
+    m2 = manifest_compact(spark, path, max_files_per_cell=1)
+    for cell, f in retired_before:
+        assert not os.path.exists(os.path.join(root, f"cell={cell}", f))
+    assert len(_rows(manifest_read(spark, path))) == 500 + emb.count()
+    assert m2["generation"] > m1["generation"]
+
+
+def test_manifest_vacuum_reaps_orphans_only(spark, tmp_path):
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    root = path[len("file:"):] if path.startswith("file:") else path
+    want = _rows(manifest_read(spark, path))
+
+    # simulate a crash after staging, before commit: run the append's
+    # staging machinery then "crash" (raise) in the seam
+    class Crash(Exception):
+        pass
+
+    def boom():
+        raise Crash
+
+    try:
+        manifest_append(spark, base_dir, path, emb.filter(F.col("vec_id") >= 400),
+                        before_commit=boom)
+    except Crash:
+        pass
+    # orphans exist on disk but no reader resolves them
+    orphans = [
+        f for d in glob.glob(os.path.join(root, "cell=*"))
+        for f in os.listdir(d) if f.startswith("staged-")
+    ]
+    assert orphans
+    assert _rows(manifest_read(spark, path)) == want
+    deleted = manifest_vacuum(path)
+    assert len(deleted) >= len(orphans)
+    assert _rows(manifest_read(spark, path)) == want
+    orphans_after = [
+        f for d in glob.glob(os.path.join(root, "cell=*"))
+        for f in os.listdir(d) if f.startswith("staged-")
+    ]
+    assert not orphans_after
