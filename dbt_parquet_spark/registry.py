@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.layout",
     "dbt_parquet_spark.snapshots",
     "dbt_parquet_spark.operators.serving",
+    "dbt_parquet_spark.operators.index_verify",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

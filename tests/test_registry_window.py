@@ -148,8 +148,11 @@ def test_registry_exposes_all_queries():
     # witness per maximal run, array-min over posting groups, oracle-checked)
     # r11: +q_index_recall_audit (operators/similarity.py — recall@k drift
     # monitor of the materialized ANN index vs exact, rows-only; the
-    # machinery is pinned by the adversarial drift/rebuild test)
-    assert len(specs) == 201
+    # machinery is pinned by the adversarial drift/rebuild test),
+    # +q_index_verify (operators/index_verify.py — one-pass fsck of the
+    # materialized index: duplicates, misplaced files, stale sidecar,
+    # manifest coverage; corruption injection pinned in tests)
+    assert len(specs) == 202
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
