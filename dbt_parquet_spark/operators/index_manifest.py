@@ -167,10 +167,12 @@ def manifest_append(
     loser's files); readers never coordinate. ``before_commit`` is a test
     seam invoked after staging."""
     from .kmeans import assign_udf
-    from .similarity import _books_literal, _index_artifacts, _pq_encode
+    from .similarity import _books_literal, _pq_encode
 
     root = _root(path)
-    cents, books = _index_artifacts(spark, sf_dir, path)
+    # resolve through the manifest's artifacts pointer: an append after a
+    # manifest_rebuild must encode with the RETRAINED artifacts
+    cents, books = manifest_artifacts(spark, sf_dir, path)
     assigned = delta.select(
         "vec_id",
         "embedding",
@@ -258,6 +260,99 @@ def manifest_compact(
         return m2
 
 
+def manifest_artifacts(spark: SparkSession, sf_dir: str, path: str):
+    """The fitted (centroids, codebooks) that match a manifest index's
+    committed codes. A manifest_rebuild commits a POINTER to a fresh
+    generation-stamped artifacts file inside the same atomic manifest
+    replace (a bare sidecar overwrite would race readers: new artifacts
+    visible with the old codes still committed). Pre-rebuild manifests
+    carry no pointer — fall back to the plain sidecar / memoized trainers."""
+    root = _root(path)
+    if os.path.exists(os.path.join(root, MANIFEST)):
+        m = _load(root)
+        if m.get("artifacts"):
+            with open(os.path.join(root, m["artifacts"])) as fh:
+                a = json.load(fh)
+            return a["centroids"], a["codebooks"]
+    from .similarity import _index_artifacts
+
+    return _index_artifacts(spark, sf_dir, path)
+
+
+def manifest_rebuild(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    before_commit=None,
+) -> dict:
+    """Full offline rebuild under the manifest protocol: retrain the
+    quantizer and codebooks on the index's CURRENT committed contents
+    (spread inits — the rebuild exists because the distribution drifted),
+    re-encode every row, stage the replacement files into the new cell
+    layout, and COMMIT a manifest that references only the new files,
+    RETIRES every old file (one-generation reader grace, as compaction),
+    and points at a fresh generation-stamped artifacts file — so the
+    artifacts swap rides the same atomic commit as the codes swap; a
+    reader can never pair retrained artifacts with old codes or vice
+    versa. Physically deletes what the previous generation retired.
+
+    Single maintainer at a time; a concurrent manifest_append moving the
+    generation aborts the commit and the rebuild redoes against the new
+    snapshot (abandoned stages are invisible orphans for vacuum)."""
+    from .kmeans import assign_udf
+    from .similarity import (
+        _books_literal,
+        _pq_encode,
+        fit_ivf_quantizer,
+        fit_pq_codebooks,
+    )
+
+    root = _root(path)
+    while True:
+        gen_seen = _load(root)["generation"]
+        rows = manifest_read(spark, path).select("vec_id", "embedding").persist()
+        rows.count()  # barrier: retrain + encode read this frame many times
+        try:
+            cents = fit_ivf_quantizer(rows, spread=True)
+            books = fit_pq_codebooks(rows, spread=True)
+            assigned = rows.select(
+                "vec_id",
+                "embedding",
+                assign_udf(cents)(F.col("embedding")).alias("cell"),
+            )
+            codes = _pq_encode(
+                assigned.select("vec_id", "cell", "embedding"),
+                _books_literal(books),
+                keep_embedding=True,
+            )
+            added = _stage_codes(spark, root, codes)
+        finally:
+            rows.unpersist()
+        art_name = f"_ann_artifacts.{uuid.uuid4().hex[:12]}.json"
+        with open(os.path.join(root, art_name), "w") as fh:
+            json.dump({"centroids": cents, "codebooks": books}, fh)
+        if before_commit is not None:
+            before_commit()
+        m2 = _load(root)
+        if m2["generation"] != gen_seen:
+            continue  # an append moved the snapshot: redo against it
+        prev_retired = [(c, f) for c, f in m2.get("retired", [])]
+        new_manifest = {
+            "generation": gen_seen + 1,
+            "cells": {c: sorted(ns) for c, ns in added.items()},
+            "retired": [
+                [c, f] for c, files in sorted(m2["cells"].items()) for f in files
+            ],
+            "artifacts": art_name,
+        }
+        _commit(root, new_manifest)
+        for cell, f in prev_retired:
+            p = os.path.join(root, f"cell={cell}", f)
+            if os.path.exists(p):
+                os.remove(p)
+        return new_manifest
+
+
 def manifest_vacuum(path: str) -> list[str]:
     """Reap files no committed manifest references: crash orphans from
     aborted stages and compactions, plus expired retirees. Never touches a
@@ -281,4 +376,10 @@ def manifest_vacuum(path: str) -> list[str]:
             if e.endswith(".parquet") and (cell, e) not in live:
                 os.remove(os.path.join(cell_dir, e))
                 deleted.append(os.path.join(cell_dir, e))
+    # generation-stamped artifacts files superseded by a later rebuild
+    # (the plain _ann_artifacts.json pre-manifest sidecar is never touched)
+    for art in _glob.glob(os.path.join(root, "_ann_artifacts.*.json")):
+        if os.path.basename(art) != m.get("artifacts"):
+            os.remove(art)
+            deleted.append(art)
     return deleted

@@ -101,18 +101,19 @@ def verify_pq_index(
         PQ_K,
         PQ_M,
         _books_literal,
-        _index_artifacts,
         _local_root,
         _pq_encode,
         build_pq_index,
         read_pq_index,
     )
 
-    from .index_manifest import MANIFEST
+    from .index_manifest import MANIFEST, manifest_artifacts
 
     resolved = path if path is not None else build_pq_index(spark, sf_dir)
     root = _local_root(resolved)
-    cents, books = _index_artifacts(spark, sf_dir, resolved)
+    # manifest_artifacts honors a manifest_rebuild's atomic artifacts
+    # pointer and falls back to the plain sidecar / memoized trainers
+    cents, books = manifest_artifacts(spark, sf_dir, resolved)
 
     # scan what READERS of this index observe: the committed manifest
     # snapshot when the manifest protocol owns the index (staged/orphan
@@ -227,9 +228,17 @@ def verify_pq_index(
 
 
 def _verify_sidecar(root: str, cents, books):
+    from .index_manifest import MANIFEST
     from .similarity import _ARTIFACTS_FILE, PQ_K, PQ_M, PQ_SUB
 
     f = os.path.join(root, _ARTIFACTS_FILE)
+    mf = os.path.join(root, MANIFEST)
+    if os.path.exists(mf):
+        # a manifest artifacts pointer supersedes the plain sidecar
+        with open(mf) as fh:
+            pointed = json.load(fh).get("artifacts")
+        if pointed:
+            f = os.path.join(root, pointed)
     if not os.path.exists(f):
         # verification fell back to the memoized per-corpus trainers; the
         # audit above is still sound, but the index isn't self-describing

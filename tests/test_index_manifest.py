@@ -148,3 +148,69 @@ def test_manifest_vacuum_reaps_orphans_only(spark, tmp_path):
         for f in os.listdir(d) if f.startswith("staged-")
     ]
     assert not orphans_after
+
+
+def test_manifest_rebuild_atomic_artifacts_and_retirement(spark, tmp_path):
+    """A rebuild retrains on current contents, commits codes + artifacts
+    POINTER in one manifest replace, retires every old file for one
+    generation, and leaves the index verifiable and appendable — an
+    append after the rebuild must encode with the RETRAINED artifacts."""
+    from dbt_parquet_spark.operators.index_manifest import (
+        manifest_artifacts,
+        manifest_rebuild,
+    )
+    from dbt_parquet_spark.operators.index_verify import verify_pq_index
+
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    delta1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    manifest_append(spark, base_dir, path, delta1)
+    before = {r.vec_id for r in manifest_read(spark, path).select("vec_id").collect()}
+
+    root = path[len("file:"):] if path.startswith("file:") else path
+    m_before = json.load(open(os.path.join(root, MANIFEST)))
+    old_files = {
+        (c, f) for c, files in m_before["cells"].items() for f in files
+    }
+
+    m = manifest_rebuild(spark, base_dir, path)
+    # content preserved exactly (vec_id set; codes/cells may all change)
+    after = {r.vec_id for r in manifest_read(spark, path).select("vec_id").collect()}
+    assert after == before
+    # every committed file is fresh; every old file is retired, and still
+    # on disk for the one-generation reader grace
+    new_files = {(c, f) for c, files in m["cells"].items() for f in files}
+    assert not (new_files & old_files)
+    assert {(c, f) for c, f in m["retired"]} == old_files
+    for c, f in old_files:
+        assert os.path.exists(os.path.join(root, f"cell={c}", f))
+    # the artifacts pointer resolves, and differs from the stale plain
+    # sidecar the original build wrote
+    assert m["artifacts"] and os.path.exists(os.path.join(root, m["artifacts"]))
+    cents, books = manifest_artifacts(spark, base_dir, path)
+    with open(os.path.join(root, "_ann_artifacts.json")) as fh:
+        stale = json.load(fh)
+    assert books != stale["codebooks"] or cents != stale["centroids"]
+
+    # the fsck agrees end-to-end: codes/cells consistent with the POINTED
+    # artifacts (it would fail loudly if it resolved the stale sidecar)
+    rep = {r.check: r.status for r in verify_pq_index(spark, base_dir, path=path).collect()}
+    assert rep["codes_consistency"] == "ok", rep
+    assert rep["cell_assignment"] == "ok", rep
+    assert rep["manifest_files"] == "ok", rep
+
+    # an append AFTER the rebuild encodes with the retrained artifacts
+    delta2 = emb.filter(F.col("vec_id") >= 450)
+    manifest_append(spark, base_dir, path, delta2)
+    rep2 = {r.check: r.status for r in verify_pq_index(spark, base_dir, path=path).collect()}
+    assert rep2["codes_consistency"] == "ok", rep2
+    assert rep2["unique_vec_id"] == "ok", rep2
+
+    # a second rebuild expires the first rebuild's retirees
+    m2 = manifest_rebuild(spark, base_dir, path)
+    for c, f in m["retired"]:
+        assert not os.path.exists(os.path.join(root, f"cell={c}", f))
+    # vacuum reaps the superseded generation-stamped artifacts file
+    deleted = manifest_vacuum(path)
+    assert os.path.join(root, m["artifacts"]) in deleted
+    assert os.path.exists(os.path.join(root, m2["artifacts"]))
+    assert os.path.exists(os.path.join(root, "_ann_artifacts.json"))  # untouched

@@ -111,14 +111,48 @@ def run() -> None:
         json.dump(results, f, indent=2)
 
 
+DEST10_EMB = "/tmp/spark_graft_sweep/sf10_emb"
+
+
+def _gen_sf10_embeddings() -> None:
+    """Embeddings-only 100x tier for the IVF sweep (200k vectors): the
+    growth path's second measured decade. Replicate the sf1 embeddings 10x
+    with vec_id shifts and per-replica dimension ROLLS (norm-preserving;
+    cosine structure within a replica is roll-invariant, across replicas it
+    decorrelates — no artificial duplicate vectors for the quantizer)."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.session import get_spark
+    from dbt_parquet_spark.sources.readers import read_parquet
+
+    spark = get_spark("ivf_sweep_gen10")
+    df = read_parquet(spark, f"{DEST}/embeddings.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        rep = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
+        if i > 0:
+            e = F.col("embedding")
+            rep = rep.withColumn(
+                "embedding", F.concat(F.slice(e, i + 1, 100000), F.slice(e, 1, i))
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    os.makedirs(DEST10_EMB, exist_ok=True)
+    out.write.mode("overwrite").parquet(f"{DEST10_EMB}/embeddings.parquet")
+    print("generated", DEST10_EMB)
+
+
 def ivf() -> None:
     """Measure the FOOTER-SCALED coarse quantizer on the generated sf1
-    corpus — the r10 growth path that, at the shipped test scales, always
-    clamps to IVF_MIN_CELLS and so had never executed outside arithmetic:
-    fitted cells must GROW past the clamp at 10x vectors, every occupied
-    cell is a partition dir, and a probed read's executed scan opens
-    exactly the probed dirs (numFiles == nprobe), so the probe FRACTION
-    shrinks as the corpus grows. Writes IVF_SWEEP.json next to this repo's
+    corpus AND an embeddings-only sf10 tier — the r10 growth path that, at
+    the shipped test scales, always clamps to IVF_MIN_CELLS and so had
+    never executed outside arithmetic: fitted cells must GROW past the
+    clamp at 10x/100x vectors, every occupied cell is a partition dir, and
+    a probed read's executed scan opens exactly the probed dirs
+    (numFiles == files in probed dirs), so the probe FRACTION shrinks as
+    the corpus grows. Writes IVF_SWEEP.json next to this repo's
     BLOCKING_SWEEP.json."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import glob as _glob
@@ -140,8 +174,11 @@ def ivf() -> None:
         scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
         return scan.metrics().apply("numFiles").value()
 
+    if not os.path.exists(f"{DEST10_EMB}/embeddings.parquet"):
+        _gen_sf10_embeddings()
+
     out: dict = {}
-    for label, sf_dir in [("sf0.1", BASE), ("sf1", DEST)]:
+    for label, sf_dir in [("sf0.1", BASE), ("sf1", DEST), ("sf10", DEST10_EMB)]:
         n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         cells, nprobe = ivf_cells(n), ivf_nprobe(ivf_cells(n))
         t0 = time.time()
@@ -181,13 +218,15 @@ def ivf() -> None:
         assert probed_files == files_in_probed  # pruned to exactly the probed dirs
         assert probed_files < total_files  # and the pruning is real
         print(label, out[label])
-    # the growth-path claims, machine-checked from the measurement itself:
+    # the growth-path claims, machine-checked from the measurement itself —
+    # monotone across BOTH measured decades:
     assert out["sf1"]["fitted_cells"] > IVF_MIN_CELLS
-    assert out["sf1"]["fitted_cells"] > out["sf0.1"]["fitted_cells"]
-    assert out["sf1"]["probe_fraction"] < out["sf0.1"]["probe_fraction"]
-    assert out["sf1"]["occupied_cells"] == out["sf1"]["fitted_cells"], (
-        "empty fitted cells at sweep scale — distinct_init/occupancy regressed"
-    )
+    assert out["sf10"]["fitted_cells"] > out["sf1"]["fitted_cells"] > out["sf0.1"]["fitted_cells"]
+    assert out["sf10"]["probe_fraction"] < out["sf1"]["probe_fraction"] < out["sf0.1"]["probe_fraction"]
+    for label in ("sf1", "sf10"):
+        assert out[label]["occupied_cells"] == out[label]["fitted_cells"], (
+            f"empty fitted cells at {label} — distinct_init/occupancy regressed"
+        )
     artifact = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "IVF_SWEEP.json"
     )
