@@ -20,6 +20,10 @@ Stages (each one an independently verified operator):
   5. index_recall_audit  — measure recall@k of the frozen-artifact index
      + rebuild_pq_index    vs exact over its own vectors; retrain +
                            atomically republish when below threshold
+  6. verify_pq_index     — fsck: one distributed pass re-derives every
+                           row's cell + codes from its stored vector under
+                           the sidecar artifacts; duplicate/misplaced/
+                           stale-sidecar defects each trip their own check
 """
 
 from __future__ import annotations
@@ -101,6 +105,18 @@ def main() -> int:
         f"[5] rebuild (threshold 0.99): rebuilt={res['rebuilt']}, "
         f"index still {n3} vectors"
     )
+    # 6. integrity: the fsck must come back clean after the whole lifecycle
+    from dbt_parquet_spark.operators.index_verify import verify_pq_index
+
+    report = verify_pq_index(spark, args.sf_dir, path=path).collect()
+    bad = [r for r in report if r.status == "fail"]
+    print(
+        "[6] integrity fsck: "
+        + ", ".join(f"{r.check}={r.status}" for r in report)
+    )
+    if bad:
+        print("FAIL index integrity", bad)
+        return 1
     print("OK ann index lifecycle complete")
     return 0
 
