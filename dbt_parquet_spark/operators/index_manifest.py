@@ -18,8 +18,9 @@ This module makes a single small JSON object the source of truth instead:
   observe a half-published state, an absent cell, or a duplicate row.
 - WRITERS stage new part files into the live ``cell=`` directories under
   fresh unique names (invisible until committed) and COMMIT by atomically
-  replacing the manifest — one ``os.replace`` here; on S3 the same
-  single-object PUT (atomic, and read-after-write consistent since 2020).
+  replacing the manifest — ``os.replace`` on a local filesystem; on an
+  object store a direct single-object PUT, which is itself atomic (and
+  read-after-write consistent on S3 since 2020).
 - Compaction RETIRES the files it replaced: they are recorded in the new
   manifest and physically deleted one generation later (``retired``), so a
   reader that resolved the previous manifest an instant before the commit
@@ -38,6 +39,15 @@ cells' files come straight out of the manifest — the scan never lists the
 index at all (at 65k cells on an object store, LIST calls are the hidden
 tax this removes).
 
+ALL filesystem IO routes through ``fs.CatalogFS`` (the catalog layer's
+pyarrow.fs abstraction), so the same code runs against a local path,
+``file://``, ``s3://``, ``gs://`` or ``hdfs://`` index root — the only
+rename left is the stage→live move (on object stores a copy+delete of a
+file that is INVISIBLE until the manifest commit, so its non-atomicity
+cannot be observed). CI exercises the scheme-prefixed path end-to-end via
+``file://`` (tests/test_index_manifest.py), mirroring the catalog's
+posture (SCALE.md "Object-store catalogs").
+
 No query registrations here — import-order-neutral (registry invariant).
 """
 
@@ -47,49 +57,68 @@ import json
 import os
 import uuid
 
+import pyarrow.fs as pafs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..fs import CatalogFS, resolve_database
 
 MANIFEST = "_manifest.json"
 
 
-def _root(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
+def _ifs(path: str) -> tuple[CatalogFS, str]:
+    """Resolve an index handle (bare path / file:… / s3:… URL) to the
+    CatalogFS that owns it plus the index root as an fs path."""
+    cfs = resolve_database(path)
+    return cfs, cfs.root
 
 
-def _load(root: str) -> dict:
-    with open(os.path.join(root, MANIFEST)) as fh:
-        return json.load(fh)
+def _load(cfs: CatalogFS, root: str) -> dict:
+    with cfs.open_input(cfs.join(root, MANIFEST)) as fh:
+        return json.loads(fh.read().decode("utf-8"))
 
 
-def _commit(root: str, manifest: dict) -> None:
-    """Atomically replace the manifest — THE commit point. Staged to a
-    dot-file in the same directory first so the replace is same-filesystem
-    (os.replace is then one atomic rename syscall)."""
-    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(root, MANIFEST))
+def _put_json(cfs: CatalogFS, path: str, obj: dict) -> None:
+    with cfs.open_output(path) as fh:
+        fh.write(json.dumps(obj).encode("utf-8"))
+
+
+def _commit(cfs: CatalogFS, root: str, manifest: dict) -> None:
+    """Atomically replace the manifest — THE commit point. On a local
+    filesystem: write a dot-file in the same directory, then one
+    ``os.replace`` (a single atomic rename syscall). On an object store a
+    direct PUT of the manifest object is already atomic — no staging."""
+    target = cfs.join(root, MANIFEST)
+    if isinstance(cfs.fs, pafs.LocalFileSystem):
+        tmp = cfs.join(root, f".{MANIFEST}.{uuid.uuid4().hex[:8]}")
+        _put_json(cfs, tmp, manifest)
+        os.replace(tmp, target)
+    else:
+        _put_json(cfs, target, manifest)
 
 
 def manifest_snapshot(path: str) -> dict:
     """Adopt an existing (listing-protocol) index: snapshot its current
-    per-cell part files as generation 1. Idempotent starting point for the
-    manifest protocol; the listing protocol must not mutate the index
-    afterwards (one protocol owns an index at a time)."""
-    root = _root(path)
+    per-cell part files as generation 1 — and, if the index carries the
+    plain ``_ann_artifacts.json`` sidecar, commit an artifacts POINTER to
+    it, so the adopted index is fully self-describing through the manifest.
+    Idempotent starting point for the manifest protocol; the listing
+    protocol must not mutate the index afterwards (one protocol owns an
+    index at a time)."""
+    cfs, root = _ifs(path)
     cells: dict[str, list[str]] = {}
-    for entry in sorted(os.listdir(root)):
+    for entry in cfs.listdir(root):
         if not entry.startswith("cell="):
             continue
-        cell_dir = os.path.join(root, entry)
         files = sorted(
-            e for e in os.listdir(cell_dir) if e.endswith(".parquet")
+            e for e in cfs.listdir(cfs.join(root, entry)) if e.endswith(".parquet")
         )
         if files:
             cells[entry[len("cell="):]] = files
-    manifest = {"generation": 1, "cells": cells, "retired": []}
-    _commit(root, manifest)
+    manifest: dict = {"generation": 1, "cells": cells, "retired": []}
+    if cfs.exists(cfs.join(root, "_ann_artifacts.json")):
+        manifest["artifacts"] = "_ann_artifacts.json"
+    _commit(cfs, root, manifest)
     return manifest
 
 
@@ -100,51 +129,54 @@ def manifest_read(
     (``cells`` selects probed cells — file-level pruning with zero LIST
     calls), ``basePath`` so the hive ``cell=`` column survives, cast long
     to match read_pq_index's schema."""
-    root = _root(path)
-    m = _load(root)
+    cfs, root = _ifs(path)
+    m = _load(cfs, root)
     wanted = (
         {str(int(c)) for c in cells} if cells is not None else set(m["cells"])
     )
     files = [
-        os.path.join(root, f"cell={c}", f)
+        cfs.spark_url(cfs.join(root, f"cell={c}", f))
         for c in sorted(m["cells"], key=int)
         if c in wanted
         for f in m["cells"][c]
     ]
+    base = cfs.spark_url(root)
     if not files:
         # empty selection: an empty frame with the index schema
         return (
-            spark.read.option("basePath", root)
-            .parquet(os.path.join(root, "cell=*"))
+            spark.read.option("basePath", base)
+            .parquet(cfs.spark_url(cfs.join(root, "cell=*")))
             .withColumn("cell", F.col("cell").cast("long"))
             .limit(0)
         )
-    df = spark.read.option("basePath", root).parquet(*files)
+    df = spark.read.option("basePath", base).parquet(*files)
     return df.withColumn("cell", F.col("cell").cast("long"))
 
 
-def _stage_codes(spark: SparkSession, root: str, codes: DataFrame) -> dict[str, list[str]]:
+def _stage_codes(
+    spark: SparkSession, cfs: CatalogFS, root: str, codes: DataFrame
+) -> dict[str, list[str]]:
     """Write encoded rows into the live cell dirs under fresh unique names
     WITHOUT committing them: stage to a hidden tree, then move each part
     file in. Returns {cell: [new file names]} for the commit step. Staged
-    files are invisible to manifest readers until the commit."""
-    staging = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-    codes.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    files are invisible to manifest readers until the commit (so the
+    object-store copy+delete move cannot be observed half-done)."""
+    staging = cfs.join(root, f".stage_{uuid.uuid4().hex[:8]}")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(cfs.spark_url(staging))
     added: dict[str, list[str]] = {}
-    import glob as _glob
-    import shutil
-
-    for scell in sorted(_glob.glob(os.path.join(staging, "cell=*"))):
-        cell = os.path.basename(scell)[len("cell="):]
-        dest = os.path.join(root, f"cell={cell}")
-        os.makedirs(dest, exist_ok=True)
-        for e in sorted(os.listdir(scell)):
+    for scell in cfs.listdir(staging):
+        if not scell.startswith("cell="):
+            continue
+        cell = scell[len("cell="):]
+        dest = cfs.join(root, f"cell={cell}")
+        cfs.makedirs(dest)
+        for e in cfs.listdir(cfs.join(staging, scell)):
             if not (e.startswith("part-") and e.endswith(".parquet")):
                 continue
             name = f"staged-{uuid.uuid4().hex[:12]}.parquet"
-            os.rename(os.path.join(scell, e), os.path.join(dest, name))
+            cfs.rename(cfs.join(staging, scell, e), cfs.join(dest, name))
             added.setdefault(cell, []).append(name)
-    shutil.rmtree(staging)
+    cfs.rmtree(staging)
     return added
 
 
@@ -169,7 +201,7 @@ def manifest_append(
     from .kmeans import assign_udf
     from .similarity import _books_literal, _pq_encode
 
-    root = _root(path)
+    cfs, root = _ifs(path)
     # resolve through the manifest's artifacts pointer: an append after a
     # manifest_rebuild must encode with the RETRAINED artifacts
     cents, books = manifest_artifacts(spark, sf_dir, path)
@@ -183,15 +215,15 @@ def manifest_append(
         _books_literal(books),
         keep_embedding=True,
     )
-    added = _stage_codes(spark, root, codes)
+    added = _stage_codes(spark, cfs, root, codes)
     if before_commit is not None:
         before_commit()
-    m = _load(root)
+    m = _load(cfs, root)
     for cell, names in added.items():
         m["cells"].setdefault(cell, [])
         m["cells"][cell] = sorted(m["cells"][cell] + names)
     m["generation"] += 1
-    _commit(root, m)
+    _commit(cfs, root, m)
     return m
 
 
@@ -215,31 +247,33 @@ def manifest_compact(
     which the single-maintainer rule plus retry-on-generation-mismatch
     below closes: the commit is aborted and retried if the generation
     moved."""
-    import shutil
-
-    root = _root(path)
+    cfs, root = _ifs(path)
     while True:
-        m = _load(root)
+        m = _load(cfs, root)
         gen_seen = m["generation"]
         replaced: dict[str, tuple[list[str], list[str]]] = {}
         for cell, files in sorted(m["cells"].items(), key=lambda kv: int(kv[0])):
             if len(files) <= max_files_per_cell:
                 continue
-            cell_dir = os.path.join(root, f"cell={cell}")
-            df = spark.read.parquet(*[os.path.join(cell_dir, f) for f in files])
-            staging = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-            df.coalesce(max_files_per_cell).write.mode("overwrite").parquet(staging)
+            cell_dir = cfs.join(root, f"cell={cell}")
+            df = spark.read.parquet(
+                *[cfs.spark_url(cfs.join(cell_dir, f)) for f in files]
+            )
+            staging = cfs.join(root, f".stage_{uuid.uuid4().hex[:8]}")
+            df.coalesce(max_files_per_cell).write.mode("overwrite").parquet(
+                cfs.spark_url(staging)
+            )
             new_names = []
-            for e in sorted(os.listdir(staging)):
+            for e in cfs.listdir(staging):
                 if e.startswith("part-") and e.endswith(".parquet"):
                     name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
-                    os.rename(os.path.join(staging, e), os.path.join(cell_dir, name))
+                    cfs.rename(cfs.join(staging, e), cfs.join(cell_dir, name))
                     new_names.append(name)
-            shutil.rmtree(staging)
+            cfs.rmtree(staging)
             replaced[cell] = (files, new_names)
         if before_commit is not None:
             before_commit()
-        m2 = _load(root)
+        m2 = _load(cfs, root)
         if m2["generation"] != gen_seen:
             # an append committed mid-compact: our staged replacements may
             # miss its files — abandon them (invisible orphans; vacuum
@@ -251,12 +285,12 @@ def manifest_compact(
             m2["cells"][cell] = sorted(keep + new)
         m2["retired"] = [[c, f] for c, (old, _) in replaced.items() for f in old]
         m2["generation"] += 1
-        _commit(root, m2)
+        _commit(cfs, root, m2)
         # delete what the PREVIOUS generation retired (grace expired)
         for cell, f in prev_retired:
-            p = os.path.join(root, f"cell={cell}", f)
-            if os.path.exists(p):
-                os.remove(p)
+            p = cfs.join(root, f"cell={cell}", f)
+            if cfs.exists(p):
+                cfs.remove_any(p)
         return m2
 
 
@@ -265,14 +299,15 @@ def manifest_artifacts(spark: SparkSession, sf_dir: str, path: str):
     committed codes. A manifest_rebuild commits a POINTER to a fresh
     generation-stamped artifacts file inside the same atomic manifest
     replace (a bare sidecar overwrite would race readers: new artifacts
-    visible with the old codes still committed). Pre-rebuild manifests
-    carry no pointer — fall back to the plain sidecar / memoized trainers."""
-    root = _root(path)
-    if os.path.exists(os.path.join(root, MANIFEST)):
-        m = _load(root)
+    visible with the old codes still committed); manifest_snapshot points
+    an adopted index at its plain sidecar. Manifests without a pointer
+    fall back to the plain sidecar / memoized trainers."""
+    cfs, root = _ifs(path)
+    if cfs.exists(cfs.join(root, MANIFEST)):
+        m = _load(cfs, root)
         if m.get("artifacts"):
-            with open(os.path.join(root, m["artifacts"])) as fh:
-                a = json.load(fh)
+            with cfs.open_input(cfs.join(root, m["artifacts"])) as fh:
+                a = json.loads(fh.read().decode("utf-8"))
             return a["centroids"], a["codebooks"]
     from .similarity import _index_artifacts
 
@@ -307,9 +342,9 @@ def manifest_rebuild(
         fit_pq_codebooks,
     )
 
-    root = _root(path)
+    cfs, root = _ifs(path)
     while True:
-        gen_seen = _load(root)["generation"]
+        gen_seen = _load(cfs, root)["generation"]
         rows = manifest_read(spark, path).select("vec_id", "embedding").persist()
         rows.count()  # barrier: retrain + encode read this frame many times
         try:
@@ -325,15 +360,16 @@ def manifest_rebuild(
                 _books_literal(books),
                 keep_embedding=True,
             )
-            added = _stage_codes(spark, root, codes)
+            added = _stage_codes(spark, cfs, root, codes)
         finally:
             rows.unpersist()
         art_name = f"_ann_artifacts.{uuid.uuid4().hex[:12]}.json"
-        with open(os.path.join(root, art_name), "w") as fh:
-            json.dump({"centroids": cents, "codebooks": books}, fh)
+        _put_json(
+            cfs, cfs.join(root, art_name), {"centroids": cents, "codebooks": books}
+        )
         if before_commit is not None:
             before_commit()
-        m2 = _load(root)
+        m2 = _load(cfs, root)
         if m2["generation"] != gen_seen:
             continue  # an append moved the snapshot: redo against it
         prev_retired = [(c, f) for c, f in m2.get("retired", [])]
@@ -345,41 +381,44 @@ def manifest_rebuild(
             ],
             "artifacts": art_name,
         }
-        _commit(root, new_manifest)
+        _commit(cfs, root, new_manifest)
         for cell, f in prev_retired:
-            p = os.path.join(root, f"cell={cell}", f)
-            if os.path.exists(p):
-                os.remove(p)
+            p = cfs.join(root, f"cell={cell}", f)
+            if cfs.exists(p):
+                cfs.remove_any(p)
         return new_manifest
 
 
 def manifest_vacuum(path: str) -> list[str]:
     """Reap files no committed manifest references: crash orphans from
-    aborted stages and compactions, plus expired retirees. Never touches a
-    file the current manifest lists (live) or names in ``retired`` (still
-    inside the grace window). Returns the deleted paths."""
-    import glob as _glob
-    import shutil
-
-    root = _root(path)
-    m = _load(root)
+    aborted stages and compactions, plus expired retirees and superseded
+    artifact generations. Never touches a file the current manifest lists
+    (live) or names in ``retired`` (still inside the grace window).
+    Returns the deleted fs paths."""
+    cfs, root = _ifs(path)
+    m = _load(cfs, root)
     live = {
         (c, f) for c, files in m["cells"].items() for f in files
     } | {(c, f) for c, f in m.get("retired", [])}
     deleted: list[str] = []
-    for stage in _glob.glob(os.path.join(root, ".stage_*")):
-        shutil.rmtree(stage)
-        deleted.append(stage)
-    for cell_dir in _glob.glob(os.path.join(root, "cell=*")):
-        cell = os.path.basename(cell_dir)[len("cell="):]
-        for e in os.listdir(cell_dir):
-            if e.endswith(".parquet") and (cell, e) not in live:
-                os.remove(os.path.join(cell_dir, e))
-                deleted.append(os.path.join(cell_dir, e))
-    # generation-stamped artifacts files superseded by a later rebuild
-    # (the plain _ann_artifacts.json pre-manifest sidecar is never touched)
-    for art in _glob.glob(os.path.join(root, "_ann_artifacts.*.json")):
-        if os.path.basename(art) != m.get("artifacts"):
-            os.remove(art)
-            deleted.append(art)
+    for entry in cfs.listdir(root):
+        p = cfs.join(root, entry)
+        if entry.startswith(".stage_"):
+            cfs.rmtree(p)
+            deleted.append(p)
+        elif entry.startswith("cell="):
+            cell = entry[len("cell="):]
+            for e in cfs.listdir(p):
+                if e.endswith(".parquet") and (cell, e) not in live:
+                    cfs.remove_any(cfs.join(p, e))
+                    deleted.append(cfs.join(p, e))
+        elif (
+            entry.startswith("_ann_artifacts.")
+            and entry.endswith(".json")
+            and entry != "_ann_artifacts.json"  # pre-manifest plain sidecar
+            and entry != m.get("artifacts")
+        ):
+            # generation-stamped artifacts superseded by a later rebuild
+            cfs.remove_any(p)
+            deleted.append(p)
     return deleted

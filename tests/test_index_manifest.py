@@ -166,7 +166,9 @@ def test_manifest_rebuild_atomic_artifacts_and_retirement(spark, tmp_path):
     manifest_append(spark, base_dir, path, delta1)
     before = {r.vec_id for r in manifest_read(spark, path).select("vec_id").collect()}
 
-    root = path[len("file:"):] if path.startswith("file:") else path
+    from dbt_parquet_spark.operators.index_manifest import _ifs
+
+    _, root = _ifs(path)
     m_before = json.load(open(os.path.join(root, MANIFEST)))
     old_files = {
         (c, f) for c, files in m_before["cells"].items() for f in files
