@@ -389,6 +389,75 @@ def manifest_rebuild(
         return new_manifest
 
 
+def manifest_stream_append(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    stream_id: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous vector ingest under the manifest protocol, with
+    TRANSACTIONAL batch idempotency: each micro-batch of ``(vec_id,
+    embedding)`` rows is encoded with the manifest's artifacts, staged
+    invisibly, and committed by a manifest replace that ALSO records the
+    batch id under ``streams[stream_id]`` — the Delta-style
+    (txnAppId, txnVersion) discipline. A replayed batch (at-least-once
+    delivery: crash between the manifest commit and the checkpoint commit)
+    finds its id already recorded and SKIPS — the duplicate is prevented by
+    the commit record itself, not by filename conventions, so it holds on
+    object stores where the listing protocol's overwrite-by-deterministic-
+    name relies on rename semantics. A crash between stage and manifest
+    commit leaves invisible orphans (vacuum reaps).
+
+    ``stream_id`` identifies the logical stream across restarts (defaults
+    to the checkpoint path); starting a DIFFERENT checkpoint against the
+    same index needs a different stream_id — micro-batch ids restart at 0
+    per checkpoint, exactly like Delta's txnAppId rule. Single mutator at
+    a time (the manifest protocol's standing rule): stop the ingest before
+    a rebuild/compact maintains the index, restart it after."""
+    from .kmeans import assign_udf
+    from .similarity import _books_literal, _pq_encode
+
+    cfs, root = _ifs(path)
+    sid = stream_id if stream_id is not None else str(checkpoint_dir)
+    cents, books = manifest_artifacts(spark, sf_dir, path)
+    assign = assign_udf(cents)
+    books_lit = _books_literal(books)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        m = _load(cfs, root)
+        last = m.get("streams", {}).get(sid)
+        if last is not None and batch_id <= last:
+            return  # replay of a committed batch: the txn record skips it
+        if batch_df.isEmpty():
+            return
+        assigned = batch_df.select(
+            "vec_id", "embedding", assign(F.col("embedding")).alias("cell")
+        )
+        codes = _pq_encode(
+            assigned.select("vec_id", "cell", "embedding"),
+            books_lit,
+            keep_embedding=True,
+        )
+        added = _stage_codes(spark, cfs, root, codes)
+        m = _load(cfs, root)
+        for cell, names in added.items():
+            m["cells"].setdefault(cell, [])
+            m["cells"][cell] = sorted(m["cells"][cell] + names)
+        m.setdefault("streams", {})[sid] = batch_id
+        m["generation"] += 1
+        _commit(cfs, root, m)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def manifest_vacuum(path: str) -> list[str]:
     """Reap files no committed manifest references: crash orphans from
     aborted stages and compactions, plus expired retirees and superseded

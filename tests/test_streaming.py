@@ -560,3 +560,106 @@ def test_stream_append_to_pq_index_bit_identical_and_replay(spark, tmp_path):
     q2.awaitTermination(300)
     q2.stop()
     assert contents(streamed) == want, f"replay of batch {replayed} changed the index"
+
+
+def test_manifest_stream_append_txn_idempotent(spark, tmp_path):
+    """Streaming ingest under the MANIFEST protocol: streamed (vec_id,
+    codes, cell) must equal a manifest_append of the same delta (same
+    frozen artifacts), every batch commit must be transactional — the
+    manifest records streams[stream_id]=batch_id — and the at-least-once
+    worst case (kill between the MANIFEST commit and the CHECKPOINT
+    commit) must be absorbed by the txn record: the replayed batch is
+    skipped outright, the generation does not move, and no filename
+    convention is involved (the object-store-safe discipline)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.catalog import FilesystemCatalog
+    from dbt_parquet_spark.operators.index_manifest import (
+        MANIFEST,
+        _ifs,
+        manifest_append,
+        manifest_read,
+        manifest_snapshot,
+        manifest_stream_append,
+    )
+    from dbt_parquet_spark.operators.similarity import build_pq_index
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    base_dir = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{base_dir}/embeddings.parquet")
+
+    cat = FilesystemCatalog(f"file://{tmp_path}/db")
+    streamed = build_pq_index(spark, base_dir, catalog=cat, rel=cat.relation("m_stream"))
+    batched = build_pq_index(spark, base_dir, catalog=cat, rel=cat.relation("m_batch"))
+    manifest_snapshot(streamed)
+    manifest_snapshot(batched)
+
+    delta = emb.filter(F.col("vec_id") >= 400)
+    halves = [
+        delta.toPandas(),
+        delta.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding").toPandas(),
+    ]
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    for i, pdf in enumerate(halves):
+        f = str(src / f"part-{i:03d}.parquet")
+        papq.write_table(pa.Table.from_pandas(pdf), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    ckpt = tmp_path / "ckpt_m_ingest"
+    q = manifest_stream_append(
+        spark, base_dir, streamed, source(), str(ckpt), stream_id="ingest-a"
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    for pdf in halves:
+        manifest_append(spark, base_dir, batched, spark.createDataFrame(pdf))
+
+    def contents(path):
+        return {
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in manifest_read(spark, path).collect()
+        }
+
+    want = contents(batched)
+    got = contents(streamed)
+    assert len(got) == 400 + 2 * len(halves[0])
+    assert got == want  # streamed == batch manifest_append, bit-identical
+
+    cfs, root = _ifs(streamed)
+    with cfs.open_input(cfs.join(root, MANIFEST)) as fh:
+        m_before = json.loads(fh.read().decode())
+    assert m_before["streams"]["ingest-a"] == 1  # both batches recorded
+    gen_before = m_before["generation"]
+
+    # kill between MANIFEST commit and CHECKPOINT commit, then replay: the
+    # txn record must absorb the re-delivery — contents AND generation
+    # unchanged (the replayed batch commits nothing, stages nothing live)
+    _drop_last_commit(ckpt)
+    q2 = manifest_stream_append(
+        spark, base_dir, streamed, source(), str(ckpt), stream_id="ingest-a"
+    )
+    q2.awaitTermination(300)
+    q2.stop()
+    assert contents(streamed) == want
+    with cfs.open_input(cfs.join(root, MANIFEST)) as fh:
+        m_after = json.loads(fh.read().decode())
+    assert m_after["generation"] == gen_before
+    assert m_after["streams"]["ingest-a"] == 1
