@@ -170,12 +170,15 @@ def verify_pq_index(
             & (F.array_max("stored_codes") < PQ_K)
         ).alias("shape_ok"),
     )
+    def _bad(flag: str):  # SUM over an empty frame is NULL, not 0
+        return F.coalesce(F.sum(F.when(~F.col(flag), 1).otherwise(0)), F.lit(0))
+
     agg = checked.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("vec_id").alias("distinct_ids"),
-        F.sum(F.when(~F.col("codes_ok"), 1).otherwise(0)).alias("codes_bad"),
-        F.sum(F.when(~F.col("cell_ok"), 1).otherwise(0)).alias("cell_bad"),
-        F.sum(F.when(~F.col("shape_ok"), 1).otherwise(0)).alias("shape_bad"),
+        _bad("codes_ok").alias("codes_bad"),
+        _bad("cell_ok").alias("cell_bad"),
+        _bad("shape_ok").alias("shape_bad"),
         F.min("stored_cell").alias("cell_min"),
         F.max("stored_cell").alias("cell_max"),
     ).collect()[0]
