@@ -70,3 +70,62 @@ def test_bm25_generic_api_other_query(spark):
         for r in bm25_topk(spark, SF_SMALL, terms, k).collect()
     }
     assert got == expected
+
+
+def test_retrieval_eval_matches_pure_python_exactly(spark):
+    """q_retrieval_eval pinned bit-identical to an independent pure-Python
+    computation: the run is re-derived by the _py_bm25 scorer above, the
+    English-relevance qrels, DCG weights, ppm freezes and integer-division
+    ratios are all recomputed here from the raw documents — nothing shared
+    with the Spark builder or the DuckDB oracle."""
+    from dbt_parquet_spark.operators.serving import (
+        EVAL_CUTOFFS,
+        EVAL_POOL,
+        q_retrieval_eval,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+    run = list(_py_bm25(docs, topk=EVAL_POOL))  # doc_ids in rank order
+    nt = len(BM25_QUERY_TERMS)
+
+    def rel_of(r):
+        toks = r.text.split(" ")
+        n = sum(1 for t in BM25_QUERY_TERMS if t in toks)
+        if r.lang == "en" and n == nt:
+            return 2
+        if r.lang == "en" and n == nt - 1:
+            return 1
+        return 0
+
+    rels = {r.doc_id: rel_of(r) for r in docs}
+    w = {i: 1.0 / math.log2(i + 1.0) for i in range(1, EVAL_POOL + 1)}
+    ideal = sorted(rels.values(), reverse=True)[:EVAL_POOL]
+
+    expected = []
+    for k in EVAL_CUTOFFS:
+        top = run[:k]
+        n_rel = sum(1 for d in top if rels[d] >= 1)
+        first = next((i + 1 for i, d in enumerate(top) if rels[d] >= 1), None)
+        dcg = sum(
+            math.floor(1000000.0 * rels[d] * w[i + 1]) for i, d in enumerate(top)
+        )
+        idcg = sum(
+            math.floor(1000000.0 * rel * w[j + 1])
+            for j, rel in enumerate(ideal[:k])
+        )
+        expected.append(
+            (
+                k,
+                n_rel,
+                (1000000 * n_rel) // k,
+                (1000000 // first) if first else 0,
+                dcg,
+                (1000000 * dcg) // idcg if idcg else 0,
+            )
+        )
+    got = [tuple(r) for r in q_retrieval_eval(spark, SF_SMALL).collect()]
+    assert got == expected
+    # non-vacuity on the shipped corpus: at least one cutoff discriminates
+    assert any(0 < row[5] < 1000000 for row in got), got
