@@ -120,6 +120,7 @@ EXTENSION_HEADLINE = [
     "q_partitioned_scan",
     "q_hybrid_retrieval",
     "q_substring_evidence",
+    "q_retrieval_eval",
     # ANN-PQ joins the headliners now that the codes table is materialized
     # (build_pq_index): recorded min-of-3 is the encode-free steady state;
     # the one-time index build lands in the first (discarded) rep.

@@ -289,8 +289,11 @@ def _dcg_weights() -> dict[int, float]:
     return {i: 1.0 / math.log2(i + 1.0) for i in range(1, EVAL_POOL + 1)}
 
 
-def _retrieval_eval_oracle() -> str:
-    from .text import BM25_QUERY_TERMS, bm25_oracle_sql
+def _metrics_sql(run_sql: str) -> str:
+    """The metric CTE chain for ANY ranked run: ``run_sql`` must yield
+    (doc_id, r) with r in 1..EVAL_POOL. Shared by the lexical and hybrid
+    eval oracles so both judge against the identical qrels/weights."""
+    from .text import BM25_QUERY_TERMS
 
     w = _dcg_weights()
     w_case_r = "CASE r " + " ".join(
@@ -305,10 +308,7 @@ def _retrieval_eval_oracle() -> str:
     )
     nt = len(BM25_QUERY_TERMS)
     return f"""
-    WITH run AS (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r
-        FROM ({bm25_oracle_sql(BM25_QUERY_TERMS, EVAL_POOL)}) bm
-    ),
+    WITH run AS ({run_sql}),
     qrels AS (
         SELECT doc_id,
                CASE WHEN lang = 'en' AND n_match = {nt} THEN 2
@@ -349,40 +349,34 @@ def _retrieval_eval_oracle() -> str:
     """
 
 
-@register(
-    "q_retrieval_eval",
-    oracle=_retrieval_eval_oracle(),
-    tags=("retrieval", "eval", "bm25", "pipeline"),
-)
-def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-quality metrics for the BM25 run at cutoffs (1, 5, 10):
-    precision@k, MRR@k and NDCG@k in exact integer ppm, against graded
-    qrels derived from distinct-term presence (see the block comment).
-    Returns one row per cutoff: (k, n_rel_topk, prec_ppm, mrr_ppm,
-    dcg_ppm, ndcg_ppm). Fully oracle-checked.
+def _retrieval_eval_oracle() -> str:
+    from .text import BM25_QUERY_TERMS, bm25_oracle_sql
 
-    Scale: the run is the BM25 top-k (TakeOrdered over the posting join —
-    q_bm25_topk's plan); qrels are a map-only projection of the corpus;
-    the metric arithmetic happens on ≤ EVAL_POOL rows per query. The ideal
-    gains (IDCG) need only the corpus's TOP-EVAL_POOL relevance grades —
-    a TakeOrderedAndProject collect of 10 ints, never a global sort. The
-    cutoff expansion is a broadcast of 3 literals. At 100 TB the cost IS
-    the BM25 run + one corpus projection."""
-    from pyspark.sql import Window
+    return _metrics_sql(
+        f"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r
+        FROM ({bm25_oracle_sql(BM25_QUERY_TERMS, EVAL_POOL)}) bm"""
+    )
 
-    from .text import BM25_QUERY_TERMS, BM25_TOP_K, bm25_topk
 
-    assert EVAL_POOL == BM25_TOP_K  # the run depth the oracle chain assumes
-    w = _dcg_weights()
+def _retrieval_eval_hybrid_oracle() -> str:
+    return _metrics_sql(
+        f"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS r
+        FROM ({_hybrid_oracle()}) hy"""
+    )
+
+
+def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-relevance graded judgments (see the block comment)."""
+    from .text import BM25_QUERY_TERMS
+
     nt = len(BM25_QUERY_TERMS)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     n_match = sum(
         F.when(F.array_contains(F.split(F.col("text"), " "), t), 1).otherwise(0)
         for t in BM25_QUERY_TERMS
     )
     en = F.col("lang") == "en"
-    qrels = docs.select(
+    return docs.select(
         "doc_id",
         F.when(en & (n_match == nt), 2)
         .when(en & (n_match == nt - 1), 1)
@@ -390,20 +384,25 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
     )
 
-    run = bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, EVAL_POOL)
-    # rank over the ≤EVAL_POOL-row run — the window is bounded, not corpus-keyed
-    ranked = run.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_ppm"), F.asc("doc_id")))
-        .alias("r"),
-    )
+
+def _ranking_metrics(
+    spark: SparkSession, sf_dir: str, ranked: DataFrame
+) -> DataFrame:
+    """Metrics for ANY ranked run: ``ranked`` carries (doc_id, r) with
+    r in 1..EVAL_POOL. One (k, n_rel_topk, prec_ppm, mrr_ppm, dcg_ppm,
+    ndcg_ppm) row per cutoff — the Spark twin of _metrics_sql."""
+    import math
+
+    w = _dcg_weights()
+    qrels = _qrels(spark, sf_dir)
     w_arr = F.array(*[F.lit(w[i]) for i in range(1, EVAL_POOL + 1)])
     contrib = ranked.join(qrels, "doc_id").select(
         "r",
         "rel",
         F.floor(
-            F.lit(1000000.0) * F.col("rel").cast("double") * F.element_at(w_arr, F.col("r"))
+            F.lit(1000000.0)
+            * F.col("rel").cast("double")
+            * F.element_at(w_arr, F.col("r").cast("int"))
         )
         .cast("long")
         .alias("c"),
@@ -412,10 +411,10 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IDCG inputs: the corpus's top-EVAL_POOL grades — 10 ints on the driver
     ideal = [
         r.rel
-        for r in qrels.orderBy(F.desc("rel"), F.asc("doc_id")).limit(EVAL_POOL).collect()
+        for r in qrels.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(EVAL_POOL)
+        .collect()
     ]
-    import math
-
     idcg = {
         k: sum(
             int(math.floor(1000000.0 * rel * w[j + 1]))
@@ -434,7 +433,9 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(F.broadcast(ks), F.col("r") <= F.col("k"))
         .groupBy("k")
         .agg(
-            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)).cast("long").alias("n_rel_topk"),
+            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel_topk"),
             F.min(F.when(F.col("rel") >= 1, F.col("r"))).alias("first_rel"),
             F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("dcg_ppm"),
         )
@@ -462,3 +463,59 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_retrieval_eval",
+    oracle=_retrieval_eval_oracle(),
+    tags=("retrieval", "eval", "bm25", "pipeline"),
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the BM25 run at cutoffs (1, 5, 10):
+    precision@k, MRR@k and NDCG@k in exact integer ppm, against graded
+    qrels derived from English-relevance distinct-term presence (see the
+    block comment). Returns one row per cutoff: (k, n_rel_topk, prec_ppm,
+    mrr_ppm, dcg_ppm, ndcg_ppm). Fully oracle-checked and pinned to an
+    independent pure-Python recomputation (tests/test_retrieval.py).
+
+    Scale: the run is the BM25 top-k (TakeOrdered over the posting join —
+    q_bm25_topk's plan); qrels are a map-only projection of the corpus;
+    the metric arithmetic happens on ≤ EVAL_POOL rows per query; ranks
+    come from the windowless broadcast-count (k² on 10 rows). The ideal
+    gains (IDCG) need only the corpus's TOP-EVAL_POOL relevance grades —
+    a TakeOrderedAndProject collect of 10 ints, never a global sort. The
+    cutoff expansion is a broadcast of 3 literals. At 100 TB the cost IS
+    the BM25 run + one corpus projection."""
+    from .text import BM25_QUERY_TERMS, BM25_TOP_K, bm25_topk
+
+    assert EVAL_POOL == BM25_TOP_K  # the run depth the oracle chain assumes
+    run = bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, EVAL_POOL).select(
+        "doc_id", "score_ppm"
+    )
+    ranked = _rank_by_broadcast_count(run, "score_ppm", "doc_id", "r").select(
+        "doc_id", "r"
+    )
+    return _ranking_metrics(spark, sf_dir, ranked)
+
+
+@register(
+    "q_retrieval_eval_hybrid",
+    oracle=_retrieval_eval_hybrid_oracle(),
+    tags=("retrieval", "eval", "hybrid", "rrf", "pipeline"),
+)
+def q_retrieval_eval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ranking metrics over the HYBRID (BM25 ⊕ dense RRF) run —
+    judged against the identical qrels and weights as q_retrieval_eval, so
+    the two result tables are directly comparable: the lexical-vs-hybrid
+    A/B every retrieval stack runs before switching its serving default.
+    Fully oracle-checked (the hybrid oracle chain composes under the
+    shared metric CTEs).
+
+    Scale: q_hybrid_retrieval's two top-k legs + the constant-size metric
+    arithmetic — evaluating a run costs one extra corpus projection on top
+    of producing it."""
+    run = q_hybrid_retrieval(spark, sf_dir).select("doc_id", "rrf_ppm")
+    ranked = _rank_by_broadcast_count(run, "rrf_ppm", "doc_id", "r").select(
+        "doc_id", "r"
+    )
+    return _ranking_metrics(spark, sf_dir, ranked)

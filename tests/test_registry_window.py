@@ -152,10 +152,11 @@ def test_registry_exposes_all_queries():
     # +q_index_verify (operators/index_verify.py — one-pass fsck of the
     # materialized index: duplicates, misplaced files, stale sidecar,
     # manifest coverage; corruption injection pinned in tests),
-    # +q_retrieval_eval (operators/serving.py — MRR/NDCG/precision@k of
-    # the BM25 run against English-relevance graded qrels, exact integer
-    # ppm, fully oracle-checked + pure-Python pinned)
-    assert len(specs) == 203
+    # +q_retrieval_eval, +q_retrieval_eval_hybrid (operators/serving.py —
+    # MRR/NDCG/precision@k of the BM25 run and the hybrid RRF run against
+    # the same English-relevance graded qrels, exact integer ppm, fully
+    # oracle-checked + pure-Python pinned; the lexical-vs-hybrid A/B)
+    assert len(specs) == 204
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

@@ -129,3 +129,25 @@ def test_retrieval_eval_matches_pure_python_exactly(spark):
     assert got == expected
     # non-vacuity on the shipped corpus: at least one cutoff discriminates
     assert any(0 < row[5] < 1000000 for row in got), got
+
+
+def test_retrieval_eval_hybrid_comparable_and_distinct(spark):
+    """The hybrid eval judges against the IDENTICAL qrels/weights as the
+    lexical eval (same schema, same cutoffs), and on the shipped corpus
+    the two runs genuinely rank differently — the dense leg surfaces
+    English documents the lexical run buries, so the A/B discriminates."""
+    from dbt_parquet_spark.operators.serving import (
+        q_retrieval_eval,
+        q_retrieval_eval_hybrid,
+    )
+
+    lex = [tuple(r) for r in q_retrieval_eval(spark, SF_SMALL).collect()]
+    hyb = [tuple(r) for r in q_retrieval_eval_hybrid(spark, SF_SMALL).collect()]
+    assert [r[0] for r in lex] == [r[0] for r in hyb]  # same cutoffs
+    assert lex != hyb  # the runs rank differently on the shipped corpus
+    # both bounded and well-formed
+    for rows in (lex, hyb):
+        for k, n_rel, prec, mrr, dcg, ndcg in rows:
+            assert 0 <= n_rel <= k
+            assert 0 <= prec <= 1000000 and 0 <= mrr <= 1000000
+            assert 0 <= ndcg <= 1000000
