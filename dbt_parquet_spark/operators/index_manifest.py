@@ -162,7 +162,10 @@ def _stage_codes(
     files are invisible to manifest readers until the commit (so the
     object-store copy+delete move cannot be observed half-done)."""
     staging = cfs.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-    codes.write.mode("overwrite").partitionBy("cell").parquet(cfs.spark_url(staging))
+    # cell-clustered (the build_pq_index layout rule): one staged file per cell
+    codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        cfs.spark_url(staging)
+    )
     added: dict[str, list[str]] = {}
     for scell in cfs.listdir(staging):
         if not scell.startswith("cell="):

@@ -896,7 +896,14 @@ def build_pq_index(
         catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="pq_index_"))
     if rel is None:
         rel = catalog.relation("pq_codes")
-    create_table_as(spark, catalog, rel, codes, partition_by=["cell"], register=False)
+    # one shuffle by cell before the write: each cell lands in exactly ONE
+    # task, so the layout is ONE file per cell at any write parallelism —
+    # without this, every task writes a sliver of every cell and a probed
+    # read opens tasks x nprobe files (25x more footers at the sf10 sweep)
+    create_table_as(
+        spark, catalog, rel, codes.repartition("cell"),
+        partition_by=["cell"], register=False,
+    )
     path = rel.path
     # the fitted artifacts travel WITH the index (underscore-prefixed, so
     # Spark's listing ignores the file like _SUCCESS): any session holding
@@ -946,7 +953,8 @@ def append_to_pq_index(
         assigned.select("vec_id", "cell", "embedding"), _books_literal(books),
         keep_embedding=True,
     )
-    codes.write.mode("append").partitionBy("cell").parquet(path)
+    # cell-clustered like the build: one new file per touched cell per append
+    codes.repartition("cell").write.mode("append").partitionBy("cell").parquet(path)
     return path
 
 
@@ -1164,7 +1172,7 @@ def rebuild_pq_index(
         root = _local_root(path)
         parent = os.path.dirname(root.rstrip("/"))
         tmp = os.path.join(parent, f".rebuild_{_uuid.uuid4().hex[:8]}")
-        codes.write.partitionBy("cell").parquet(tmp)
+        codes.repartition("cell").write.partitionBy("cell").parquet(tmp)
         _write_artifacts(tmp, cents, books)
     finally:
         rows.unpersist()

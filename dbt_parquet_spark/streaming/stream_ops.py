@@ -693,7 +693,9 @@ def stream_append_to_pq_index(
             keep_embedding=True,
         )
         staging = os.path.join(root, f".tmp_ingest_batch_{batch_id}")
-        codes.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        # cell-clustered (the build_pq_index layout rule): one file per
+        # touched cell per batch
+        codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(staging)
         marker = f"batch-{batch_id:010d}-"
         for cell_dir in _glob.glob(os.path.join(root, "cell=*")):
             for e in os.listdir(cell_dir):
