@@ -32,9 +32,6 @@ same as one un-probed query — an audit job, not a serving-path cost.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -101,16 +98,17 @@ def verify_pq_index(
         PQ_K,
         PQ_M,
         _books_literal,
-        _local_root,
         _pq_encode,
         build_pq_index,
         read_pq_index,
     )
 
-    from .index_manifest import MANIFEST, manifest_artifacts
+    from .index_manifest import MANIFEST, _ifs, _load, manifest_artifacts
 
     resolved = path if path is not None else build_pq_index(spark, sf_dir)
-    root = _local_root(resolved)
+    # all filesystem IO through the catalog's pyarrow.fs layer (the
+    # index_manifest posture): the fsck works on file:// / s3:// roots too
+    cfs, root = _ifs(resolved)
     # manifest_artifacts honors a manifest_rebuild's atomic artifacts
     # pointer and falls back to the plain sidecar / memoized trainers
     cents, books = manifest_artifacts(spark, sf_dir, resolved)
@@ -122,25 +120,24 @@ def verify_pq_index(
     # data-loss case manifest_files reports; the scan must survive them,
     # so it reads the existing subset rather than manifest_read's strict
     # file list.
-    if os.path.exists(os.path.join(root, MANIFEST)):
-        with open(os.path.join(root, MANIFEST)) as fh:
-            m = json.load(fh)
+    if cfs.exists(cfs.join(root, MANIFEST)):
+        m = _load(cfs, root)
         existing = [
             p
             for c, files in m["cells"].items()
             for f in files
-            if os.path.exists(p := os.path.join(root, f"cell={c}", f))
+            if cfs.exists(p := cfs.join(root, f"cell={c}", f))
         ]
         if not existing:  # total data loss: nothing left to scan
             rows = [
                 _report_row("row_count", False, 0, None, "index rows scanned")
             ]
-            rows.append(_verify_sidecar(root, cents, books))
-            rows.extend(_verify_manifest(root))
+            rows.append(_verify_sidecar(cfs, root, cents, books))
+            rows.extend(_verify_manifest(cfs, root))
             return spark.createDataFrame(rows, REPORT_SCHEMA)
         idx = (
-            spark.read.option("basePath", root)
-            .parquet(*existing)
+            spark.read.option("basePath", cfs.spark_url(root))
+            .parquet(*[cfs.spark_url(p) for p in existing])
             .withColumn("cell", F.col("cell").cast("long"))
         )
     else:
@@ -225,24 +222,22 @@ def verify_pq_index(
             "sidecar codebooks — stale sidecar or foreign codes",
         ),
     ]
-    rows.append(_verify_sidecar(root, cents, books))
-    rows.extend(_verify_manifest(root))
+    rows.append(_verify_sidecar(cfs, root, cents, books))
+    rows.extend(_verify_manifest(cfs, root))
     return spark.createDataFrame(rows, REPORT_SCHEMA)
 
 
-def _verify_sidecar(root: str, cents, books):
-    from .index_manifest import MANIFEST
+def _verify_sidecar(cfs, root: str, cents, books):
+    from .index_manifest import MANIFEST, _load
     from .similarity import _ARTIFACTS_FILE, PQ_K, PQ_M, PQ_SUB
 
-    f = os.path.join(root, _ARTIFACTS_FILE)
-    mf = os.path.join(root, MANIFEST)
-    if os.path.exists(mf):
+    f = cfs.join(root, _ARTIFACTS_FILE)
+    if cfs.exists(cfs.join(root, MANIFEST)):
         # a manifest artifacts pointer supersedes the plain sidecar
-        with open(mf) as fh:
-            pointed = json.load(fh).get("artifacts")
+        pointed = _load(cfs, root).get("artifacts")
         if pointed:
-            f = os.path.join(root, pointed)
-    if not os.path.exists(f):
+            f = cfs.join(root, pointed)
+    if not cfs.exists(f):
         # verification fell back to the memoized per-corpus trainers; the
         # audit above is still sound, but the index isn't self-describing
         return _report_row(
@@ -271,10 +266,10 @@ def _verify_sidecar(root: str, cents, books):
     )
 
 
-def _verify_manifest(root: str):
-    from .index_manifest import MANIFEST
+def _verify_manifest(cfs, root: str):
+    from .index_manifest import MANIFEST, _load
 
-    if not os.path.exists(os.path.join(root, MANIFEST)):
+    if not cfs.exists(cfs.join(root, MANIFEST)):
         skip = (
             "listing-protocol index (no _manifest.json)",
         )
@@ -282,8 +277,7 @@ def _verify_manifest(root: str):
             ("manifest_files", "skipped", None, None, skip[0]),
             ("manifest_coverage", "skipped", None, None, skip[0]),
         ]
-    with open(os.path.join(root, MANIFEST)) as fh:
-        m = json.load(fh)
+    m = _load(cfs, root)
     committed = {
         (c, f) for c, files in m["cells"].items() for f in files
     }
@@ -291,14 +285,14 @@ def _verify_manifest(root: str):
     missing = [
         (c, f)
         for c, f in sorted(committed)
-        if not os.path.exists(os.path.join(root, f"cell={c}", f))
+        if not cfs.exists(cfs.join(root, f"cell={c}", f))
     ]
     on_disk = set()
-    for entry in os.listdir(root):
+    for entry in cfs.listdir(root):
         if not entry.startswith("cell="):
             continue
         cell = entry[len("cell="):]
-        for e in os.listdir(os.path.join(root, entry)):
+        for e in cfs.listdir(cfs.join(root, entry)):
             if e.endswith(".parquet"):
                 on_disk.add((cell, e))
     orphans = sorted(on_disk - committed - retired)
