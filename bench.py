@@ -126,6 +126,13 @@ EXTENSION_HEADLINE = [
     # the one-time index build lands in the first (discarded) rep.
     "q_ann_pq",
     "q_ann_ivf_pq",
+    # r11 gates & serving: the skew diagnostic (two corpus shuffles), the
+    # keyed release diff (full-outer equi-join), the one-scan expectation
+    # suite, and greedy RAG context packing over the BM25 run.
+    "q_key_skew_profile",
+    "q_dataset_diff",
+    "q_expectations",
+    "q_context_pack",
 ]
 
 

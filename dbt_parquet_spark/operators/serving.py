@@ -519,3 +519,98 @@ def q_retrieval_eval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "r"
     )
     return _ranking_metrics(spark, sf_dir, ranked)
+
+
+# --- Context packing (RAG prompt assembly) ---------------------------------------
+# The last serving step before generation: take the ranked retrieval run
+# and pack passages into the model's context window under a token budget.
+# Greedy-by-rank prefix packing — the production default (highest-scored
+# passages first, stop when the budget is spent). Cumulative token counts
+# are monotone, so "prefix under budget" is exactly cum_tokens <= budget.
+
+CP_POOL = 20  # retrieval depth feeding the packer
+CP_BUDGET = 512  # context token budget
+
+
+def _context_pack_oracle() -> str:
+    from .text import BM25_QUERY_TERMS, bm25_oracle_sql
+
+    return f"""
+    WITH run AS ({bm25_oracle_sql(BM25_QUERY_TERMS, CP_POOL)}),
+    ranked AS (
+        SELECT doc_id, score_ppm,
+               ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS rank
+        FROM run
+    ),
+    sized AS (
+        SELECT r.doc_id, r.score_ppm, r.rank,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM ranked r JOIN documents d USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id, rank, n_tokens, score_ppm,
+               SUM(n_tokens) OVER (ORDER BY rank) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens, score_ppm
+    FROM cum WHERE cum_tokens <= {CP_BUDGET}
+    """
+
+
+@register(
+    "q_context_pack",
+    oracle=_context_pack_oracle(),
+    tags=("serving", "rag", "retrieval", "packing"),
+)
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context packing of the BM25 top-{CP_POOL} under a
+    {CP_BUDGET}-token budget: rank passages by (score DESC, doc_id), keep
+    the longest prefix whose cumulative whitespace-token count fits. The
+    budget deliberately cuts mid-list at every shipped scale factor so the
+    packer's boundary behavior is value-checked, not vacuous.
+
+    Scale: the run is a top-k (TakeOrderedAndProject); ranks and the
+    cumulative sum are windowless broadcast self-joins over <= CP_POOL
+    rows (k^2 constant work — the _rank_by_broadcast_count discipline);
+    token counts join the corpus via ONE broadcast of the k-row run into
+    the scan. Per query at 100 TB: one retrieval + one pruned projection.
+    Query batches ride the same shape keyed by query_id."""
+    from .text import BM25_QUERY_TERMS, bm25_topk
+
+    run = bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, CP_POOL).select(
+        "doc_id", "score_ppm"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    sized = docs.join(F.broadcast(run), "doc_id")
+    # ONE triangular self-join computes rank AND the cumulative token sum
+    # (rank = strictly-better count + 1; cum = better tokens + own — the
+    # self row always matches, so the join is inner and the run lineage
+    # appears exactly twice, the _rank_by_broadcast_count budget).
+    other = sized.select(
+        F.col("score_ppm").alias("_s2"),
+        F.col("doc_id").alias("_d2"),
+        F.col("n_tokens").alias("_t2"),
+    )
+    better_or_self = (
+        (F.col("_s2") > F.col("score_ppm"))
+        | ((F.col("_s2") == F.col("score_ppm")) & (F.col("_d2") < F.col("doc_id")))
+        | (F.col("_d2") == F.col("doc_id"))
+    )
+    cum = (
+        sized.join(F.broadcast(other), better_or_self)
+        .groupBy("doc_id", "n_tokens", "score_ppm")
+        .agg(
+            (
+                F.sum(F.when(F.col("_d2") != F.col("doc_id"), 1).otherwise(0)) + 1
+            )
+            .cast("long")
+            .alias("rank"),
+            F.sum("_t2").cast("long").alias("cum_tokens"),
+        )
+    )
+    return cum.filter(F.col("cum_tokens") <= CP_BUDGET).select(
+        "doc_id", "rank", "n_tokens", "cum_tokens", "score_ppm"
+    )

@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.snapshots",
     "dbt_parquet_spark.operators.serving",
     "dbt_parquet_spark.operators.index_verify",
+    "dbt_parquet_spark.operators.gates",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

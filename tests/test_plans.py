@@ -540,3 +540,45 @@ def test_hybrid_retrieval_leg_shapes(spark):
     assert plan.count("TakeOrderedAndProject") >= 2  # each leg + final fuse
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+# --- r11 gates & serving additions (operators/gates.py, q_context_pack) --------
+
+
+def test_expectations_single_scan(spark):
+    """q_expectations: all satisfied-counts (incl. the distinct) ride ONE
+    corpus scan and the constraint fan-out is a literal stack — no join,
+    no second pass."""
+    plan = _plan(spark, "q_expectations")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dataset_diff_prunes_and_equijoins(spark):
+    """q_dataset_diff: the version diff is a keyed equi-join (never a
+    nested-loop/cartesian) and every scan projects only (doc_id, text)."""
+    plan = _plan(spark, "q_dataset_diff")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "n_chars" not in line, line
+
+
+def test_key_skew_profile_branch_free(spark):
+    """q_key_skew_profile: ONE lineage — the corpus groupBy runs once (a
+    single FileScan; totals ride the same histogram window as the
+    cumsum), and the scan projects only the key column."""
+    plan = _plan(spark, "q_key_skew_profile")
+    assert plan.count("FileScan") == 1, plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_custkey" in read and "o_totalprice" not in read
+
+
+def test_context_pack_two_run_copies_no_smj(spark):
+    """q_context_pack: rank and cumulative tokens come from ONE fused
+    triangular broadcast self-join, so the BM25 run lineage appears
+    exactly twice (two TakeOrderedAndProject top-ks) and nothing sort-
+    merge-joins or goes cartesian."""
+    plan = _plan(spark, "q_context_pack")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") == 2, plan

@@ -155,8 +155,13 @@ def test_registry_exposes_all_queries():
     # +q_retrieval_eval, +q_retrieval_eval_hybrid (operators/serving.py —
     # MRR/NDCG/precision@k of the BM25 run and the hybrid RRF run against
     # the same English-relevance graded qrels, exact integer ppm, fully
-    # oracle-checked + pure-Python pinned; the lexical-vs-hybrid A/B)
-    assert len(specs) == 204
+    # oracle-checked + pure-Python pinned; the lexical-vs-hybrid A/B),
+    # +q_expectations, +q_dataset_diff, +q_key_skew_profile
+    # (operators/gates.py — declarative data-quality gate, keyed release
+    # diff, join-key skew diagnostics; all oracle-checked integer ppm),
+    # +q_context_pack (operators/serving.py — greedy RAG context packing
+    # of the BM25 run under a token budget, oracle-checked)
+    assert len(specs) == 208
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
