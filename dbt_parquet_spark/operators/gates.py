@@ -57,9 +57,63 @@ EXPECTATION_THRESHOLDS = {
 }
 
 
-def _expectations_oracle() -> str:
+# The ratio constraints: streaming-computable (no distinct aggregation —
+# Structured Streaming rejects it; the uniqueness check stays batch-only).
+RATIO_CHECKS = ("text_complete", "lang_in_set", "min_len_50", "max_chars_400")
+ALL_CHECKS = ("text_complete", "doc_id_unique", "lang_in_set", "min_len_50",
+              "max_chars_400")
+
+
+def compliance_aggs() -> list:
+    """The ratio-constraint satisfied-count aggregates — ONE shared
+    definition for the batch gate and the streaming monitor, so the two
+    can never drift. (The distinct-count constraint is appended batch-side
+    only.)"""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.count("text").alias("text_complete"),
+        F.sum(
+            F.when(F.col("lang").isin(*EXPECTED_LANGS), 1).otherwise(0)
+        ).alias("lang_in_set"),
+        F.sum(
+            F.when(F.length("text") >= GATE_MIN_LEN, 1).otherwise(0)
+        ).alias("min_len_50"),
+        F.sum(
+            F.when(F.col("n_chars") <= GATE_MAX_CHARS, 1).otherwise(0)
+        ).alias("max_chars_400"),
+    ]
+
+
+def constraints_fanout(m: DataFrame, checks: tuple[str, ...]) -> DataFrame:
+    """Fan the single aggregate row out to one verdict row per constraint
+    (a literal stack — no second pass) and freeze compliance as ppm."""
+    t = EXPECTATION_THRESHOLDS
+    parts = ", ".join(
+        f"'{c}', {c}, CAST({t[c]} AS BIGINT)" for c in checks
+    )
+    stacked = m.select(
+        F.expr(f"stack({len(checks)}, {parts}) AS (check_name, sat, threshold_ppm)"),
+        "n",
+    )
+    metric = F.expr("CAST((1000000 * sat) DIV n AS BIGINT)")
+    return stacked.select(
+        "check_name",
+        metric.alias("metric_ppm"),
+        "threshold_ppm",
+        (metric >= F.col("threshold_ppm")).alias("passed"),
+    )
+
+
+def expectations_oracle(checks: tuple[str, ...]) -> str:
+    """The DuckDB oracle chain for any subset of the constraint suite —
+    shared by q_expectations (all five) and the streaming monitor's
+    batch-parity oracle (the four ratio checks)."""
     langs = ", ".join(f"'{l}'" for l in EXPECTED_LANGS)
     t = EXPECTATION_THRESHOLDS
+    union = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS check_name, {c} AS sat, {t[c]} AS thr FROM m"
+        for c in checks
+    )
     return f"""
     WITH m AS (
         SELECT COUNT(*) AS n,
@@ -73,12 +127,7 @@ def _expectations_oracle() -> str:
         FROM documents
     ),
     c AS (
-        SELECT 'text_complete' AS check_name, text_complete AS sat,
-               {t['text_complete']} AS thr FROM m
-        UNION ALL SELECT 'doc_id_unique', doc_id_unique, {t['doc_id_unique']} FROM m
-        UNION ALL SELECT 'lang_in_set', lang_in_set, {t['lang_in_set']} FROM m
-        UNION ALL SELECT 'min_len_50', min_len_50, {t['min_len_50']} FROM m
-        UNION ALL SELECT 'max_chars_400', max_chars_400, {t['max_chars_400']} FROM m
+        {union}
     )
     SELECT check_name,
            CAST((1000000 * sat) // (SELECT n FROM m) AS BIGINT) AS metric_ppm,
@@ -90,54 +139,26 @@ def _expectations_oracle() -> str:
 
 @register(
     "q_expectations",
-    oracle=_expectations_oracle(),
+    oracle=expectations_oracle(ALL_CHECKS),
     tags=("gate", "quality", "expectations", "audit"),
 )
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite over the corpus: one row
     per constraint with its measured compliance (integer ppm), threshold,
     and pass/fail verdict — the gate a release pipeline fails on before
-    any heavy stage runs. All satisfied-counts come from ONE scan (a
-    single multi-aggregate; the countDistinct rides the same Expand shape
-    q_profile_table pins) and the constraint fan-out is a 5-literal stack
-    over that one aggregate row."""
+    any heavy stage runs. All satisfied-counts come from ONE scan (the
+    shared compliance_aggs plus the batch-only countDistinct, which rides
+    the same Expand shape q_profile_table pins) and the constraint fan-out
+    is a literal stack over that one aggregate row. The streaming twin
+    (q_stream_expectations, streaming/stream_ops.py) reuses the identical
+    aggregate and fan-out definitions."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    t = EXPECTATION_THRESHOLDS
     m = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("text").alias("text_complete"),
-        F.countDistinct("doc_id").alias("doc_id_unique"),
-        F.sum(
-            F.when(F.col("lang").isin(*EXPECTED_LANGS), 1).otherwise(0)
-        ).alias("lang_in_set"),
-        F.sum(
-            F.when(F.length("text") >= GATE_MIN_LEN, 1).otherwise(0)
-        ).alias("min_len_50"),
-        F.sum(
-            F.when(F.col("n_chars") <= GATE_MAX_CHARS, 1).otherwise(0)
-        ).alias("max_chars_400"),
+        *compliance_aggs(), F.countDistinct("doc_id").alias("doc_id_unique")
     )
-    stacked = m.select(
-        F.expr(
-            "stack(5, "
-            f"'text_complete', text_complete, CAST({t['text_complete']} AS BIGINT), "
-            f"'doc_id_unique', doc_id_unique, CAST({t['doc_id_unique']} AS BIGINT), "
-            f"'lang_in_set', lang_in_set, CAST({t['lang_in_set']} AS BIGINT), "
-            f"'min_len_50', min_len_50, CAST({t['min_len_50']} AS BIGINT), "
-            f"'max_chars_400', max_chars_400, CAST({t['max_chars_400']} AS BIGINT)"
-            ") AS (check_name, sat, threshold_ppm)"
-        ),
-        "n",
-    )
-    metric = F.expr("CAST((1000000 * sat) DIV n AS BIGINT)")
-    return stacked.select(
-        "check_name",
-        metric.alias("metric_ppm"),
-        "threshold_ppm",
-        (metric >= F.col("threshold_ppm")).alias("passed"),
-    )
+    return constraints_fanout(m, ALL_CHECKS)
 
 
 # --- Keyed dataset diff (release-to-release audit) ------------------------------

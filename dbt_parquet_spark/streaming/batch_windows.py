@@ -400,3 +400,32 @@ def q_stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(
         streaming_quality_ingest(spark, sf_dir), spark, output_mode="append"
     )
+
+
+def _stream_expectations_oracle() -> str:
+    from ..operators.gates import RATIO_CHECKS, expectations_oracle
+
+    return expectations_oracle(RATIO_CHECKS)
+
+
+@register(
+    "q_stream_expectations",
+    oracle=_stream_expectations_oracle(),
+    tags=("streaming", "gate", "quality", "expectations", "structured-streaming"),
+)
+def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run, fully oracle-checked: the
+    q_expectations data-quality gate evaluated as a continuous monitor
+    over the document ingest (complete-mode global aggregate; state is one
+    row of five BIGINTs). The constraint definitions are the gate's own
+    (gates.compliance_aggs / constraints_fanout — shared code, zero
+    drift); after availableNow drains the input, the streamed verdicts
+    equal the batch gate bit-for-bit, so the DuckDB oracle applies
+    directly (the four streaming-computable ratio constraints; the
+    distinct-count uniqueness check is batch-only — Structured Streaming
+    rejects distinct aggregation)."""
+    from .stream_ops import run_to_batch, streaming_expectations
+
+    return run_to_batch(
+        streaming_expectations(spark, sf_dir), spark, output_mode="complete"
+    )

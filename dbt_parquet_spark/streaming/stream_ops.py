@@ -485,6 +485,34 @@ def streaming_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: the q_expectations constraint suite
+    (operators/gates.py) evaluated continuously over the document ingest —
+    a complete-mode global streaming aggregate of the SHARED
+    satisfied-count definitions (gates.compliance_aggs — one definition,
+    batch and stream, so the gate semantics can never drift), fanned out
+    to per-constraint verdict rows by the shared gates.constraints_fanout.
+
+    The four RATIO constraints stream exactly (commutative integer
+    counts); the uniqueness constraint stays batch-only (Structured
+    Streaming rejects distinct aggregation — a streaming approximation
+    would silently weaken a gate whose whole point is exactness).
+
+    Scale: streaming state is ONE row of five BIGINTs — bounded forever,
+    no watermark needed; per-batch cost is a narrow map + partial
+    aggregate of the micro-batch. After all available input is processed
+    the complete-mode result equals the batch gate bit-for-bit, which is
+    why the registered twin is fully oracle-checked. Returns an unstarted
+    streaming DataFrame."""
+    from ..operators.gates import RATIO_CHECKS, compliance_aggs, constraints_fanout
+
+    stream = read_documents_stream(spark, sf_dir).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    m = stream.agg(*compliance_aggs())
+    return constraints_fanout(m, RATIO_CHECKS)
+
+
 def stream_scd2_to_table(
     stream_df: DataFrame,
     catalog,

@@ -160,8 +160,11 @@ def test_registry_exposes_all_queries():
     # (operators/gates.py — declarative data-quality gate, keyed release
     # diff, join-key skew diagnostics; all oracle-checked integer ppm),
     # +q_context_pack (operators/serving.py — greedy RAG context packing
-    # of the BM25 run under a token budget, oracle-checked)
-    assert len(specs) == 208
+    # of the BM25 run under a token budget, oracle-checked),
+    # +q_stream_expectations (streaming/batch_windows.py — the gate as a
+    # continuous Structured Streaming monitor, complete-mode one-row
+    # state, fully oracle-checked via shared constraint definitions)
+    assert len(specs) == 209
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

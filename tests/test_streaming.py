@@ -663,3 +663,26 @@ def test_manifest_stream_append_txn_idempotent(spark, tmp_path):
         m_after = json.loads(fh.read().decode())
     assert m_after["generation"] == gen_before
     assert m_after["streams"]["ingest-a"] == 1
+
+
+def test_streaming_expectations_matches_batch_gate(spark):
+    """The streamed constraint verdicts must equal the batch gate
+    bit-for-bit on the ratio checks (same shared definitions, complete
+    mode after draining all input), and the streamed suite must still
+    discriminate (max_chars_400 fails)."""
+    from dbt_parquet_spark.operators.gates import RATIO_CHECKS, q_expectations
+    from dbt_parquet_spark.streaming.stream_ops import streaming_expectations
+
+    out = run_to_batch(
+        streaming_expectations(spark, SF_SMALL), spark, output_mode="complete"
+    )
+    streamed = {
+        r.check_name: (r.metric_ppm, r.threshold_ppm, r.passed) for r in out.collect()
+    }
+    batch = {
+        r.check_name: (r.metric_ppm, r.threshold_ppm, r.passed)
+        for r in q_expectations(spark, SF_SMALL).collect()
+        if r.check_name in RATIO_CHECKS
+    }
+    assert streamed == batch
+    assert not streamed["max_chars_400"][2]
