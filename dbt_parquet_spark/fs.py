@@ -124,6 +124,36 @@ class CatalogFS:
     def open_output(self, path: str):
         return self.fs.open_output_stream(path)
 
+    # -- atomic JSON commit (manifest protocols) ------------------------------
+    def get_json(self, path: str):
+        import json
+
+        with self.open_input(path) as fh:
+            return json.loads(fh.read().decode("utf-8"))
+
+    def put_json_atomic(self, path: str, obj) -> None:
+        """Write JSON such that a reader sees either the previous or the new
+        content, never a torn write — THE commit primitive for manifest
+        protocols (operators/index_manifest.py, versioned.py). Local
+        filesystem: stage a dot-file sibling, then one ``os.replace`` (a
+        single atomic rename syscall). Object stores: a direct single-object
+        PUT is itself atomic (and read-after-write consistent on S3)."""
+        import json
+        import uuid
+
+        data = json.dumps(obj).encode("utf-8")
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            tmp = posixpath.join(
+                posixpath.dirname(path),
+                f".{posixpath.basename(path)}.{uuid.uuid4().hex[:8]}",
+            )
+            with self.open_output(tmp) as fh:
+                fh.write(data)
+            os.replace(tmp, path)
+        else:
+            with self.open_output(path) as fh:
+                fh.write(data)
+
 
 def resolve_database(database: str) -> CatalogFS:
     """Map a database string (plain path or FS URL) to a CatalogFS.

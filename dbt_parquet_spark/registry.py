@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.serving",
     "dbt_parquet_spark.operators.index_verify",
     "dbt_parquet_spark.operators.gates",
+    "dbt_parquet_spark.versioned",
 )
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's

@@ -163,8 +163,11 @@ def test_registry_exposes_all_queries():
     # of the BM25 run under a token budget, oracle-checked),
     # +q_stream_expectations (streaming/batch_windows.py — the gate as a
     # continuous Structured Streaming monitor, complete-mode one-row
-    # state, fully oracle-checked via shared constraint definitions)
-    assert len(specs) == 209
+    # state, fully oracle-checked via shared constraint definitions),
+    # +q_time_travel, +q_version_history (versioned.py — manifest-committed
+    # versioned tables: snapshot reads, time travel, rollback, vacuum;
+    # both fully oracle-checked over the replace/append/rollback lifecycle)
+    assert len(specs) == 211
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

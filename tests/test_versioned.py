@@ -1,0 +1,141 @@
+"""Versioned-table lifecycle: snapshot commits, time travel, rollback,
+vacuum, crash-orphan invisibility, and the file:// scheme path — the same
+posture tests/test_index_manifest.py pins for the ANN index protocol."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_parquet_spark.catalog import FilesystemCatalog
+from dbt_parquet_spark.versioned import (
+    VERSIONS_MANIFEST,
+    read_versioned,
+    rollback_versioned,
+    vacuum_versions,
+    version_history,
+    write_versioned,
+)
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    catalog = FilesystemCatalog(str(tmp_path / "db"))
+    catalog.create_schema("vt")
+    return catalog, catalog.relation("t", "vt")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_replace_append_time_travel_rollback(spark, vt):
+    catalog, rel = vt
+    v1 = write_versioned(spark, catalog, rel, spark.range(10).withColumnRenamed("id", "id_"))
+    # schema is per-version: a replace may change it freely
+    assert v1 == 1
+    write_versioned(spark, catalog, rel, spark.range(10))
+    v3 = write_versioned(spark, catalog, rel, spark.range(10, 13), mode="append")
+    assert v3 == 3
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(13))
+    # time travel: v2 still the pre-append snapshot
+    assert _ids(read_versioned(spark, catalog, rel, version=2)) == list(range(10))
+    # rollback is a metadata commit pointing back at v2's files
+    v4 = rollback_versioned(catalog, rel, 2)
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(10))
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert hist[v4]["op"] == "rollback" and hist[v4]["parent"] == 2
+    assert hist[v4]["is_current"] and not hist[3]["is_current"]
+    # append's version references parent files + delta (O(delta) IO)
+    assert hist[3]["n_files"] > hist[2]["n_files"]
+    assert hist[3]["rows"] == 13 and hist[2]["rows"] == 10
+
+
+def test_staged_orphans_invisible_until_commit(spark, vt):
+    """A crashed writer's staged files (and any stray parquet not in the
+    manifest) are invisible to readers — the explicit-file-list guarantee."""
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(5))
+    io = catalog.io
+    root = catalog.fs_path(rel)
+    # simulate a crash: stage bytes that never committed
+    spark.range(100, 200).write.mode("overwrite").parquet(
+        io.spark_url(io.join(root, ".stage_deadbeef"))
+    )
+    stray = io.join(root, "v999999-deadbeefdead.parquet")
+    spark.range(500, 600).coalesce(1).write.mode("overwrite").parquet(
+        io.spark_url(io.join(root, ".tmp_stray"))
+    )
+    part = next(
+        e for e in io.listdir(io.join(root, ".tmp_stray")) if e.endswith(".parquet")
+    )
+    io.rename(io.join(root, ".tmp_stray", part), stray)
+    io.rmtree(io.join(root, ".tmp_stray"))
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(5))
+    # vacuum reaps the orphans (stray uncommitted parquet + staging dir)
+    deleted = vacuum_versions(catalog, rel, keep_last=5)
+    assert "v999999-deadbeefdead.parquet" in deleted
+    assert any(d.startswith(".stage_") for d in deleted)
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(5))
+
+
+def test_vacuum_keeps_recent_reaps_old(spark, vt):
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(3))  # v1
+    write_versioned(spark, catalog, rel, spark.range(7))  # v2 (replace)
+    write_versioned(spark, catalog, rel, spark.range(7, 9), mode="append")  # v3
+    deleted = vacuum_versions(catalog, rel, keep_last=2)
+    # v1's files are only referenced by v1 -> reaped; v2's survive (v3 refs them)
+    assert deleted and all(d.startswith("v000001-") for d in deleted)
+    hist = version_history(catalog, rel)
+    assert [h["version"] for h in hist] == [2, 3]
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(9))
+    assert _ids(read_versioned(spark, catalog, rel, version=2)) == list(range(7))
+    with pytest.raises(KeyError):
+        read_versioned(spark, catalog, rel, version=1)
+
+
+def test_reader_grace_across_replace(spark, vt):
+    """A DataFrame resolved against version N keeps collecting correctly
+    after version N+1 commits (vacuum not yet run) — the no-rename-window
+    property directory-swap publishes cannot offer."""
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(4))
+    old = read_versioned(spark, catalog, rel)  # resolves v1's file list NOW
+    write_versioned(spark, catalog, rel, spark.range(100, 104))  # v2 replaces
+    assert _ids(old) == list(range(4))
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(100, 104))
+
+
+def test_file_scheme_end_to_end(spark, tmp_path):
+    """The whole lifecycle over an explicit file:// database — every IO
+    call runs through the scheme-prefixed spark_url join path (the s3/gs/
+    hdfs posture), not bare-path shortcuts."""
+    catalog = FilesystemCatalog(f"file://{tmp_path}/db")
+    catalog.create_schema("vt")
+    rel = catalog.relation("t", "vt")
+    write_versioned(spark, catalog, rel, spark.range(6))
+    write_versioned(spark, catalog, rel, spark.range(6, 8), mode="append")
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(8))
+    assert _ids(read_versioned(spark, catalog, rel, version=1)) == list(range(6))
+    assert catalog.io.exists(
+        catalog.io.join(catalog.fs_path(rel), VERSIONS_MANIFEST)
+    )
+
+
+def test_append_schema_gate(spark, vt):
+    """A mismatched append is rejected BEFORE any bytes move (it would
+    otherwise silently schema-merge nulls at read time); replace may
+    change the schema freely."""
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(3))
+    with pytest.raises(ValueError, match="append schema"):
+        write_versioned(
+            spark, catalog, rel,
+            spark.range(3).withColumnRenamed("id", "other"),
+            mode="append",
+        )
+    # nothing committed, nothing staged left behind
+    hist = version_history(catalog, rel)
+    assert [h["version"] for h in hist] == [1]
+    write_versioned(spark, catalog, rel, spark.range(3).withColumnRenamed("id", "other"))
+    assert read_versioned(spark, catalog, rel).columns == ["other"]
