@@ -29,6 +29,12 @@ from .materialize import create_table_as
 
 _REF = re.compile(r"\{\{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
 _SOURCE = re.compile(r"\{\{\s*source\(\s*['\"]([^'\"]*)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
+# dbt's model config block — only `materialized` is honored:
+# {{ config(materialized='versioned') }} commits the model as a manifest-
+# versioned snapshot (versioned.write_versioned) instead of a swap CTAS.
+_CONFIG = re.compile(
+    r"\{\{\s*config\(\s*materialized\s*=\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}"
+)
 
 
 @dataclass
@@ -44,6 +50,17 @@ class Model:
     @property
     def sources(self) -> list[tuple[str, str]]:
         return _SOURCE.findall(self.sql)
+
+    @property
+    def materialized(self) -> str:
+        m = _CONFIG.search(self.sql)
+        kind = m.group(1) if m else "table"
+        if kind not in ("table", "versioned"):
+            raise ValueError(
+                f"model {self.name}: unsupported materialization {kind!r} "
+                "(supported: table, versioned)"
+            )
+        return kind
 
 
 @dataclass
@@ -109,7 +126,8 @@ class Project:
         the DuckDB-dialect rewrites (dialect.translate_sql)."""
         from .dialect import translate_sql
 
-        sql = _REF.sub(lambda m: self._model_relation(m.group(1)).view_name, model.sql)
+        sql = _CONFIG.sub("", model.sql)  # config is metadata, not SQL
+        sql = _REF.sub(lambda m: self._model_relation(m.group(1)).view_name, sql)
         sql = _SOURCE.sub(
             lambda m: Relation(self.catalog.database, m.group(1), m.group(2)).view_name, sql
         )
@@ -118,6 +136,24 @@ class Project:
     def _model_relation(self, name: str) -> Relation:
         model = self.models[name]
         return self.catalog.relation(model.name, model.schema)
+
+    def _register_model_view(
+        self, spark: SparkSession, model: Model, rel: Relation
+    ) -> DataFrame | None:
+        """(Re-)register a model's view honoring its materialization: a
+        versioned model's view must read the manifest's CURRENT snapshot
+        (explicit file list) — a plain directory view over its root would
+        union every retained version's files."""
+        if model.materialized == "versioned":
+            from .versioned import VERSIONS_MANIFEST, read_versioned
+
+            io = self.catalog.io
+            if not io.exists(io.join(self.catalog.fs_path(rel), VERSIONS_MANIFEST)):
+                return None  # not built yet (first run builds + registers)
+            df = read_versioned(spark, self.catalog, rel)
+            df.createOrReplaceTempView(rel.view_name)
+            return df
+        return self.catalog.register_view(spark, rel)
 
     def dag_order(self) -> list[str]:
         ts = graphlib.TopologicalSorter(
@@ -246,7 +282,10 @@ class Project:
             if name in hashes:
                 return hashes[name]
             model = self.models[name]
-            parts = [self.compile_sql(model)]
+            # materialization is stripped from compiled SQL, so it must
+            # enter the hash on its own: switching table <-> versioned is a
+            # real change that must re-materialize under state="modified"
+            parts = [self.compile_sql(model), f"materialized:{model.materialized}"]
             for ref in sorted(set(model.refs)):
                 if ref in self.models:
                     parts.append(f"ref:{ref}:{h(ref)}")
@@ -288,6 +327,14 @@ class Project:
             raise ValueError(f"unsupported state mode: {state!r}")
         register_duckdb_compat(spark)  # DuckDB-dialect model SQL runs unchanged
         self.catalog.register_all_views(spark)
+        # versioned models' roots hold EVERY version's files — the plain
+        # directory view register_all_views just made would read them all.
+        # Re-register those views over the manifest's CURRENT snapshot, so
+        # refs to unselected versioned models resolve correctly.
+        for m in self.models.values():
+            rel = self._model_relation(m.name)
+            if m.materialized == "versioned" and self.catalog.exists(rel):
+                self._register_model_view(spark, m, rel)
         # external source() declarations resolve to views over their lake
         # paths; a temp view is just a named plan, so partition pruning and
         # filter pushdown reach the scan through it unchanged (plan-gated)
@@ -320,10 +367,20 @@ class Project:
                 and self.catalog.exists(rel)
             ):
                 # fresh: keep the table, just (re-)register its view
-                self.catalog.register_view(spark, rel)
+                self._register_model_view(spark, model, rel)
                 return RunResult(model=name, relation=rel, rows=-1, skipped=True)
             if model.schema != DEFAULT_SCHEMA:
                 self.catalog.create_schema(model.schema)
+            if model.materialized == "versioned":
+                from .versioned import version_history, write_versioned
+
+                write_versioned(
+                    spark, self.catalog, rel, spark.sql(self.compile_sql(model))
+                )
+                self._register_model_view(spark, model, rel)
+                # row count is free: it came from the staged parquet footers
+                rows = version_history(self.catalog, rel)[-1]["rows"]
+                return RunResult(model=name, relation=rel, rows=rows)
             df = create_table_as(
                 spark, self.catalog, rel, self.compile_sql(model), single_file=single_file
             )

@@ -420,3 +420,77 @@ def test_external_partitioned_source_through_runner(spark, db, tmp_path):
     r3 = project.run(spark, threads=2, state="modified")
     assert not r3["lake_stats"].skipped
     assert spark.table("lake_stats").count() >= 1
+
+
+def test_versioned_materialization_through_runner(spark, db):
+    """{{ config(materialized='versioned') }}: the model commits as a
+    manifest-versioned snapshot — reruns add versions (history retained,
+    time travel works), downstream refs read the CURRENT snapshot, and the
+    runner's row counts come from the manifest (no extra scan)."""
+    from dbt_parquet_spark.versioned import read_versioned, version_history
+
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model(
+            "curated",
+            "{{ config(materialized='versioned') }}\n"
+            "SELECT * FROM {{ source('source_schema', 'animals') }} "
+            "WHERE n_legs <= 5",
+        )
+    )
+    project.add(Model("counts", "SELECT COUNT(*) AS n FROM {{ ref('curated') }}"))
+    r1 = project.run(spark)
+    assert r1["curated"].rows == 3 and r1["counts"].rows == 1
+    assert spark.table("counts").first().n == 3
+
+    # model change -> rerun commits version 2; v1 stays addressable
+    project.add(
+        Model(
+            "curated",
+            "{{ config(materialized='versioned') }}\n"
+            "SELECT * FROM {{ source('source_schema', 'animals') }} "
+            "WHERE n_legs = 2",
+        )
+    )
+    r2 = project.run(spark)
+    assert r2["curated"].rows == 1
+    rel = db.relation("curated")
+    hist = version_history(db, rel)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert {h["rows"] for h in hist} == {3, 1}
+    assert read_versioned(spark, db, rel, version=1).count() == 3
+    # the registered view reads ONLY the current snapshot (2 versions of
+    # files live in the root — a directory read would see 4 rows)
+    assert spark.table("curated").count() == 1
+
+
+def test_versioned_incremental_skip_and_materialization_change(spark, db):
+    """state='modified': an unchanged versioned model is SKIPPED (no new
+    version committed) and its view still resolves the current snapshot;
+    switching table -> versioned is itself a change that re-materializes."""
+    from dbt_parquet_spark.versioned import version_history
+
+    _seed_source(spark, db)
+    project = Project(db)
+    project.add(
+        Model("m", "SELECT * FROM {{ source('source_schema', 'animals') }}")
+    )
+    project.run(spark)
+    # same SQL, now versioned: must NOT be skipped (materialization in hash)
+    project.add(
+        Model(
+            "m",
+            "{{ config(materialized='versioned') }}"
+            "SELECT * FROM {{ source('source_schema', 'animals') }}",
+        )
+    )
+    r = project.run(spark, state="modified")
+    assert not r["m"].skipped
+    rel = db.relation("m")
+    assert [h["version"] for h in version_history(db, rel)] == [1]
+    # unchanged rerun: skipped, still version 1, view still correct
+    r2 = project.run(spark, state="modified")
+    assert r2["m"].skipped
+    assert [h["version"] for h in version_history(db, rel)] == [1]
+    assert spark.table("m").count() == 4
