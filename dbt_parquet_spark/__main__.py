@@ -12,6 +12,7 @@
     python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
     python -m dbt_parquet_spark maintain --database DB [--stats | --table T (--compact | --cluster-by C1,C2 [--zorder])]
     python -m dbt_parquet_spark snapshot --database DB --from SRC --table T --key K (--updated-col C | --check-cols C1,C2 --as-of TS)
+    python -m dbt_parquet_spark versions --database DB --table T [--rollback V] [--vacuum KEEP]
 """
 
 from __future__ import annotations
@@ -179,6 +180,23 @@ def main(argv: list[str] | None = None) -> int:
         "belong to an in-flight write); 0 disables the gate",
     )
 
+    vt_p = sub.add_parser(
+        "versions",
+        help="versioned-table ops: history, rollback, vacuum (manifest protocol)",
+    )
+    common(vt_p)
+    vt_p.add_argument("--table", required=True)
+    vt_p.add_argument("--schema", default="")
+    vt_p.add_argument(
+        "--rollback", type=int, default=None, metavar="V",
+        help="commit a new version pointing back at snapshot V (metadata only)",
+    )
+    vt_p.add_argument(
+        "--vacuum", type=int, default=None, metavar="KEEP",
+        help="keep the newest KEEP versions, reap dropped versions' files "
+        "and staged orphans",
+    )
+
     args = p.parse_args(argv)
 
     from .catalog import FilesystemCatalog
@@ -191,6 +209,25 @@ def main(argv: list[str] | None = None) -> int:
         from .duck_bridge import interactive_shell
 
         return interactive_shell(catalog)
+
+    if args.cmd == "versions":
+        # pure metadata + fs ops — no Spark session needed
+        from .versioned import rollback_versioned, vacuum_versions, version_history
+
+        rel = catalog.relation(args.table, args.schema)
+        if args.rollback is not None:
+            v = rollback_versioned(catalog, rel, args.rollback)
+            print(f"OK rollback {rel.view_name} -> snapshot {args.rollback} (version {v})")
+        if args.vacuum is not None:
+            deleted = vacuum_versions(catalog, rel, keep_last=args.vacuum)
+            print(f"OK vacuum {rel.view_name}: {len(deleted)} file(s) reaped")
+        for h in version_history(catalog, rel):
+            cur = " <- current" if h["is_current"] else ""
+            print(
+                f"v{h['version']}\t{h['op']}\tparent={h['parent']}\t"
+                f"rows={h['rows']}\tfiles={h['n_files']}{cur}"
+            )
+        return 0
 
     from .session import get_spark
 

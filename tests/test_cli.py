@@ -233,3 +233,49 @@ def test_ann_index_example_runs(tmp_path):
     assert os.path.isdir(os.path.join(out, "ann_index.parquet")) or os.path.isdir(
         os.path.join(out, "ann_index")
     )
+
+
+def test_cli_versioned_model_lifecycle(tmp_path):
+    """A versioned model through the CLI: run commits v1, an edited rerun
+    commits v2, `versions` prints the history, --rollback points current
+    back at v1 (metadata commit), --vacuum reaps dropped snapshots."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "kept.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs <= 5\n"
+    )
+    seed = _cli("seed", "--database", db, "--csv", "examples/animals/seeds/animals.csv")
+    assert seed.returncode == 0
+
+    run1 = _cli("run", "--database", db, "--models-dir", str(models))
+    assert run1.returncode == 0 and "OK kept: 3 rows" in run1.stdout
+
+    (models / "kept.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs = 2\n"
+    )
+    run2 = _cli("run", "--database", db, "--models-dir", str(models))
+    assert run2.returncode == 0 and "OK kept: 1 rows" in run2.stdout
+
+    hist = _cli("versions", "--database", db, "--table", "kept")
+    assert hist.returncode == 0
+    assert "v1\treplace" in hist.stdout and "rows=3" in hist.stdout
+    assert "v2\treplace" in hist.stdout and "v2" in [
+        l.split("\t")[0] for l in hist.stdout.splitlines() if "<- current" in l
+    ]
+
+    back = _cli("versions", "--database", db, "--table", "kept", "--rollback", "1")
+    assert back.returncode == 0 and "OK rollback" in back.stdout
+    assert any(
+        l.startswith("v3\trollback") and "rows=3" in l and "<- current" in l
+        for l in back.stdout.splitlines()
+    )
+
+    vac = _cli("versions", "--database", db, "--table", "kept", "--vacuum", "1")
+    assert vac.returncode == 0 and "reaped" in vac.stdout
+    hist2 = _cli("versions", "--database", db, "--table", "kept")
+    # v3 (current, = v1's files) survives; v1/v2 entries pruned
+    assert "v3\trollback" in hist2.stdout and "v2\treplace" not in hist2.stdout
