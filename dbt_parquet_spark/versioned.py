@@ -109,13 +109,26 @@ def write_versioned(
     rel: Relation,
     df: DataFrame,
     mode: str = "replace",
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit df as the table's next version. ``replace`` snapshots df
     alone; ``append`` stages only df's files and the new version references
     parent files + staged files (O(delta) IO). Returns the new version id.
-    Single mutator at a time per table (load-modify-replace)."""
+    Single mutator at a time per table (load-modify-replace).
+
+    ``txn=(stream_id, batch_id)`` makes the commit TRANSACTIONAL for
+    streaming ingest (the Delta txnAppId/txnVersion discipline, shared
+    with index_manifest.manifest_stream_append): the batch id is recorded
+    under ``streams[stream_id]`` in the SAME manifest replace, and a
+    replayed batch (at-least-once delivery) finds its id recorded and
+    returns None without staging a byte."""
     assert mode in ("replace", "append"), mode
     m = _load_manifest(catalog, rel)
+    if txn is not None:
+        sid, bid = txn
+        last = m.get("streams", {}).get(sid)
+        if last is not None and bid <= last:
+            return None  # replay of a committed batch: the txn record skips it
     if mode == "append" and m["current"]:
         # schema gate BEFORE any bytes move: a mismatched append would
         # otherwise silently schema-merge (nulls) at read time
@@ -145,8 +158,47 @@ def write_versioned(
         "ts": time.time(),
     }
     m["current"] = version
+    if txn is not None:
+        m.setdefault("streams", {})[txn[0]] = txn[1]
     _commit_manifest(catalog, rel, m)
     return version
+
+
+def stream_append_versioned(
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    stream_id: str | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once streaming ingest into a versioned table: each
+    micro-batch commits as a new append version whose manifest replace
+    ALSO records the batch id (``write_versioned(txn=...)``). The
+    at-least-once worst case — a crash between the manifest commit and the
+    checkpoint commit — replays the batch into the txn skip, so the table
+    never holds a duplicate and every batch boundary stays addressable as
+    its own time-travel snapshot. ``stream_id`` identifies the logical
+    stream across restarts (defaults to the checkpoint path; a NEW
+    checkpoint against the same table needs a new stream_id — batch ids
+    restart at 0 per checkpoint). Single mutator at a time: pause the
+    ingest around a rollback/vacuum, resume after."""
+    sid = stream_id if stream_id is not None else str(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_versioned(
+            batch_df.sparkSession, catalog, rel, batch_df,
+            mode="append", txn=(sid, batch_id),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def rollback_versioned(

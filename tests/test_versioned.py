@@ -139,3 +139,59 @@ def test_append_schema_gate(spark, vt):
     assert [h["version"] for h in hist] == [1]
     write_versioned(spark, catalog, rel, spark.range(3).withColumnRenamed("id", "other"))
     assert read_versioned(spark, catalog, rel).columns == ["other"]
+
+
+def test_stream_append_versioned_exactly_once(spark, tmp_path):
+    """Streaming ingest into a versioned table: every micro-batch is its
+    own addressable append version, the manifest's txn record makes
+    replays no-ops (kill between manifest commit and checkpoint commit),
+    and the final contents equal batch appends of the same deltas."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.versioned import stream_append_versioned
+    from .test_streaming import _drop_last_commit
+
+    catalog = FilesystemCatalog(str(tmp_path / "db"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("t", "vt")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate((0, 10)):
+        f = str(src / f"part-{i:03d}.parquet")
+        papq.write_table(
+            pa.table({"id": list(range(lo, lo + 10))}), f
+        )
+        _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    ckpt = tmp_path / "ckpt"
+    q = stream_append_versioned(catalog, rel, source(), str(ckpt))
+    q.awaitTermination(300)
+    q.stop()
+
+    hist = version_history(catalog, rel)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["rows"] for h in hist] == [10, 20]
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(20))
+    # each batch boundary is its own time-travel snapshot
+    assert _ids(read_versioned(spark, catalog, rel, version=1)) == list(range(10))
+
+    # kill between manifest commit and checkpoint commit -> replay: the txn
+    # record absorbs it (no new version, no duplicate rows)
+    _drop_last_commit(ckpt)
+    q2 = stream_append_versioned(catalog, rel, source(), str(ckpt))
+    q2.awaitTermination(300)
+    q2.stop()
+    assert [h["version"] for h in version_history(catalog, rel)] == [1, 2]
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(20))
