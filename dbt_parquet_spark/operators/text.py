@@ -1067,6 +1067,173 @@ def bm25_topk(
     )
 
 
+# --- Batched BM25 (multi-query retrieval, one pass) -----------------------------
+# The serving-scale shape the single-query operator's docstring promises:
+# N queries share ONE postings pass. All queries' terms filter the token
+# explode together, df/idf are computed once per distinct term (a term
+# used by three queries has one idf), the (query_id, term) mapping joins
+# in as a broadcast literal table, and the per-query top-k is a
+# rank-within-query filter that rewrites to a map-side WindowGroupLimit —
+# so the marginal cost of an extra query is its extra postings, not
+# another corpus scan. Scoring is IDENTICAL to bm25_topk (same literals,
+# same association order), pinned by test: the batch's query-1 block
+# equals q_bm25_topk row for row.
+
+BM25_BATCH_QUERIES: dict[int, tuple[str, ...]] = {
+    1: BM25_QUERY_TERMS,  # comparability pin vs the single-query operator
+    2: ("stream", "window", "merge"),
+    3: ("filter", "scan"),
+}
+
+
+def bm25_batch_oracle_sql(queries: dict[int, tuple[str, ...]], k: int) -> str:
+    all_terms = tuple(sorted({t for ts in queries.values() for t in ts}))
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, ts in sorted(queries.items())
+        for t in ts
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    dl AS (SELECT doc_id, len(sp) AS dl FROM toks),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) AS n
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(sp) AS tok FROM toks)
+        WHERE tok IN {all_terms!r}
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    q AS (SELECT * FROM (VALUES {vals}) AS v(query_id, tok)),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(floor(1000000.0 * (
+                   ln(1.0 + ((CAST(stats.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE)) + 0.5)
+                            / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + CAST(1.2 AS DOUBLE)
+                           * (CAST(0.25 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+               )) AS BIGINT) AS c
+        FROM tf
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        JOIN q USING (tok)
+    ),
+    perdoc AS (
+        SELECT query_id, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(c) AS BIGINT) AS score_ppm
+        FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_ppm DESC, doc_id) AS rank
+        FROM perdoc
+    )
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, n_terms, score_ppm
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "q_bm25_batch",
+    oracle=bm25_batch_oracle_sql(BM25_BATCH_QUERIES, BM25_TOP_K),
+    tags=("text", "retrieval", "bm25", "batch", "serving"),
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for a BATCH of queries in one postings pass — see the
+    section comment for the sharing structure. Output: (query_id, doc_id,
+    rank, n_terms, score_ppm), k rows per query."""
+    return bm25_batch_topk(spark, sf_dir, BM25_BATCH_QUERIES, BM25_TOP_K)
+
+
+def bm25_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25: one token-scaffold pass scores every query. The
+    per-query top-k is row_number over Window.partitionBy("query_id")
+    filtered to rank <= k — Catalyst rewrites that to WindowGroupLimit
+    (per-input-partition heaps BEFORE the exchange, plan-gated), so only
+    k rows per query per partition shuffle; partition size is bounded by
+    candidate docs per query, the similarity.py query_id discipline."""
+    import math
+
+    from pyspark.sql import Window
+
+    from .dedup import doc_token_arrays
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    toks = doc_token_arrays(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    sum_dl, n = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    avgdl = float(sum_dl) / float(n) if n else 1.0
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # one idf per DISTINCT term (|terms| scalars on the driver — the
+    # dsir_llr_table discipline; see q_bm25_topk's cross-engine ln note)
+    dfreq = {r["tok"]: r["df"] for r in tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")).collect()}
+    idf_col = F.lit(None).cast("double")
+    for term in all_terms:
+        dfv = dfreq.get(term, 0)
+        idf = math.log(1.0 + ((float(n) - float(dfv)) + 0.5) / (float(dfv) + 0.5))
+        idf_col = F.when(F.col("tok") == term, F.lit(idf)).otherwise(idf_col)
+    tfpart = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id bigint, tok string",
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qdf), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(F.lit(1000000.0) * (idf_col * tfpart)).cast("long").alias("c"),
+        )
+    )
+    perdoc = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("c").cast("long").alias("score_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        perdoc.select(
+            "query_id", "doc_id", "n_terms", "score_ppm",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "n_terms",
+            "score_ppm",
+        )
+    )
+
+
 # --- Kneser-Ney smoothed bigram LM ---------------------------------------------
 # The standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
 # interpolated form): absolute discounting of observed bigram counts plus a

@@ -100,3 +100,30 @@ def test_context_pack_budget_boundary(spark):
         # the pack is maximal: the pool is deeper than the kept prefix
         # (CP_BUDGET cuts mid-list on the shipped corpora)
         assert len(rows) < 20
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """The batch operator's query-1 block must equal q_bm25_topk row for
+    row (same literals, same association order — scoring identity, not
+    just rank agreement), at both shipped scale factors."""
+    from dbt_parquet_spark.operators.text import (
+        BM25_BATCH_QUERIES,
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        bm25_batch_topk,
+        q_bm25_topk,
+    )
+
+    assert BM25_BATCH_QUERIES[1] == BM25_QUERY_TERMS
+    for sf in (SF_SMALL, SF_ORACLE):
+        single = {
+            (r["doc_id"], r["n_terms"], r["score_ppm"])
+            for r in q_bm25_topk(spark, sf).collect()
+        }
+        batch = {
+            (r["doc_id"], r["n_terms"], r["score_ppm"])
+            for r in bm25_batch_topk(spark, sf, BM25_BATCH_QUERIES, BM25_TOP_K)
+            .filter("query_id = 1")
+            .collect()
+        }
+        assert batch == single and len(single) == BM25_TOP_K

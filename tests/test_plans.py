@@ -291,6 +291,10 @@ def test_no_corpus_keyed_windows_in_source():
         ("temporal.py", ("_k",)),  # as-of partition bucket
         ("text.py", ("doc_id",)),  # positions/tokens within one document
         ("text.py", ("w1",)),  # aggregated counts: <= distinct successors
+        # batched BM25 per-query top-k: candidates per query; rank<=k
+        # rewrites to map-side WindowGroupLimit (plan-gated below), the
+        # similarity.py query_id discipline
+        ("text.py", ("query_id",)),
         # perplexity terciles: hierarchical per-source rank over 256 uniform
         # score bands (~corpus/256 rows per (source, band) partition — the
         # classifier.py / selection.py band discipline)
@@ -582,3 +586,14 @@ def test_context_pack_two_run_copies_no_smj(spark):
     plan = _plan(spark, "q_context_pack")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("TakeOrderedAndProject") == 2, plan
+
+
+def test_bm25_batch_windowgrouplimit_and_broadcast(spark):
+    """q_bm25_batch: the per-query rank<=k filter must rewrite to a
+    map-side WindowGroupLimit (per-partition heaps before the exchange —
+    only k rows per query per input partition shuffle), the (query_id,
+    term) table must broadcast, and nothing goes cartesian."""
+    plan = _plan(spark, "q_bm25_batch")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -166,8 +166,10 @@ def test_registry_exposes_all_queries():
     # state, fully oracle-checked via shared constraint definitions),
     # +q_time_travel, +q_version_history (versioned.py — manifest-committed
     # versioned tables: snapshot reads, time travel, rollback, vacuum;
-    # both fully oracle-checked over the replace/append/rollback lifecycle)
-    assert len(specs) == 211
+    # both fully oracle-checked over the replace/append/rollback lifecycle),
+    # +q_bm25_batch (operators/text.py — multi-query BM25 in one postings
+    # pass, WindowGroupLimit per-query top-k, oracle-checked)
+    assert len(specs) == 212
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
