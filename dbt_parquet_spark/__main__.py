@@ -196,6 +196,11 @@ def main(argv: list[str] | None = None) -> int:
         help="keep the newest KEEP versions, reap dropped versions' files "
         "and staged orphans",
     )
+    vt_p.add_argument(
+        "--optimize", action="store_true",
+        help="compact the current snapshot into ~128MB files as a new "
+        "version (history intact until --vacuum)",
+    )
 
     args = p.parse_args(argv)
 
@@ -211,10 +216,16 @@ def main(argv: list[str] | None = None) -> int:
         return interactive_shell(catalog)
 
     if args.cmd == "versions":
-        # pure metadata + fs ops — no Spark session needed
+        # pure metadata + fs ops — no Spark session needed (except --optimize)
         from .versioned import rollback_versioned, vacuum_versions, version_history
 
         rel = catalog.relation(args.table, args.schema)
+        if args.optimize:
+            from .session import get_spark as _gs
+            from .versioned import optimize_versioned
+
+            v = optimize_versioned(_gs("dbt_parquet_spark_cli"), catalog, rel)
+            print(f"OK optimize {rel.view_name} (version {v})")
         if args.rollback is not None:
             v = rollback_versioned(catalog, rel, args.rollback)
             print(f"OK rollback {rel.view_name} -> snapshot {args.rollback} (version {v})")

@@ -70,21 +70,52 @@ def _commit_manifest(catalog: FilesystemCatalog, rel: Relation, m: dict) -> None
     io.put_json_atomic(io.join(_root(catalog, rel), VERSIONS_MANIFEST), m)
 
 
-def _footer_rows(io, fs_path: str) -> int:
+def _footer_meta(
+    io, fs_path: str, stats_cols: tuple[str, ...] = ()
+) -> tuple[int, dict]:
+    """Row count + per-column [min, max] over the file's row groups, from
+    the parquet FOOTER only (no data pages read). Columns whose statistics
+    are absent or not JSON-native are skipped — a file with no recorded
+    stats is simply never pruned (skipping is conservative by design)."""
     import pyarrow.parquet as papq
 
     with io.open_input(fs_path) as fh:
-        return papq.ParquetFile(fh).metadata.num_rows
+        md = papq.ParquetFile(fh).metadata
+    stats: dict = {}
+    if stats_cols:
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        for col in stats_cols:
+            if col not in names:
+                continue
+            j = names.index(col)
+            lo = hi = None
+            ok = True
+            for i in range(md.num_row_groups):
+                s = md.row_group(i).column(j).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn, mx = s.min, s.max
+                if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                    mx, (int, float, str, bool)
+                ):
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                stats[col] = [lo, hi]
+    return md.num_rows, stats
 
 
 def _stage_files(
     spark: SparkSession, catalog: FilesystemCatalog, rel: Relation, df: DataFrame,
-    version: int,
-) -> tuple[list[str], int]:
+    version: int, stats_cols: tuple[str, ...] = (),
+) -> tuple[list[str], int, dict]:
     """Write df's part files into the table root under fresh unique names
     WITHOUT committing them (invisible to manifest readers until the
-    commit — the index_manifest staging discipline). Returns (names, rows
-    from the staged footers)."""
+    commit — the index_manifest staging discipline). Returns (names, rows,
+    {file: {col: [min, max]}}), all from the staged footers."""
     io = catalog.io
     root = _root(catalog, rel)
     io.makedirs(root)
@@ -92,15 +123,19 @@ def _stage_files(
     df.write.mode("overwrite").parquet(io.spark_url(staging))
     names: list[str] = []
     rows = 0
+    file_stats: dict = {}
     for e in io.listdir(staging):
         if not (e.startswith("part-") and e.endswith(".parquet")):
             continue
         name = f"v{version:06d}-{uuid.uuid4().hex[:12]}.parquet"
         io.rename(io.join(staging, e), io.join(root, name))
-        rows += _footer_rows(io, io.join(root, name))
+        n, stats = _footer_meta(io, io.join(root, name), stats_cols)
+        rows += n
+        if stats:
+            file_stats[name] = stats
         names.append(name)
     io.rmtree(staging)
-    return sorted(names), rows
+    return sorted(names), rows, file_stats
 
 
 def write_versioned(
@@ -110,6 +145,7 @@ def write_versioned(
     df: DataFrame,
     mode: str = "replace",
     txn: tuple[str, int] | None = None,
+    stats_cols: tuple[str, ...] | None = None,
 ) -> int | None:
     """Commit df as the table's next version. ``replace`` snapshots df
     alone; ``append`` stages only df's files and the new version references
@@ -121,9 +157,18 @@ def write_versioned(
     with index_manifest.manifest_stream_append): the batch id is recorded
     under ``streams[stream_id]`` in the SAME manifest replace, and a
     replayed batch (at-least-once delivery) finds its id recorded and
-    returns None without staging a byte."""
+    returns None without staging a byte.
+
+    ``stats_cols`` declares data-skipping columns: per-file [min, max]
+    for each is read off the staged FOOTERS and recorded in the manifest,
+    and later writes (appends, streaming batches, optimize) inherit the
+    declaration automatically — ``read_versioned(where=...)`` then prunes
+    files manifest-side, before the scan sees them."""
     assert mode in ("replace", "append"), mode
     m = _load_manifest(catalog, rel)
+    if stats_cols is not None:
+        m["stats_cols"] = sorted(stats_cols)
+    effective_stats_cols = tuple(m.get("stats_cols", ()))
     if txn is not None:
         sid, bid = txn
         last = m.get("streams", {}).get(sid)
@@ -140,7 +185,9 @@ def write_versioned(
                 "immutable snapshots — history keeps the old shape)"
             )
     version = m["current"] + 1
-    names, rows = _stage_files(spark, catalog, rel, df, version)
+    names, rows, file_stats = _stage_files(
+        spark, catalog, rel, df, version, effective_stats_cols
+    )
     if mode == "append" and m["current"]:
         parent = m["versions"][str(m["current"])]
         files = parent["files"] + names
@@ -158,6 +205,8 @@ def write_versioned(
         "ts": time.time(),
     }
     m["current"] = version
+    if file_stats:
+        m.setdefault("stats", {}).update(file_stats)
     if txn is not None:
         m.setdefault("streams", {})[txn[0]] = txn[1]
     _commit_manifest(catalog, rel, m)
@@ -229,18 +278,92 @@ def read_versioned(
     catalog: FilesystemCatalog,
     rel: Relation,
     version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Scan one committed snapshot (default: current): explicit file list
     from the manifest — never a directory listing, so staged/orphaned/
     vacuum-pending files are invisible and the read is a consistent
-    point-in-time view at any concurrency."""
+    point-in-time view at any concurrency.
+
+    ``where={col: (lo, hi)}`` enables manifest-side DATA SKIPPING over the
+    declared stats_cols: a file whose recorded [min, max] cannot intersect
+    [lo, hi] is dropped from the file list before Spark ever opens its
+    footer (the Delta data-skipping shape — at 100 TB this is the
+    difference between touching every file's footer and touching only the
+    matching fraction). Skipping is CONSERVATIVE: files without recorded
+    stats always survive, and the scan is pruned-not-filtered — callers
+    still apply the exact predicate (None bounds are open-ended)."""
     io = catalog.io
     m = _load_manifest(catalog, rel)
     v = m["current"] if version is None else version
     entry = m["versions"][str(v)]
     root = _root(catalog, rel)
-    files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
+    names = entry["files"]
+    if where:
+        stats = m.get("stats", {})
+
+        def survives(name: str) -> bool:
+            fstats = stats.get(name, {})
+            for col, (lo, hi) in where.items():
+                rng = fstats.get(col)
+                if rng is None:
+                    continue  # no stats recorded: conservative keep
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            return True
+
+        names = [f for f in names if survives(f)]
+    if not names:
+        # empty selection: an empty frame with the snapshot's schema
+        all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
+        return spark.read.parquet(*all_files).limit(0)
+    files = [io.spark_url(io.join(root, f)) for f in names]
     return spark.read.parquet(*files)
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact the CURRENT snapshot's files into ~target_bytes files,
+    committed as a new version (op='optimize') — the small-file
+    maintenance a per-batch streaming ingest eventually needs, with
+    history intact: every pre-compaction version stays addressable until
+    vacuum, and a reader mid-scan on the old file list is untouched
+    (files are never mutated, only superseded). The rewrite itself is one
+    read of the current snapshot coalesced to ceil(bytes/target) tasks.
+    Single mutator at a time (the standing rule)."""
+    io = catalog.io
+    m = _load_manifest(catalog, rel)
+    cur = m["versions"][str(m["current"])]
+    root = _root(catalog, rel)
+    total = sum(io.getsize(io.join(root, f)) for f in cur["files"])
+    n_out = max(1, -(-total // target_bytes))
+    df = read_versioned(spark, catalog, rel).coalesce(n_out)
+    version = m["current"] + 1
+    names, rows, file_stats = _stage_files(
+        spark, catalog, rel, df, version, tuple(m.get("stats_cols", ()))
+    )
+    assert rows == cur["rows"], (rows, cur["rows"])  # lossless by construction
+    import time
+
+    m["versions"][str(version)] = {
+        "files": names,
+        "op": "optimize",
+        "parent": m["current"],
+        "rows": rows,
+        "columns": list(cur["columns"]),
+        "ts": time.time(),
+    }
+    m["current"] = version
+    if file_stats:
+        m.setdefault("stats", {}).update(file_stats)
+    _commit_manifest(catalog, rel, m)
+    return version
 
 
 def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
@@ -281,6 +404,8 @@ def vacuum_versions(
         keep.append(str(m["current"]))
     kept_files = {f for k in keep for f in m["versions"][k]["files"]}
     m["versions"] = {k: m["versions"][k] for k in keep}
+    if "stats" in m:  # stats entries for reaped files go with them
+        m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
     _commit_manifest(catalog, rel, m)
     deleted = []
     for e in io.listdir(root):

@@ -279,3 +279,24 @@ def test_cli_versioned_model_lifecycle(tmp_path):
     hist2 = _cli("versions", "--database", db, "--table", "kept")
     # v3 (current, = v1's files) survives; v1/v2 entries pruned
     assert "v3\trollback" in hist2.stdout and "v2\treplace" not in hist2.stdout
+
+
+def test_cli_versions_optimize(tmp_path):
+    """versions --optimize compacts the current snapshot as a new version."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "m.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }}\n"
+    )
+    assert _cli("seed", "--database", db, "--csv",
+                "examples/animals/seeds/animals.csv").returncode == 0
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    out = _cli("versions", "--database", db, "--table", "m", "--optimize")
+    assert out.returncode == 0 and "OK optimize" in out.stdout
+    assert any(
+        l.startswith("v2\toptimize") and "rows=4" in l and "<- current" in l
+        for l in out.stdout.splitlines()
+    )

@@ -195,3 +195,66 @@ def test_stream_append_versioned_exactly_once(spark, tmp_path):
     q2.stop()
     assert [h["version"] for h in version_history(catalog, rel)] == [1, 2]
     assert _ids(read_versioned(spark, catalog, rel)) == list(range(20))
+
+
+def test_optimize_compacts_with_history(spark, vt):
+    """optimize commits the current snapshot rewritten into few files as a
+    new version: same rows, fewer files, history intact (the pre-compaction
+    version still reads), and vacuum can then reap the small files."""
+    from dbt_parquet_spark.versioned import optimize_versioned
+
+    catalog, rel = vt
+    # many small appends (the streaming-ingest end state)
+    write_versioned(spark, catalog, rel, spark.range(0, 4).repartition(4))
+    for lo in (4, 8, 12):
+        write_versioned(
+            spark, catalog, rel, spark.range(lo, lo + 4).repartition(4),
+            mode="append",
+        )
+    before = version_history(catalog, rel)[-1]
+    assert before["n_files"] >= 8
+    v = optimize_versioned(spark, catalog, rel)
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert hist[v]["op"] == "optimize" and hist[v]["rows"] == 16
+    assert hist[v]["n_files"] < before["n_files"]
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(16))
+    # pre-compaction snapshot still addressable
+    assert _ids(read_versioned(spark, catalog, rel, version=before["version"])) == list(range(16))
+    deleted = vacuum_versions(catalog, rel, keep_last=1)
+    assert len(deleted) >= 8
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(16))
+
+
+def test_data_skipping_prunes_files_manifest_side(spark, vt):
+    """Declared stats_cols record per-file [min, max] from the staged
+    footers; read_versioned(where=...) drops non-intersecting files from
+    the explicit list BEFORE the scan (inputFiles shrinks), values stay
+    correct, and appends inherit the declaration automatically."""
+    from pyspark.sql import functions as F
+
+    catalog, rel = vt
+    df = spark.range(0, 1000).withColumn("id", F.col("id").cast("long"))
+    write_versioned(
+        spark, catalog, rel, df.repartitionByRange(10, "id"),
+        stats_cols=("id",),
+    )
+    # append inherits stats_cols (no param) — disjoint higher range
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(1000, 2000).repartitionByRange(10, "id"),
+        mode="append",
+    )
+    full = read_versioned(spark, catalog, rel)
+    assert len(full.inputFiles()) == 20
+    pruned = read_versioned(spark, catalog, rel, where={"id": (1500, 1599)})
+    assert len(pruned.inputFiles()) < 4  # ~1 of 20 range-partitioned files
+    got = sorted(
+        r["id"] for r in pruned.filter("id BETWEEN 1500 AND 1599").collect()
+    )
+    assert got == list(range(1500, 1600))
+    # open-ended bound + conservative keep
+    hi = read_versioned(spark, catalog, rel, where={"id": (1900, None)})
+    assert 0 < len(hi.inputFiles()) < 4
+    # non-intersecting range -> empty frame, schema preserved
+    none = read_versioned(spark, catalog, rel, where={"id": (99999, None)})
+    assert none.count() == 0 and none.columns == ["id"]
