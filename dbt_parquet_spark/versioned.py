@@ -438,7 +438,13 @@ def _lifecycle_table(
     catalog.create_schema("vt")
     rel = catalog.relation("docs", "vt")
     docs = load_table(spark, sf_dir, "documents")
-    write_versioned(spark, catalog, rel, docs, mode="replace")
+    # range-clustered v1 with declared skipping stats on the key: each of
+    # the 8 files holds a disjoint doc_id range, so the q_versioned_skipping
+    # predicate provably prunes the file list (gated in tests)
+    write_versioned(
+        spark, catalog, rel, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
     write_versioned(
         spark, catalog, rel, docs.filter(F.col("doc_id") % 13 == 0), mode="append"
     )
@@ -504,3 +510,32 @@ def q_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version bigint, op string, parent bigint, rows_at bigint, is_current boolean",
     )
+
+
+SKIP_LO, SKIP_HI = 100, 199  # the q_versioned_skipping predicate window
+
+
+@register(
+    "q_versioned_skipping",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id BETWEEN {SKIP_LO} AND {SKIP_HI}
+    """,
+    tags=("versioned", "data-skipping", "pruning", "catalog"),
+)
+def q_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side data skipping, driver-checked: read the versioned
+    lifecycle table's CURRENT snapshot (= v1 via the rollback) with a
+    doc_id range predicate — the manifest's per-file [min, max] stats drop
+    non-intersecting files from the explicit list before any footer is
+    opened (v1 is range-clustered into 8 files, so most never reach
+    Spark; the file-count shrink is pinned in tests/test_versioned.py),
+    then the exact predicate filters the pruned scan. Oracle = the same
+    WHERE over the source table."""
+    catalog, rel = _lifecycle_table(spark, sf_dir)
+    pruned = read_versioned(
+        spark, catalog, rel, where={"doc_id": (SKIP_LO, SKIP_HI)}
+    )
+    return pruned.filter(
+        (F.col("doc_id") >= SKIP_LO) & (F.col("doc_id") <= SKIP_HI)
+    ).select("doc_id", "lang", "source", "n_chars")

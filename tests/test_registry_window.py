@@ -168,8 +168,11 @@ def test_registry_exposes_all_queries():
     # versioned tables: snapshot reads, time travel, rollback, vacuum;
     # both fully oracle-checked over the replace/append/rollback lifecycle),
     # +q_bm25_batch (operators/text.py — multi-query BM25 in one postings
-    # pass, WindowGroupLimit per-query top-k, oracle-checked)
-    assert len(specs) == 212
+    # pass, WindowGroupLimit per-query top-k, oracle-checked),
+    # +q_versioned_skipping (versioned.py — manifest-side data skipping:
+    # per-file min/max stats prune the explicit file list before the
+    # scan; file-count shrink pinned in tests, oracle-checked)
+    assert len(specs) == 213
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

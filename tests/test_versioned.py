@@ -258,3 +258,22 @@ def test_data_skipping_prunes_files_manifest_side(spark, vt):
     # non-intersecting range -> empty frame, schema preserved
     none = read_versioned(spark, catalog, rel, where={"id": (99999, None)})
     assert none.count() == 0 and none.columns == ["id"]
+
+
+def test_q_versioned_skipping_prunes_lifecycle_files(spark):
+    """The registered skipping query must actually prune: the lifecycle
+    table's current snapshot is 8 range-clustered files and the predicate
+    window must reach Spark with strictly fewer of them."""
+    from dbt_parquet_spark.versioned import (
+        SKIP_HI,
+        SKIP_LO,
+        _lifecycle_table,
+        read_versioned,
+    )
+    from .conftest import SF_SMALL
+
+    catalog, rel = _lifecycle_table(spark, SF_SMALL)
+    full = read_versioned(spark, catalog, rel)
+    pruned = read_versioned(spark, catalog, rel, where={"doc_id": (SKIP_LO, SKIP_HI)})
+    assert len(full.inputFiles()) == 8
+    assert 0 < len(pruned.inputFiles()) <= 3
