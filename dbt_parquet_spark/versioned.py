@@ -323,6 +323,100 @@ def read_versioned(
     return spark.read.parquet(*files)
 
 
+def merge_versioned(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    updates: DataFrame,
+    key: str,
+) -> int:
+    """Copy-on-write MERGE (upsert): rows whose ``key`` matches an update
+    are replaced, unmatched update rows are inserted, everything else is
+    untouched — at FILE granularity, the Delta merge shape. The skipping
+    stats pick the candidate files (those whose [min, max] on ``key`` can
+    intersect the updates' key range — conservative: stat-less files are
+    always candidates); ONLY candidates are rewritten (their unmatched
+    rows + all updates), every other file is carried into the new version
+    by reference. On a range-clustered table with declared stats a narrow
+    update rewrites a narrow slice of the data, never the table.
+
+    ``updates`` must be key-unique and share the table's schema. Single
+    mutator at a time (the standing rule); history stays addressable."""
+    io = catalog.io
+    m = _load_manifest(catalog, rel)
+    cur = m["versions"][str(m["current"])]
+    if list(updates.columns) != cur["columns"]:
+        raise ValueError(
+            f"merge schema {list(updates.columns)} != table schema "
+            f"{cur['columns']}"
+        )
+    root = _root(catalog, rel)
+    stats = m.get("stats", {})
+    if updates.limit(1).count() == 0:  # empty update set: no version churn
+        return m["current"]
+    # Exact file-granular candidate selection: one pass of the update keys
+    # against a BROADCAST |files|-row interval table built from the
+    # manifest stats — a file is a candidate iff some update key falls
+    # inside its recorded [min, max] (stat-less files are always
+    # candidates). Distributed and key-set-exact, so disjoint inserts far
+    # outside a file's range never force its rewrite (an envelope check
+    # would).
+    intervals = [
+        (name, rng[0], rng[1])
+        for name in cur["files"]
+        if (rng := stats.get(name, {}).get(key)) is not None
+    ]
+    no_stats = [f for f in cur["files"] if key not in stats.get(f, {})]
+    touched: set[str] = set()
+    if intervals:
+        ivdf = spark.createDataFrame(intervals, ["_file", "_lo", "_hi"])
+        touched = {
+            r["_file"]
+            for r in updates.select(F.col(key).alias("_k"))
+            .join(
+                F.broadcast(ivdf),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+    candidates = sorted(touched | set(no_stats))
+    untouched = [f for f in cur["files"] if f not in set(candidates)]
+    version = m["current"] + 1
+    if candidates:
+        cand = spark.read.parquet(
+            *[io.spark_url(io.join(root, f)) for f in candidates]
+        )
+        merged = cand.join(updates.select(key), key, "left_anti").unionByName(
+            updates
+        )
+        cand_rows = sum(
+            _footer_meta(io, io.join(root, f))[0] for f in candidates
+        )
+    else:
+        merged = updates
+        cand_rows = 0
+    names, rows_new, file_stats = _stage_files(
+        spark, catalog, rel, merged, version, tuple(m.get("stats_cols", ()))
+    )
+    import time
+
+    m["versions"][str(version)] = {
+        "files": sorted(untouched) + names,
+        "op": "merge",
+        "parent": m["current"],
+        "rows": cur["rows"] - cand_rows + rows_new,
+        "columns": list(cur["columns"]),
+        "ts": time.time(),
+    }
+    m["current"] = version
+    if file_stats:
+        m.setdefault("stats", {}).update(file_stats)
+    _commit_manifest(catalog, rel, m)
+    return version
+
+
 def optimize_versioned(
     spark: SparkSession,
     catalog: FilesystemCatalog,
@@ -539,3 +633,71 @@ def q_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.filter(
         (F.col("doc_id") >= SKIP_LO) & (F.col("doc_id") <= SKIP_HI)
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# Merge scaffold: its own memoized table (separate from the time-travel
+# lifecycle — registered queries must be idempotent across bench reps, so
+# the merge happens ONCE per session and the query just reads the result).
+_MERGE_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+MERGE_INSERT_OFFSET = 20_000_000
+
+
+def _merge_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MERGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_merge_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_merge", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    write_versioned(
+        spark, catalog, rel, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.lit("merged").alias("source"), "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + MERGE_INSERT_OFFSET).alias("doc_id"),
+                F.lit("inserted").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    merge_versioned(spark, catalog, rel, updates, key="doc_id")
+    _MERGE_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_versioned_merge",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'merged' ELSE source END AS source,
+           n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {MERGE_INSERT_OFFSET}, 'inserted', n_chars
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+    tags=("versioned", "merge", "upsert", "catalog"),
+)
+def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE, driver-checked: upsert a deterministic update
+    set (every doc_id % 10 == 0 re-sourced to 'merged'; doc_id % 17 == 0
+    re-keyed copies inserted) into a range-clustered versioned table and
+    read the committed result. File granularity is pinned in
+    tests/test_versioned.py: the inserted keys land far above the base
+    range, yet only candidate files (stats-overlapping the update range —
+    here all 8, since modified keys span the corpus) are rewritten, and
+    the pre-merge snapshot stays addressable. Oracle = the same upsert in
+    plain SQL over the source table."""
+    catalog, rel = _merge_table(spark, sf_dir)
+    return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")

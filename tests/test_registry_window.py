@@ -171,8 +171,10 @@ def test_registry_exposes_all_queries():
     # pass, WindowGroupLimit per-query top-k, oracle-checked),
     # +q_versioned_skipping (versioned.py — manifest-side data skipping:
     # per-file min/max stats prune the explicit file list before the
-    # scan; file-count shrink pinned in tests, oracle-checked)
-    assert len(specs) == 213
+    # scan; file-count shrink pinned in tests, oracle-checked),
+    # +q_versioned_merge (versioned.py — copy-on-write MERGE at file
+    # granularity via the skipping stats, oracle-checked)
+    assert len(specs) == 214
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])

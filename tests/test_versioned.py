@@ -277,3 +277,64 @@ def test_q_versioned_skipping_prunes_lifecycle_files(spark):
     pruned = read_versioned(spark, catalog, rel, where={"doc_id": (SKIP_LO, SKIP_HI)})
     assert len(full.inputFiles()) == 8
     assert 0 < len(pruned.inputFiles()) <= 3
+
+
+def test_merge_file_granular_copy_on_write(spark, vt):
+    """MERGE rewrites ONLY the files whose stats can contain updated keys:
+    a narrow update on a range-clustered table carries the other files
+    into the new version BY REFERENCE (same names), replaces matched rows,
+    inserts unmatched ones, and keeps the pre-merge snapshot addressable."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import merge_versioned
+
+    catalog, rel = vt
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    write_versioned(
+        spark, catalog, rel, base.repartitionByRange(10, "id"),
+        stats_cols=("id",),
+    )
+    m_before = version_history(catalog, rel)[-1]
+    files_before = set(
+        f.rsplit("/", 1)[-1] for f in read_versioned(spark, catalog, rel).inputFiles()
+    )
+    # narrow update: keys 100-109 modified, 105.5-ish inserts via new keys
+    updates = spark.range(100, 110).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val")
+    ).unionByName(
+        spark.range(2000, 2005).select(
+            F.col("id"), F.lit(-2).cast("long").alias("val")
+        )
+    )
+    v = merge_versioned(spark, catalog, rel, updates, key="id")
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert hist[v]["op"] == "merge" and hist[v]["rows"] == 1005
+    files_after = set(
+        f.rsplit("/", 1)[-1] for f in read_versioned(spark, catalog, rel).inputFiles()
+    )
+    carried = files_before & files_after
+    # 10 range files; the update range touches ~2 (plus inserts above max)
+    assert len(carried) >= 7, (len(files_before), len(carried))
+    out = {r["id"]: r["val"] for r in read_versioned(spark, catalog, rel).collect()}
+    assert len(out) == 1005
+    assert all(out[i] == -1 for i in range(100, 110))
+    assert all(out[i] == -2 for i in range(2000, 2005))
+    assert out[99] == 198 and out[110] == 220  # neighbors untouched
+    # pre-merge snapshot unchanged
+    old = {r["id"]: r["val"] for r in
+           read_versioned(spark, catalog, rel, version=m_before["version"]).collect()}
+    assert len(old) == 1000 and old[100] == 200
+
+
+def test_merge_empty_updates_noop(spark, vt):
+    from dbt_parquet_spark.versioned import merge_versioned
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(5))
+    v = merge_versioned(
+        spark, catalog, rel, spark.range(0).limit(0), key="id"
+    )
+    assert v == 1
+    assert [h["version"] for h in version_history(catalog, rel)] == [1]
