@@ -417,6 +417,71 @@ def merge_versioned(
     return version
 
 
+def delete_versioned(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    condition,
+    prune: dict | None = None,
+) -> int:
+    """Copy-on-write DELETE: commit a new version without the rows
+    matching ``condition`` (a Column predicate). ``prune={col: (lo, hi)}``
+    bounds the candidate files via the skipping stats — files outside the
+    range provably hold no matching rows and carry into the new version by
+    reference (the caller asserts the predicate is confined to the range;
+    without ``prune`` every file is rewritten). Same manifest commit,
+    history, and vacuum story as merge."""
+    io = catalog.io
+    m = _load_manifest(catalog, rel)
+    cur = m["versions"][str(m["current"])]
+    root = _root(catalog, rel)
+    stats = m.get("stats", {})
+
+    def survives_prune(name: str) -> bool:
+        if not prune:
+            return True
+        fstats = stats.get(name, {})
+        for col, (lo, hi) in prune.items():
+            rng = fstats.get(col)
+            if rng is None:
+                continue
+            if (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo):
+                return False
+        return True
+
+    candidates = [f for f in cur["files"] if survives_prune(f)]
+    untouched = [f for f in cur["files"] if not survives_prune(f)]
+    version = m["current"] + 1
+    if candidates:
+        cand = spark.read.parquet(
+            *[io.spark_url(io.join(root, f)) for f in candidates]
+        )
+        remaining = cand.filter(~condition)
+        cand_rows = sum(
+            _footer_meta(io, io.join(root, f))[0] for f in candidates
+        )
+        names, rows_new, file_stats = _stage_files(
+            spark, catalog, rel, remaining, version, tuple(m.get("stats_cols", ()))
+        )
+    else:
+        names, rows_new, file_stats, cand_rows = [], 0, {}, 0
+    import time
+
+    m["versions"][str(version)] = {
+        "files": sorted(untouched) + names,
+        "op": "delete",
+        "parent": m["current"],
+        "rows": cur["rows"] - cand_rows + rows_new,
+        "columns": list(cur["columns"]),
+        "ts": time.time(),
+    }
+    m["current"] = version
+    if file_stats:
+        m.setdefault("stats", {}).update(file_stats)
+    _commit_manifest(catalog, rel, m)
+    return version
+
+
 def optimize_versioned(
     spark: SparkSession,
     catalog: FilesystemCatalog,

@@ -338,3 +338,37 @@ def test_merge_empty_updates_noop(spark, vt):
     )
     assert v == 1
     assert [h["version"] for h in version_history(catalog, rel)] == [1]
+
+
+def test_delete_copy_on_write_with_prune(spark, vt):
+    """DELETE rewrites only the prune-surviving candidate files; rows
+    matching the predicate vanish, everything else (including files the
+    prune range excludes) carries by reference; history intact."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import delete_versioned
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(0, 1000).repartitionByRange(10, "id"),
+        stats_cols=("id",),
+    )
+    files_before = set(
+        f.rsplit("/", 1)[-1] for f in read_versioned(spark, catalog, rel).inputFiles()
+    )
+    v = delete_versioned(
+        spark, catalog, rel,
+        (F.col("id") >= 300) & (F.col("id") < 320),
+        prune={"id": (300, 319)},
+    )
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert hist[v]["op"] == "delete" and hist[v]["rows"] == 980
+    files_after = set(
+        f.rsplit("/", 1)[-1] for f in read_versioned(spark, catalog, rel).inputFiles()
+    )
+    assert len(files_before & files_after) >= 8  # narrow range -> few rewrites
+    ids = _ids(read_versioned(spark, catalog, rel))
+    assert len(ids) == 980 and 299 in ids and 320 in ids and 300 not in ids
+    # pre-delete snapshot intact
+    assert len(_ids(read_versioned(spark, catalog, rel, version=1))) == 1000
