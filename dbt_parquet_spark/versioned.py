@@ -65,8 +65,34 @@ def _load_manifest(catalog: FilesystemCatalog, rel: Relation) -> dict:
     return io.get_json(path)
 
 
-def _commit_manifest(catalog: FilesystemCatalog, rel: Relation, m: dict) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """Another mutator committed between this writer's manifest load and
+    its commit attempt. The write staged files but committed NOTHING
+    (orphans; vacuum reaps) — reload and retry."""
+
+
+def _commit_manifest(
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    m: dict,
+    expect_current: int | None = None,
+) -> None:
+    """Atomically replace the manifest. ``expect_current`` enables
+    optimistic conflict DETECTION for the single-mutator rule: re-read the
+    on-disk manifest immediately before the replace and refuse if another
+    writer advanced it since this writer's load — converting the
+    lost-update race into a loud ConcurrentWriteError in practically every
+    real overlap (a sub-ms TOCTOU window remains; true multi-writer OCC
+    needs put-if-absent on generation-numbered manifests — see SCALE.md)."""
     io = catalog.io
+    if expect_current is not None:
+        path = io.join(_root(catalog, rel), VERSIONS_MANIFEST)
+        on_disk = io.get_json(path)["current"] if io.exists(path) else 0
+        if on_disk != expect_current:
+            raise ConcurrentWriteError(
+                f"{rel.view_name}: manifest moved to version {on_disk} "
+                f"(this writer loaded {expect_current}); nothing committed"
+            )
     io.put_json_atomic(io.join(_root(catalog, rel), VERSIONS_MANIFEST), m)
 
 
@@ -209,7 +235,7 @@ def write_versioned(
         m.setdefault("stats", {}).update(file_stats)
     if txn is not None:
         m.setdefault("streams", {})[txn[0]] = txn[1]
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
     return version
 
 
@@ -269,7 +295,7 @@ def rollback_versioned(
         "ts": time.time(),
     }
     m["current"] = new_version
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
     return new_version
 
 
@@ -413,7 +439,7 @@ def merge_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
     return version
 
 
@@ -478,7 +504,7 @@ def delete_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
     return version
 
 
@@ -521,7 +547,7 @@ def optimize_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
     return version
 
 
@@ -565,7 +591,7 @@ def vacuum_versions(
     m["versions"] = {k: m["versions"][k] for k in keep}
     if "stats" in m:  # stats entries for reaped files go with them
         m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
-    _commit_manifest(catalog, rel, m)
+    _commit_manifest(catalog, rel, m, expect_current=m["current"])
     deleted = []
     for e in io.listdir(root):
         if e == VERSIONS_MANIFEST or e in kept_files:

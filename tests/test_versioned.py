@@ -372,3 +372,25 @@ def test_delete_copy_on_write_with_prune(spark, vt):
     assert len(ids) == 980 and 299 in ids and 320 in ids and 300 not in ids
     # pre-delete snapshot intact
     assert len(_ids(read_versioned(spark, catalog, rel, version=1))) == 1000
+
+
+def test_concurrent_write_detection(spark, vt):
+    """A mutator whose manifest view went stale (another writer committed
+    in between) fails LOUDLY at commit time instead of silently dropping
+    the other writer's version — the optimistic detection layered on the
+    single-mutator rule."""
+    from dbt_parquet_spark.versioned import (
+        ConcurrentWriteError,
+        _commit_manifest,
+        _load_manifest,
+    )
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(3))
+    stale = _load_manifest(catalog, rel)  # writer A loads at current=1
+    write_versioned(spark, catalog, rel, spark.range(4))  # writer B -> v2
+    stale["current"] = 2  # writer A would now clobber B's v2
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(catalog, rel, stale, expect_current=1)
+    # B's commit is intact, nothing was lost
+    assert version_history(catalog, rel)[-1]["rows"] == 4
