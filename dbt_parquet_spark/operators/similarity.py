@@ -1973,3 +1973,85 @@ def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# --- Filtered vector search (metadata predicate + ANN) ---------------------------
+# The serving-stack staple: top-k nearest neighbors AMONG the vectors whose
+# row-aligned document passes a metadata predicate (here lang = 'en' — the
+# testdata contract keys embeddings.vec_id to documents.doc_id). The
+# predicate applies BEFORE scoring (pre-filter), never after: a post-filter
+# of an unfiltered top-k under-fills k whenever the filter is selective —
+# the classic filtered-ANN correctness trap this operator's oracle pins.
+
+ANN_FILTER_LANG = "en"
+
+
+@register(
+    "q_ann_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    corpus AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang = '{ANN_FILTER_LANG}'
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_duck_cosine("q.qe", "e.embedding")} AS cos_sim
+        FROM q, corpus e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) AS ranked
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "filtered", "serving"),
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered cosine top-k: the q_ann_topk baseline restricted to
+    vectors whose document passes the metadata predicate, applied as a
+    PRE-FILTER equi-join before any scoring (see section comment). Exact
+    and fully oracle-checked — the baseline the probed variants would be
+    recall-measured against.
+
+    Scale: the predicate reaches the documents scan as a pushed filter
+    (plan-gated), the allow-join is a key equi-join (co-partitionable with
+    a doc_id-bucketed lake layout), and scoring streams the SURVIVING
+    fraction once against the broadcast queries — cost scales with the
+    selectivity, not the corpus. For a probed index the same pre-filter
+    composes per-cell (filter the posting lists, then probe)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == ANN_FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(allowed, "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= TOP_K)

@@ -597,3 +597,25 @@ def test_bm25_batch_windowgrouplimit_and_broadcast(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_filtered_prefilter_pushed_and_shaped(spark):
+    """q_ann_filtered: the metadata predicate must reach the documents
+    scan as a pushed filter, the allow-list must join BEFORE scoring (a
+    hash equi-join feeding the broadcast scoring join), and the filtered
+    result must genuinely differ from the unfiltered baseline (post-filter
+    would under-fill k; pre-filter re-ranks)."""
+    plan = _plan(spark, "q_ann_filtered")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "lang" in l]
+    assert pushed and any("EqualTo(lang,en)" in l for l in pushed), plan
+    assert "BroadcastHashJoin" in plan  # the allow-list equi-join
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast queries
+    filtered = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["q_ann_filtered"].builder(spark, SF_ORACLE).collect()
+    }
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["q_ann_topk"].builder(spark, SF_ORACLE).collect()
+    }
+    assert filtered != base and len(filtered) == len(base)

@@ -173,8 +173,11 @@ def test_registry_exposes_all_queries():
     # per-file min/max stats prune the explicit file list before the
     # scan; file-count shrink pinned in tests, oracle-checked),
     # +q_versioned_merge (versioned.py — copy-on-write MERGE at file
-    # granularity via the skipping stats, oracle-checked)
-    assert len(specs) == 214
+    # granularity via the skipping stats, oracle-checked),
+    # +q_ann_filtered (operators/similarity.py — filtered vector search:
+    # metadata predicate as a pre-filter equi-join before scoring,
+    # exact + oracle-checked)
+    assert len(specs) == 215
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
