@@ -133,6 +133,12 @@ EXTENSION_HEADLINE = [
     "q_dataset_diff",
     "q_expectations",
     "q_context_pack",
+    # r11 third wave: batched multi-query BM25 (one postings pass) and
+    # filtered vector search (exact pre-filter baseline + the probed
+    # IVF-PQ composition over the materialized index).
+    "q_bm25_batch",
+    "q_ann_filtered",
+    "q_ann_ivf_pq_filtered",
 ]
 
 

@@ -1470,6 +1470,16 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-gated) — unprobed cells are never opened. Codebooks and centroids
     stay KB-scale literals.
     """
+    return _ivf_pq_search(spark, sf_dir)
+
+
+def _ivf_pq_search(
+    spark: SparkSession, sf_dir: str, allow: DataFrame | None = None
+) -> DataFrame:
+    """Shared IVF-PQ probe/score/rerank body. ``allow`` (vec_id rows)
+    restricts candidates BEFORE ADC scoring — the filtered-search
+    pre-filter applied at cell-posting granularity, so the ADC pass and
+    the rerank only ever touch allowed vectors."""
     from .kmeans import probe_udf
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1490,8 +1500,11 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition filter turns the probe into directory pruning at the scan.
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
     pruned = read_pq_index(spark, sf_dir, cells=probed)
+    candidates = pruned.select("vec_id", "codes", "cell")
+    if allow is not None:
+        candidates = candidates.join(allow.select("vec_id"), "vec_id")
     scanned = (
-        pruned.select("vec_id", "codes", "cell")
+        candidates
         .join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1504,6 +1517,31 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every candidate lives in a probed cell, so the exact rerank reads the
     # pruned partitions' stored vectors — no base-table scan at all
     return _rerank_exact(scanned, pruned.select("vec_id", "embedding"))
+
+
+@register(
+    "q_ann_ivf_pq_filtered",
+    tags=("similarity", "ann", "ivf", "pq", "filtered", "serving"),
+)
+def q_ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the MATERIALIZED index: the q_ann_filtered
+    metadata predicate (documents.lang = 'en') composed with the IVF-PQ
+    probe — the allow-list joins the probed cells' posting rows BEFORE ADC
+    scoring, so both the byte-code pass and the exact rerank touch only
+    allowed vectors (pre-filter, never post-filter: a post-filtered top-k
+    under-fills k under selective predicates). Rows-only driver check;
+    pytest pins membership (every neighbor allowed), per-query fill, and
+    agreement with the exact filtered baseline on overlapping ranks.
+
+    Scale: cost is (probe fraction) x (filter selectivity) of the code
+    scan — the levers multiply; the allow-list is a key equi-join that
+    co-partitions with a vec_id-bucketed documents layout."""
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == ANN_FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return _ivf_pq_search(spark, sf_dir, allow=allowed)
 
 
 # --- Cluster-balanced sampling -----------------------------------------------

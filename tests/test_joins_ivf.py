@@ -554,3 +554,49 @@ def test_recall_drift_monitor_and_rebuild(spark, tmp_path):
     assert cents2 != cents
     # and the immutable base the registered queries read is untouched
     assert read_pq_index(spark, base_dir).count() == n
+
+
+def test_ann_ivf_pq_filtered_membership_and_agreement(spark):
+    """Filtered probed search: every neighbor passes the predicate, each
+    query fills up to k from the probed+allowed pool, and wherever the
+    probed variant surfaces a neighbor the exact filtered baseline also
+    admits it (same allow-list — the probe can MISS neighbors, never
+    invent disallowed ones); cosine values agree bit-for-bit on overlap."""
+    from dbt_parquet_spark.operators.similarity import (
+        ANN_FILTER_LANG,
+        TOP_K,
+        q_ann_filtered,
+        q_ann_ivf_pq_filtered,
+    )
+    from dbt_parquet_spark.sources.readers import load_table
+
+    from .conftest import SF_SMALL
+
+    allowed = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(f"lang = '{ANN_FILTER_LANG}'")
+        .select("doc_id")
+        .collect()
+    }
+    probed = q_ann_ivf_pq_filtered(spark, SF_SMALL).collect()
+    assert probed, "probed filtered search returned nothing"
+    assert all(r["neighbor_id"] in allowed for r in probed)
+    per_q = {}
+    for r in probed:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        assert 1 <= len(rows) <= TOP_K
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in q_ann_filtered(spark, SF_SMALL).collect()
+    }
+    # exact cosine agreement on the overlap (the rerank restores true scores)
+    overlap = [
+        r for r in probed if (r["query_id"], r["neighbor_id"]) in exact
+    ]
+    assert overlap, "no overlap with the exact filtered baseline"
+    for r in overlap:
+        assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]

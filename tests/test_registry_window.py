@@ -176,8 +176,11 @@ def test_registry_exposes_all_queries():
     # granularity via the skipping stats, oracle-checked),
     # +q_ann_filtered (operators/similarity.py — filtered vector search:
     # metadata predicate as a pre-filter equi-join before scoring,
-    # exact + oracle-checked)
-    assert len(specs) == 215
+    # exact + oracle-checked),
+    # +q_ann_ivf_pq_filtered (similarity.py — the same predicate composed
+    # with the materialized IVF-PQ probe: allow-list joins the posting
+    # rows before ADC, rows-only + membership/fill/overlap pins)
+    assert len(specs) == 216
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
