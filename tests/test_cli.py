@@ -300,3 +300,16 @@ def test_cli_versions_optimize(tmp_path):
         l.startswith("v2\toptimize") and "rows=4" in l and "<- current" in l
         for l in out.stdout.splitlines()
     )
+
+
+def test_versioned_lake_example_runs(tmp_path):
+    out = str(tmp_path / "vlake")
+    r = subprocess.run(
+        [sys.executable, "examples/versioned_lake.py", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skipping: " in r.stdout and " of " in r.stdout
+    assert "merged: 500 rows" in r.stdout
+    assert "time travel: v1 still reads 400 rows" in r.stdout
+    assert "OK versioned lake lifecycle complete" in r.stdout
