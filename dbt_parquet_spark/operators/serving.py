@@ -614,3 +614,75 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= CP_BUDGET).select(
         "doc_id", "rank", "n_tokens", "cum_tokens", "score_ppm"
     )
+
+
+# --- Batched context packing -----------------------------------------------------
+# The batched twin: pack EVERY query's context in one pass over the batched
+# BM25 run (one postings scan for all queries — text.bm25_batch_topk), with
+# the greedy prefix computed per query_id. Completes the serving symmetry:
+# batch retrieval -> batch packing, marginal cost per query = its own rows.
+
+CPB_BUDGET = 400  # per-query token budget (cuts mid-list at every shipped sf)
+
+
+def _context_pack_batch_oracle() -> str:
+    from .text import BM25_BATCH_QUERIES, BM25_TOP_K, bm25_batch_oracle_sql
+
+    return f"""
+    WITH run AS ({bm25_batch_oracle_sql(BM25_BATCH_QUERIES, BM25_TOP_K)}),
+    sized AS (
+        SELECT r.query_id, r.doc_id, r.score_ppm, r.rank,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM run r JOIN documents d USING (doc_id)
+    ),
+    cum AS (
+        SELECT query_id, doc_id, rank, n_tokens, score_ppm,
+               SUM(n_tokens) OVER (PARTITION BY query_id ORDER BY rank)
+                 AS cum_tokens
+        FROM sized
+    )
+    SELECT query_id, doc_id, rank, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens, score_ppm
+    FROM cum WHERE cum_tokens <= {CPB_BUDGET}
+    """
+
+
+@register(
+    "q_context_pack_batch",
+    oracle=_context_pack_batch_oracle(),
+    tags=("serving", "rag", "retrieval", "packing", "batch"),
+)
+def q_context_pack_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context packing for a BATCH of queries under a per-query
+    {CPB_BUDGET}-token budget: the batched BM25 run (already ranked per
+    query) joins document token counts via one broadcast into the scan,
+    and the per-query cumulative sum is a triangular broadcast self-join
+    on (query_id, rank<=rank) — constant k^2 work per query over the
+    <= |queries| x k run rows, never a corpus window. The budget cuts
+    mid-list for EVERY query at every shipped scale factor, so each
+    query's boundary behavior is value-checked."""
+    from .text import BM25_BATCH_QUERIES, BM25_TOP_K, bm25_batch_topk
+
+    run = bm25_batch_topk(spark, sf_dir, BM25_BATCH_QUERIES, BM25_TOP_K).select(
+        "query_id", "doc_id", "rank", "score_ppm"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    sized = docs.join(F.broadcast(run), "doc_id")
+    other = sized.select(
+        F.col("query_id").alias("_q2"),
+        F.col("rank").alias("_r2"),
+        F.col("n_tokens").alias("_t2"),
+    )
+    cum = (
+        sized.join(
+            F.broadcast(other),
+            (F.col("_q2") == F.col("query_id")) & (F.col("_r2") <= F.col("rank")),
+        )
+        .groupBy("query_id", "doc_id", "rank", "n_tokens", "score_ppm")
+        .agg(F.sum("_t2").cast("long").alias("cum_tokens"))
+    )
+    return cum.filter(F.col("cum_tokens") <= CPB_BUDGET).select(
+        "query_id", "doc_id", "rank", "n_tokens", "cum_tokens", "score_ppm"
+    )

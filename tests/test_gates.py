@@ -127,3 +127,28 @@ def test_bm25_batch_matches_single_query(spark):
             .collect()
         }
         assert batch == single and len(single) == BM25_TOP_K
+
+
+def test_context_pack_batch_boundary_every_query(spark):
+    """Each query's pack is a contiguous rank prefix with exact cumulative
+    sums under the per-query budget, the cut is real (pool deeper than the
+    prefix for every query), and the query-agnostic single-query packer's
+    semantics are preserved per query_id."""
+    from dbt_parquet_spark.operators.serving import CPB_BUDGET, q_context_pack_batch
+    from dbt_parquet_spark.operators.text import BM25_BATCH_QUERIES, BM25_TOP_K
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        rows = q_context_pack_batch(spark, sf).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == set(BM25_BATCH_QUERIES)
+        for qid, qrows in per_q.items():
+            qrows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in qrows] == list(range(1, len(qrows) + 1))
+            cum = 0
+            for r in qrows:
+                cum += r["n_tokens"]
+                assert r["cum_tokens"] == cum
+            assert cum <= CPB_BUDGET
+            assert len(qrows) < BM25_TOP_K  # budget cuts mid-list

@@ -179,8 +179,10 @@ def test_registry_exposes_all_queries():
     # exact + oracle-checked),
     # +q_ann_ivf_pq_filtered (similarity.py — the same predicate composed
     # with the materialized IVF-PQ probe: allow-list joins the posting
-    # rows before ADC, rows-only + membership/fill/overlap pins)
-    assert len(specs) == 216
+    # rows before ADC, rows-only + membership/fill/overlap pins),
+    # +q_context_pack_batch (operators/serving.py — per-query greedy
+    # packing over the batched BM25 run, oracle-checked)
+    assert len(specs) == 217
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
