@@ -172,6 +172,7 @@ def write_versioned(
     mode: str = "replace",
     txn: tuple[str, int] | None = None,
     stats_cols: tuple[str, ...] | None = None,
+    evolve: bool = False,
 ) -> int | None:
     """Commit df as the table's next version. ``replace`` snapshots df
     alone; ``append`` stages only df's files and the new version references
@@ -189,7 +190,15 @@ def write_versioned(
     for each is read off the staged FOOTERS and recorded in the manifest,
     and later writes (appends, streaming batches, optimize) inherit the
     declaration automatically — ``read_versioned(where=...)`` then prunes
-    files manifest-side, before the scan sees them."""
+    files manifest-side, before the scan sees them.
+
+    ``evolve=True`` relaxes the append schema gate to ADDITIVE evolution
+    (the Delta mergeSchema discipline): the append may introduce new
+    columns but never drop parent columns; the version records the widened
+    schema and an ``evolved`` flag, and readers of evolved snapshots
+    schema-merge the mixed files (older rows null-fill the new columns)
+    while time travel to pre-evolution versions keeps the old shape.
+    ``optimize_versioned`` rewrites an evolved lineage uniform again."""
     assert mode in ("replace", "append"), mode
     m = _load_manifest(catalog, rel)
     if stats_cols is not None:
@@ -200,16 +209,29 @@ def write_versioned(
         last = m.get("streams", {}).get(sid)
         if last is not None and bid <= last:
             return None  # replay of a committed batch: the txn record skips it
+    evolved = False
     if mode == "append" and m["current"]:
         # schema gate BEFORE any bytes move: a mismatched append would
         # otherwise silently schema-merge (nulls) at read time
-        parent_cols = m["versions"][str(m["current"])]["columns"]
-        if list(df.columns) != parent_cols:
-            raise ValueError(
-                f"append schema {list(df.columns)} != table schema {parent_cols}; "
-                "use mode='replace' to change the schema (versions are "
-                "immutable snapshots — history keeps the old shape)"
-            )
+        parent = m["versions"][str(m["current"])]
+        parent_cols = parent["columns"]
+        if not evolve:
+            if list(df.columns) != parent_cols:
+                raise ValueError(
+                    f"append schema {list(df.columns)} != table schema "
+                    f"{parent_cols}; pass evolve=True for additive evolution "
+                    "or mode='replace' to change the schema freely (versions "
+                    "are immutable snapshots — history keeps the old shape)"
+                )
+        else:
+            missing = [c for c in parent_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"evolved append drops parent columns {missing} — "
+                    "evolution is additive only; use mode='replace' to narrow"
+                )
+        # mixed-schema file list (this append or an inherited earlier one)
+        evolved = list(df.columns) != parent_cols or bool(parent.get("evolved"))
     version = m["current"] + 1
     names, rows, file_stats = _stage_files(
         spark, catalog, rel, df, version, effective_stats_cols
@@ -228,6 +250,7 @@ def write_versioned(
         "parent": m["current"] or None,
         "rows": rows,
         "columns": list(df.columns),
+        "evolved": evolved,
         "ts": time.time(),
     }
     m["current"] = version
@@ -292,6 +315,7 @@ def rollback_versioned(
         "parent": version,
         "rows": target["rows"],
         "columns": list(target["columns"]),
+        "evolved": bool(target.get("evolved")),
         "ts": time.time(),
     }
     m["current"] = new_version
@@ -341,12 +365,20 @@ def read_versioned(
             return True
 
         names = [f for f in names if survives(f)]
+    # evolved snapshots span mixed file schemas: schema-merge the footers
+    # (older rows null-fill new columns) and pin the version's column order
+    reader = spark.read
+    if entry.get("evolved"):
+        reader = reader.option("mergeSchema", "true")
     if not names:
         # empty selection: an empty frame with the snapshot's schema
         all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
-        return spark.read.parquet(*all_files).limit(0)
-    files = [io.spark_url(io.join(root, f)) for f in names]
-    return spark.read.parquet(*files)
+        out = reader.parquet(*all_files).limit(0)
+    else:
+        out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
+    if entry.get("evolved"):
+        out = out.select(*entry["columns"])
+    return out
 
 
 def merge_versioned(
@@ -411,9 +443,14 @@ def merge_versioned(
     untouched = [f for f in cur["files"] if f not in set(candidates)]
     version = m["current"] + 1
     if candidates:
-        cand = spark.read.parquet(
+        reader = spark.read
+        if cur.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        cand = reader.parquet(
             *[io.spark_url(io.join(root, f)) for f in candidates]
         )
+        if cur.get("evolved"):
+            cand = cand.select(*cur["columns"])
         merged = cand.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
@@ -431,6 +468,7 @@ def merge_versioned(
     m["versions"][str(version)] = {
         "files": sorted(untouched) + names,
         "op": "merge",
+        "evolved": bool(cur.get("evolved")) and bool(untouched),
         "parent": m["current"],
         "rows": cur["rows"] - cand_rows + rows_new,
         "columns": list(cur["columns"]),
@@ -479,9 +517,14 @@ def delete_versioned(
     untouched = [f for f in cur["files"] if not survives_prune(f)]
     version = m["current"] + 1
     if candidates:
-        cand = spark.read.parquet(
+        reader = spark.read
+        if cur.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        cand = reader.parquet(
             *[io.spark_url(io.join(root, f)) for f in candidates]
         )
+        if cur.get("evolved"):
+            cand = cand.select(*cur["columns"])
         remaining = cand.filter(~condition)
         cand_rows = sum(
             _footer_meta(io, io.join(root, f))[0] for f in candidates
@@ -496,6 +539,7 @@ def delete_versioned(
     m["versions"][str(version)] = {
         "files": sorted(untouched) + names,
         "op": "delete",
+        "evolved": bool(cur.get("evolved")) and bool(untouched),
         "parent": m["current"],
         "rows": cur["rows"] - cand_rows + rows_new,
         "columns": list(cur["columns"]),
@@ -539,6 +583,7 @@ def optimize_versioned(
     m["versions"][str(version)] = {
         "files": names,
         "op": "optimize",
+        "evolved": False,
         "parent": m["current"],
         "rows": rows,
         "columns": list(cur["columns"]),

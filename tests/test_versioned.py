@@ -394,3 +394,47 @@ def test_concurrent_write_detection(spark, vt):
         _commit_manifest(catalog, rel, stale, expect_current=1)
     # B's commit is intact, nothing was lost
     assert version_history(catalog, rel)[-1]["rows"] == 4
+
+
+def test_schema_evolution_additive_append(spark, vt):
+    """evolve=True appends may ADD columns: old rows null-fill, the
+    version records the widened schema, time travel keeps the old shape,
+    dropping columns is rejected, and optimize re-unifies the files."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import optimize_versioned
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(4))
+    wide = spark.range(4, 6).withColumn("extra", F.col("id") * 10)
+    # without evolve: still rejected
+    with pytest.raises(ValueError, match="append schema"):
+        write_versioned(spark, catalog, rel, wide, mode="append")
+    v2 = write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
+    cur = read_versioned(spark, catalog, rel)
+    assert cur.columns == ["id", "extra"]
+    got = {r["id"]: r["extra"] for r in cur.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: 40, 5: 50}
+    # time travel: v1 keeps the narrow shape
+    assert read_versioned(spark, catalog, rel, version=1).columns == ["id"]
+    # dropping parent columns is rejected even with evolve
+    with pytest.raises(ValueError, match="drops parent columns"):
+        write_versioned(
+            spark, catalog, rel,
+            spark.range(9, 10).select(F.col("id").alias("other")),
+            mode="append", evolve=True,
+        )
+    # a further SAME-schema append on the evolved lineage stays evolved
+    v3 = write_versioned(
+        spark, catalog, rel,
+        spark.range(6, 7).withColumn("extra", F.col("id") * 10),
+        mode="append",
+    )
+    assert read_versioned(spark, catalog, rel).count() == 7
+    # optimize rewrites everything uniform: evolved clears, values intact
+    v4 = optimize_versioned(spark, catalog, rel)
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert v4 == 4 and hist[v4]["rows"] == 7
+    final = read_versioned(spark, catalog, rel)
+    assert final.columns == ["id", "extra"]
+    assert {r["id"]: r["extra"] for r in final.collect()}[6] == 60
