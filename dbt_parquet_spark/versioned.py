@@ -96,6 +96,78 @@ def _commit_manifest(
     io.put_json_atomic(io.join(_root(catalog, rel), VERSIONS_MANIFEST), m)
 
 
+# Parquet-safe type widenings accepted under evolve=True (the Delta type-
+# widening feature): the stored narrow values read losslessly at the wider
+# type, and Spark 4's parquet reader upcasts when handed the wider schema
+# explicitly (verified: int32 files read as bigint, float as double).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _dtypes(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _merge_dtypes(
+    parent: dict[str, str], new: dict[str, str], context: str
+) -> dict[str, str]:
+    """Per-column widest type across parent and append schemas; raises on
+    any non-widening type change (evolution is additive + widening ONLY —
+    everything else must go through mode='replace')."""
+    merged = dict(parent)
+    for col, dt in new.items():
+        old = merged.get(col)
+        if old is None or old == dt:
+            merged[col] = dt
+        elif (old, dt) in _WIDENINGS:
+            merged[col] = dt  # append widened the column: record the wide type
+        elif (dt, old) in _WIDENINGS:
+            pass  # append is narrower than the table: reads upcast to `old`
+        else:
+            raise ValueError(
+                f"{context}: column {col!r} changes type {old} -> {dt}, which "
+                "is not a Parquet-safe widening; use mode='replace'"
+            )
+    return merged
+
+
+def _snapshot_read(
+    spark: SparkSession, io, root: str, names: list[str], entry: dict
+) -> DataFrame:
+    """Read a snapshot's (possibly pruned) file list pinned to the
+    version's recorded schema. Entries carry per-column dtypes, so the read
+    hands Spark an EXPLICIT schema: files missing evolved columns null-fill
+    them and files written before a type widening upcast — both cases where
+    mergeSchema either crashes (a pruned subset that lacks the column
+    entirely: the r11 UNRESOLVED_COLUMN advice bug) or refuses (int vs
+    bigint cannot merge). Legacy entries without dtypes fall back to
+    mergeSchema plus typeless null-fill."""
+    dtypes = entry.get("dtypes")
+    if dtypes:
+        ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in entry["columns"])
+        if not names:
+            return spark.createDataFrame([], ddl)
+        return spark.read.schema(ddl).parquet(
+            *[io.spark_url(io.join(root, f)) for f in names]
+        )
+    reader = spark.read
+    if entry.get("evolved"):
+        reader = reader.option("mergeSchema", "true")
+    if not names:
+        all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
+        out = reader.parquet(*all_files).limit(0)
+    else:
+        out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
+    for c in entry["columns"]:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    return out.select(*entry["columns"])
+
+
 def _footer_meta(
     io, fs_path: str, stats_cols: tuple[str, ...] = ()
 ) -> tuple[int, dict]:
@@ -192,13 +264,18 @@ def write_versioned(
     declaration automatically — ``read_versioned(where=...)`` then prunes
     files manifest-side, before the scan sees them.
 
-    ``evolve=True`` relaxes the append schema gate to ADDITIVE evolution
-    (the Delta mergeSchema discipline): the append may introduce new
-    columns but never drop parent columns; the version records the widened
-    schema and an ``evolved`` flag, and readers of evolved snapshots
-    schema-merge the mixed files (older rows null-fill the new columns)
-    while time travel to pre-evolution versions keeps the old shape.
-    ``optimize_versioned`` rewrites an evolved lineage uniform again."""
+    ``evolve=True`` relaxes the append schema gate to ADDITIVE + WIDENING
+    evolution (the Delta mergeSchema / type-widening discipline): the
+    append may introduce new columns and may widen column types along
+    Parquet-safe promotions (int chain up to bigint, float -> double) but
+    never drop parent columns or change a type any other way; the version
+    records the merged schema (per-column dtypes, widest type wins) and an
+    ``evolved`` flag, and readers of evolved snapshots scan with that
+    EXPLICIT schema pinned — pre-evolution files null-fill the new columns
+    and upcast the widened ones — while time travel to pre-evolution
+    versions keeps the old shape and old types (each version entry carries
+    its own dtypes). ``optimize_versioned`` rewrites an evolved lineage
+    uniform again."""
     assert mode in ("replace", "append"), mode
     m = _load_manifest(catalog, rel)
     if stats_cols is not None:
@@ -210,18 +287,25 @@ def write_versioned(
         if last is not None and bid <= last:
             return None  # replay of a committed batch: the txn record skips it
     evolved = False
+    columns = list(df.columns)
+    dtypes = _dtypes(df)
     if mode == "append" and m["current"]:
         # schema gate BEFORE any bytes move: a mismatched append would
         # otherwise silently schema-merge (nulls) at read time
         parent = m["versions"][str(m["current"])]
         parent_cols = parent["columns"]
+        parent_dtypes = parent.get("dtypes", {})
         if not evolve:
-            if list(df.columns) != parent_cols:
+            if list(df.columns) != parent_cols or (
+                parent_dtypes
+                and any(dtypes[c] != parent_dtypes.get(c, dtypes[c]) for c in columns)
+            ):
                 raise ValueError(
                     f"append schema {list(df.columns)} != table schema "
-                    f"{parent_cols}; pass evolve=True for additive evolution "
-                    "or mode='replace' to change the schema freely (versions "
-                    "are immutable snapshots — history keeps the old shape)"
+                    f"{parent_cols}; pass evolve=True for additive/widening "
+                    "evolution or mode='replace' to change the schema freely "
+                    "(versions are immutable snapshots — history keeps the "
+                    "old shape)"
                 )
         else:
             missing = [c for c in parent_cols if c not in df.columns]
@@ -230,8 +314,18 @@ def write_versioned(
                     f"evolved append drops parent columns {missing} — "
                     "evolution is additive only; use mode='replace' to narrow"
                 )
-        # mixed-schema file list (this append or an inherited earlier one)
-        evolved = list(df.columns) != parent_cols or bool(parent.get("evolved"))
+            dtypes = _merge_dtypes(
+                parent_dtypes, dtypes, f"{rel.view_name} evolved append"
+            )
+            # keep parent column order; evolved columns append at the end
+            columns = parent_cols + [c for c in columns if c not in parent_cols]
+        # mixed-schema file list: this append added columns or widened
+        # types, or an earlier evolution already left mixed files behind
+        evolved = (
+            columns != parent_cols
+            or dtypes != parent_dtypes
+            or bool(parent.get("evolved"))
+        )
     version = m["current"] + 1
     names, rows, file_stats = _stage_files(
         spark, catalog, rel, df, version, effective_stats_cols
@@ -249,7 +343,8 @@ def write_versioned(
         "op": mode,
         "parent": m["current"] or None,
         "rows": rows,
-        "columns": list(df.columns),
+        "columns": columns,
+        "dtypes": dtypes,
         "evolved": evolved,
         "ts": time.time(),
     }
@@ -315,6 +410,7 @@ def rollback_versioned(
         "parent": version,
         "rows": target["rows"],
         "columns": list(target["columns"]),
+        "dtypes": dict(target.get("dtypes", {})),
         "evolved": bool(target.get("evolved")),
         "ts": time.time(),
     }
@@ -365,20 +461,11 @@ def read_versioned(
             return True
 
         names = [f for f in names if survives(f)]
-    # evolved snapshots span mixed file schemas: schema-merge the footers
-    # (older rows null-fill new columns) and pin the version's column order
-    reader = spark.read
-    if entry.get("evolved"):
-        reader = reader.option("mergeSchema", "true")
-    if not names:
-        # empty selection: an empty frame with the snapshot's schema
-        all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
-        out = reader.parquet(*all_files).limit(0)
-    else:
-        out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
-    if entry.get("evolved"):
-        out = out.select(*entry["columns"])
-    return out
+    # pinned-schema scan: the version's recorded (columns, dtypes) are the
+    # read schema, so evolved snapshots null-fill/upcast per file and a
+    # pruned subset that happens to predate an evolution still resolves
+    # every column (the mergeSchema-over-pruned-subset crash this replaces)
+    return _snapshot_read(spark, io, root, names, entry)
 
 
 def merge_versioned(
@@ -407,6 +494,25 @@ def merge_versioned(
         raise ValueError(
             f"merge schema {list(updates.columns)} != table schema "
             f"{cur['columns']}"
+        )
+    cur_dtypes = cur.get("dtypes", {})
+    if cur_dtypes:
+        # conform update types to the table's recorded schema: equal or
+        # narrower (lossless upcast) is accepted; anything else would
+        # either truncate silently or leave the staged files wider than
+        # the manifest's pinned read schema — refused loudly
+        up_dtypes = _dtypes(updates)
+        for c in cur["columns"]:
+            if up_dtypes[c] != cur_dtypes[c] and (
+                (up_dtypes[c], cur_dtypes[c]) not in _WIDENINGS
+            ):
+                raise ValueError(
+                    f"{rel.view_name} merge: column {c!r} has type "
+                    f"{up_dtypes[c]}, table records {cur_dtypes[c]}; widen "
+                    "the table first (append with evolve=True) or replace"
+                )
+        updates = updates.select(
+            *[F.col(c).cast(cur_dtypes[c]).alias(c) for c in cur["columns"]]
         )
     root = _root(catalog, rel)
     stats = m.get("stats", {})
@@ -443,14 +549,10 @@ def merge_versioned(
     untouched = [f for f in cur["files"] if f not in set(candidates)]
     version = m["current"] + 1
     if candidates:
-        reader = spark.read
-        if cur.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        cand = reader.parquet(
-            *[io.spark_url(io.join(root, f)) for f in candidates]
-        )
-        if cur.get("evolved"):
-            cand = cand.select(*cur["columns"])
+        # pinned-schema read: an evolved lineage whose candidates are ALL
+        # pre-evolution (narrow) files still resolves the full column set
+        # (null-fill/upcast) — the r11 UNRESOLVED_COLUMN advice bug
+        cand = _snapshot_read(spark, io, root, candidates, cur)
         merged = cand.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
@@ -468,10 +570,14 @@ def merge_versioned(
     m["versions"][str(version)] = {
         "files": sorted(untouched) + names,
         "op": "merge",
+        # untouched files keep their original (possibly pre-evolution)
+        # schema; rewritten files carry the current one — mixed iff any
+        # untouched file remains on an evolved lineage
         "evolved": bool(cur.get("evolved")) and bool(untouched),
         "parent": m["current"],
         "rows": cur["rows"] - cand_rows + rows_new,
         "columns": list(cur["columns"]),
+        "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
     m["current"] = version
@@ -517,14 +623,9 @@ def delete_versioned(
     untouched = [f for f in cur["files"] if not survives_prune(f)]
     version = m["current"] + 1
     if candidates:
-        reader = spark.read
-        if cur.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        cand = reader.parquet(
-            *[io.spark_url(io.join(root, f)) for f in candidates]
-        )
-        if cur.get("evolved"):
-            cand = cand.select(*cur["columns"])
+        # pinned-schema read (see merge_versioned): all-narrow candidate
+        # sets on an evolved lineage resolve the full column set
+        cand = _snapshot_read(spark, io, root, candidates, cur)
         remaining = cand.filter(~condition)
         cand_rows = sum(
             _footer_meta(io, io.join(root, f))[0] for f in candidates
@@ -543,6 +644,7 @@ def delete_versioned(
         "parent": m["current"],
         "rows": cur["rows"] - cand_rows + rows_new,
         "columns": list(cur["columns"]),
+        "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
     m["current"] = version
@@ -557,22 +659,37 @@ def optimize_versioned(
     catalog: FilesystemCatalog,
     rel: Relation,
     target_bytes: int = 128 * 1024 * 1024,
+    cluster_by: tuple[str, ...] | None = None,
 ) -> int:
     """Compact the CURRENT snapshot's files into ~target_bytes files,
     committed as a new version (op='optimize') — the small-file
     maintenance a per-batch streaming ingest eventually needs, with
     history intact: every pre-compaction version stays addressable until
     vacuum, and a reader mid-scan on the old file list is untouched
-    (files are never mutated, only superseded). The rewrite itself is one
-    read of the current snapshot coalesced to ceil(bytes/target) tasks.
-    Single mutator at a time (the standing rule)."""
+    (files are never mutated, only superseded).
+
+    ``cluster_by`` additionally RE-CLUSTERS the rewrite
+    (``repartitionByRange`` + in-file sort on the given columns — pass the
+    table's stats_cols): after append churn every file's [min, max] spans
+    the whole key domain and manifest-side skipping decays to nothing;
+    range-clustering restores disjoint per-file ranges, so
+    ``read_versioned(where=...)`` prunes like the freshly-written table
+    again (the Delta OPTIMIZE ZORDER role, single-axis). Without it the
+    rewrite is a pure coalesce to ceil(bytes/target) tasks — cheaper (no
+    shuffle), but arrival-ordered. Single mutator at a time."""
     io = catalog.io
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]
     root = _root(catalog, rel)
     total = sum(io.getsize(io.join(root, f)) for f in cur["files"])
     n_out = max(1, -(-total // target_bytes))
-    df = read_versioned(spark, catalog, rel).coalesce(n_out)
+    df = read_versioned(spark, catalog, rel)
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.coalesce(n_out)
     version = m["current"] + 1
     names, rows, file_stats = _stage_files(
         spark, catalog, rel, df, version, tuple(m.get("stats_cols", ()))
@@ -583,10 +700,11 @@ def optimize_versioned(
     m["versions"][str(version)] = {
         "files": names,
         "op": "optimize",
-        "evolved": False,
+        "evolved": False,  # the rewrite makes the file schemas uniform again
         "parent": m["current"],
         "rows": rows,
         "columns": list(cur["columns"]),
+        "dtypes": _dtypes(df),
         "ts": time.time(),
     }
     m["current"] = version
@@ -617,7 +735,10 @@ def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
 
 
 def vacuum_versions(
-    catalog: FilesystemCatalog, rel: Relation, keep_last: int = 1
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    keep_last: int = 1,
+    retention_s: float | None = None,
 ) -> list[str]:
     """Reap history: keep the newest ``keep_last`` versions (always
     including current), delete every data file only the dropped versions
@@ -625,13 +746,30 @@ def vacuum_versions(
     manifest FIRST (the commit), deletes bytes after — a reader holding a
     dropped version's file list keeps working until the physical delete,
     and a crash between the two leaves only unreferenced files (re-vacuum
-    reaps them). Returns the deleted file names."""
+    reaps them). Returns the deleted file names.
+
+    ``retention_s`` is a TIME FLOOR composed with keep_last (the Delta
+    retention discipline): any version committed within the last
+    retention_s seconds survives even when keep_last alone would reap it —
+    the guard for long-running readers, which resolve a version's file
+    list once and scan for a while; size the floor above the longest
+    expected scan. Versions are judged by their committed ``ts``."""
+    import time
+
     io = catalog.io
     root = _root(catalog, rel)
     m = _load_manifest(catalog, rel)
-    keep = sorted(m["versions"], key=int)[-max(keep_last, 1):]
+    ordered = sorted(m["versions"], key=int)
+    keep = ordered[-max(keep_last, 1):]
+    if retention_s is not None:
+        floor = time.time() - retention_s
+        keep += [
+            k for k in ordered
+            if k not in keep and m["versions"][k].get("ts", 0) > floor
+        ]
     if str(m["current"]) not in keep:
         keep.append(str(m["current"]))
+    keep = sorted(set(keep), key=int)
     kept_files = {f for k in keep for f in m["versions"][k]["files"]}
     m["versions"] = {k: m["versions"][k] for k in keep}
     if "stats" in m:  # stats entries for reaped files go with them

@@ -438,3 +438,191 @@ def test_schema_evolution_additive_append(spark, vt):
     final = read_versioned(spark, catalog, rel)
     assert final.columns == ["id", "extra"]
     assert {r["id"]: r["extra"] for r in final.collect()}[6] == 60
+
+
+def test_evolved_pruned_read_all_narrow_files(spark, vt):
+    """The r11 advice repro: v1 range-clustered with stats, evolved append
+    of a DISJOINT key range, then read_versioned(where=<v1 range>) — every
+    surviving file predates the evolution, yet the pinned-schema read
+    null-fills the evolved column instead of crashing UNRESOLVED_COLUMN."""
+    from pyspark.sql import functions as F
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(0, 1000).repartitionByRange(8, "id"),
+        stats_cols=("id",),
+    )
+    wide = (
+        spark.range(5000, 5100)
+        .withColumn("extra", F.col("id") * 2)
+        .repartitionByRange(2, "id")
+    )
+    write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
+    pruned = read_versioned(spark, catalog, rel, where={"id": (100, 199)})
+    # only pre-evolution (narrow) files survive the prune
+    assert 0 < len(pruned.inputFiles()) <= 3
+    rows = pruned.filter("id BETWEEN 100 AND 199").collect()
+    assert len(rows) == 100
+    assert pruned.columns == ["id", "extra"]
+    assert all(r["extra"] is None for r in rows)
+    # the evolved slice itself reads with real values
+    hi = read_versioned(spark, catalog, rel, where={"id": (5000, None)})
+    assert {r["extra"] for r in hi.filter("id >= 5000").collect()} == {
+        2 * i for i in range(5000, 5100)
+    }
+
+
+def test_merge_and_delete_on_evolved_lineage_all_narrow_candidates(spark, vt):
+    """CoW ops on an evolved lineage whose candidate files are ALL
+    pre-evolution: merge/delete must null-fill the evolved column on the
+    candidate frame (the second r11 advice bug) and commit correctly."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import delete_versioned, merge_versioned
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(0, 1000).withColumn("tag", F.lit("base"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",),
+    )
+    wide = (
+        spark.range(5000, 5050)
+        .withColumn("tag", F.lit("new"))
+        .withColumn("extra", F.col("id") * 2)
+        .repartitionByRange(2, "id")
+    )
+    write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
+    cur0 = read_versioned(spark, catalog, rel)
+    assert cur0.columns == ["id", "tag", "extra"]
+    # merge confined to the narrow range: candidates are narrow files only
+    updates = spark.createDataFrame(
+        [(150, "merged", None), (175, "merged", 999)],
+        "id bigint, tag string, extra bigint",
+    )
+    merge_versioned(spark, catalog, rel, updates, key="id")
+    cur = read_versioned(spark, catalog, rel)
+    got = {r["id"]: (r["tag"], r["extra"]) for r in cur.filter("id IN (150, 175, 5001)").collect()}
+    assert got[150] == ("merged", None)
+    assert got[175] == ("merged", 999)
+    assert got[5001] == ("new", 10002)
+    assert cur.count() == 1050
+    # delete confined to the narrow range via prune: same all-narrow path
+    delete_versioned(
+        spark, catalog, rel, F.col("id").between(200, 299),
+        prune={"id": (200, 299)},
+    )
+    final = read_versioned(spark, catalog, rel)
+    assert final.count() == 950
+    assert final.filter("id BETWEEN 200 AND 299").count() == 0
+    # evolved rows untouched
+    assert final.filter("extra IS NOT NULL").count() == 50 + 1  # wide slice + merged 175
+
+
+def test_schema_evolution_type_widening(spark, vt):
+    """evolve=True accepts Parquet-safe widenings (int->bigint,
+    float->double): the version records the widened type, old files upcast
+    at read, time travel keeps the old type, and a non-widening change is
+    rejected loudly."""
+    from pyspark.sql import functions as F
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(3).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ),
+    )
+    wide = spark.range(10, 13).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.col("id").cast("double").alias("x"),
+    )
+    # without evolve: the dtype change is rejected
+    with pytest.raises(ValueError, match="append schema"):
+        write_versioned(spark, catalog, rel, wide, mode="append")
+    write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
+    cur = read_versioned(spark, catalog, rel)
+    assert dict(cur.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(r["k"] for r in cur.collect()) == [0, 1, 2, 10, 11, 12]
+    # time travel keeps the narrow types
+    v1 = read_versioned(spark, catalog, rel, version=1)
+    assert dict(v1.dtypes) == {"k": "int", "x": "float"}
+    # a NARROWER append onto the widened table also works (reads upcast)
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(20, 21).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ),
+        mode="append", evolve=True,
+    )
+    cur2 = read_versioned(spark, catalog, rel)
+    assert dict(cur2.dtypes) == {"k": "bigint", "x": "double"}
+    assert cur2.count() == 7
+    # non-widening type change: rejected even with evolve
+    with pytest.raises(ValueError, match="not a Parquet-safe widening"):
+        write_versioned(
+            spark, catalog, rel,
+            spark.range(1).select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").cast("double").alias("x"),
+            ),
+            mode="append", evolve=True,
+        )
+
+
+def test_vacuum_retention_floor(spark, vt):
+    """A version younger than the retention floor survives vacuum even
+    when keep_last=1 would reap it; an old version is reaped as usual."""
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(3))
+    write_versioned(spark, catalog, rel, spark.range(4))
+    write_versioned(spark, catalog, rel, spark.range(5))
+    # age v1 artificially: rewrite its committed ts far into the past
+    from dbt_parquet_spark.versioned import _commit_manifest, _load_manifest
+
+    m = _load_manifest(catalog, rel)
+    m["versions"]["1"]["ts"] = 1.0
+    _commit_manifest(catalog, rel, m, expect_current=m["current"])
+    vacuum_versions(catalog, rel, keep_last=1, retention_s=3600.0)
+    hist = {h["version"] for h in version_history(catalog, rel)}
+    # v1 (old) reaped; v2 and v3 (young) both survive despite keep_last=1
+    assert hist == {2, 3}
+    assert _ids(read_versioned(spark, catalog, rel, version=2)) == list(range(4))
+
+
+def test_optimize_recluster_restores_skipping(spark, vt):
+    """After append churn interleaves key ranges across files, where=
+    pruning decays to a full scan; optimize(cluster_by=...) restores
+    file-level pruning to the freshly-written level."""
+    from dbt_parquet_spark.versioned import optimize_versioned
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(0, 1000).repartitionByRange(8, "id"),
+        stats_cols=("id",),
+    )
+    # churn: each append spans the WHOLE key domain (arrival order)
+    for i in range(3):
+        write_versioned(
+            spark, catalog, rel,
+            spark.range(1000 + i * 1000, 2000 + i * 1000)
+            .selectExpr("(id * 7919) % 4000 AS id"),
+            mode="append",
+        )
+    decayed = read_versioned(spark, catalog, rel, where={"id": (100, 199)})
+    n_files_decayed = len(decayed.inputFiles())
+    v = optimize_versioned(
+        spark, catalog, rel, target_bytes=4096, cluster_by=("id",)
+    )
+    assert v == 5
+    pruned = read_versioned(spark, catalog, rel, where={"id": (100, 199)})
+    assert len(pruned.inputFiles()) < n_files_decayed
+    # pruning is a strict subset of a small file count again; values exact
+    got = pruned.filter("id BETWEEN 100 AND 199").count()
+    full = read_versioned(spark, catalog, rel).filter("id BETWEEN 100 AND 199").count()
+    assert got == full
