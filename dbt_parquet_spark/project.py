@@ -29,12 +29,49 @@ from .materialize import create_table_as
 
 _REF = re.compile(r"\{\{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
 _SOURCE = re.compile(r"\{\{\s*source\(\s*['\"]([^'\"]*)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
-# dbt's model config block — only `materialized` is honored:
-# {{ config(materialized='versioned') }} commits the model as a manifest-
-# versioned snapshot (versioned.write_versioned) instead of a swap CTAS.
-_CONFIG = re.compile(
-    r"\{\{\s*config\(\s*materialized\s*=\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}"
-)
+# dbt's model config block. ANY {{ config(...) }} is stripped from the
+# compiled SQL (it is model metadata, never SQL — an unstripped block would
+# reach spark.sql as a parse error). Of its keys, `materialized` is honored
+# ({{ config(materialized='versioned') }} commits the model as a manifest-
+# versioned snapshot instead of a swap CTAS), pure-documentation keys are
+# accepted and ignored, and anything behavioral this runner does not
+# implement is rejected LOUDLY at parse time — a silently-dropped
+# `schema=` or `unique_key=` would change what the model builds.
+_CONFIG_BLOCK = re.compile(r"\{\{\s*config\s*\((?P<body>.*?)\)\s*\}\}", re.DOTALL)
+_IGNORED_CONFIG_KEYS = {"tags", "description", "meta", "docs", "persist_docs"}
+
+
+def _parse_config(body: str) -> dict[str, str]:
+    """Split a config(...) argument list into {key: raw_value} at top-level
+    commas (quote- and bracket-aware, so tags=['a', 'b'] stays one value)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in body:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        key, eq, val = p.partition("=")
+        if not eq or not key.strip().isidentifier():
+            raise ValueError(f"malformed config() argument: {p.strip()!r}")
+        out[key.strip()] = val.strip()
+    return out
 
 
 @dataclass
@@ -53,8 +90,18 @@ class Model:
 
     @property
     def materialized(self) -> str:
-        m = _CONFIG.search(self.sql)
-        kind = m.group(1) if m else "table"
+        m = _CONFIG_BLOCK.search(self.sql)
+        if m is None:
+            return "table"
+        cfg = _parse_config(m.group("body"))
+        unknown = sorted(set(cfg) - {"materialized"} - _IGNORED_CONFIG_KEYS)
+        if unknown:
+            raise ValueError(
+                f"model {self.name}: unsupported config key(s) {unknown} "
+                "(honored: materialized; ignored metadata: "
+                f"{sorted(_IGNORED_CONFIG_KEYS)})"
+            )
+        kind = cfg.get("materialized", "'table'").strip("'\"")
         if kind not in ("table", "versioned"):
             raise ValueError(
                 f"model {self.name}: unsupported materialization {kind!r} "
@@ -126,7 +173,8 @@ class Project:
         the DuckDB-dialect rewrites (dialect.translate_sql)."""
         from .dialect import translate_sql
 
-        sql = _CONFIG.sub("", model.sql)  # config is metadata, not SQL
+        _ = model.materialized  # validate config keys before stripping the block
+        sql = _CONFIG_BLOCK.sub("", model.sql)  # config is metadata, not SQL
         sql = _REF.sub(lambda m: self._model_relation(m.group(1)).view_name, sql)
         sql = _SOURCE.sub(
             lambda m: Relation(self.catalog.database, m.group(1), m.group(2)).view_name, sql

@@ -494,3 +494,45 @@ def test_versioned_incremental_skip_and_materialization_change(spark, db):
     assert r2["m"].skipped
     assert [h["version"] for h in version_history(db, rel)] == [1]
     assert spark.table("m").count() == 4
+
+
+def test_config_block_with_extra_args_and_unknown_keys(spark, db):
+    """{{ config(...) }} blocks with multiple arguments parse and strip
+    (r11 advice: the old regex only matched a sole materialized= argument,
+    silently falling back to 'table' AND leaving jinja in the SQL)."""
+    _seed_source(spark, db)
+    # materialized + ignored metadata keys: parses, strips, runs versioned
+    m = Model(
+        name="cfg_multi",
+        sql=(
+            "{{ config(materialized='versioned', tags=['nightly', 'core'],\n"
+            "          description='a model') }}\n"
+            "SELECT n_legs FROM {{ source('source_schema', 'animals') }}"
+        ),
+    )
+    assert m.materialized == "versioned"
+    p = Project(db, [m])
+    res = p.run(spark)
+    assert res["cfg_multi"].rows == 4
+    # config with ONLY a metadata key: strips cleanly, defaults to table
+    m2 = Model(
+        name="cfg_meta_only",
+        sql=(
+            "{{ config(tags=['x']) }}\n"
+            "SELECT n_legs FROM {{ source('source_schema', 'animals') }}"
+        ),
+    )
+    assert m2.materialized == "table"
+    Project(db, [m2]).run(spark)
+    # unknown BEHAVIORAL key: rejected loudly, never silently dropped
+    bad = Model(
+        name="cfg_bad",
+        sql=(
+            "{{ config(schema='elsewhere') }}\n"
+            "SELECT 1 AS one"
+        ),
+    )
+    with pytest.raises(ValueError, match="unsupported config key"):
+        _ = bad.materialized
+    with pytest.raises(ValueError, match="unsupported config key"):
+        Project(db, [bad]).compile_sql(bad)
