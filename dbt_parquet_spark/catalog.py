@@ -150,11 +150,31 @@ class FilesystemCatalog:
         """Explicitly unsupported, matching reference impl.py:70-73."""
         raise NotImplementedError("truncate is not implemented for parquet relations")
 
+    # -- versioned-table detection -----------------------------------------
+    def is_versioned(self, rel: Relation) -> bool:
+        """True when the relation root is a manifest-versioned table
+        (versioned.write_versioned). Such roots physically hold EVERY
+        retained version's files plus staged orphans, so generic
+        directory-scan surfaces must resolve them through the manifest —
+        a plain directory view would union duplicate/stale rows, and a
+        file rewrite would corrupt committed history."""
+        from .versioned import VERSIONS_MANIFEST
+
+        p = self.fs_path(rel)
+        return self.io.isdir(p) and self.io.exists(
+            self.io.join(p, VERSIONS_MANIFEST)
+        )
+
     # -- views (reference relation.py:115-122, connections.py:79-88) ------
     def register_view(self, spark: SparkSession, rel: Relation) -> DataFrame:
         from .sources.readers import read_parquet
 
-        df = read_parquet(spark, rel.path)
+        if self.is_versioned(rel):
+            from .versioned import read_versioned
+
+            df = read_versioned(spark, self, rel)  # CURRENT snapshot only
+        else:
+            df = read_parquet(spark, rel.path)
         df.createOrReplaceTempView(rel.view_name)
         return df
 
@@ -172,9 +192,15 @@ class FilesystemCatalog:
     # -- introspection (reference impl.py:97-103, macros/catalog.sql) ------
     def get_columns(self, spark: SparkSession, rel: Relation) -> T.StructType:
         """Footer-only schema read — the Spark analog of the reference's
-        `SELECT * … LIMIT 0 → arrow schema` probe (reference impl.py:97-103)."""
+        `SELECT * … LIMIT 0 → arrow schema` probe (reference impl.py:97-103).
+        Versioned roots resolve through the manifest (the current version's
+        pinned schema), never a directory glob over mixed-version files."""
         from .sources.readers import read_parquet
 
+        if self.is_versioned(rel):
+            from .versioned import read_versioned
+
+            return read_versioned(spark, self, rel).schema
         return read_parquet(spark, rel.path).schema
 
     def catalog_df(self, spark: SparkSession, schemas: list[str] | None = None) -> DataFrame:
@@ -229,7 +255,21 @@ class FilesystemCatalog:
         nodes: dict = {}
         for schema in self.list_schemas():
             for rel in self.list_relations(schema):
-                n_rows, n_bytes = footer_stats(self.fs_path(rel))
+                if self.is_versioned(rel):
+                    # manifest metadata is exact and already footer-derived;
+                    # a directory walk would double-count retained versions
+                    from .versioned import _load_manifest
+
+                    m = _load_manifest(self, rel)
+                    entry = m["versions"][str(m["current"])]
+                    root = self.fs_path(rel)
+                    n_rows = entry["rows"]
+                    n_bytes = sum(
+                        self.io.getsize(self.io.join(root, f))
+                        for f in entry["files"]
+                    )
+                else:
+                    n_rows, n_bytes = footer_stats(self.fs_path(rel))
                 columns = {
                     fld.name: {
                         "type": fld.dataType.simpleString(),

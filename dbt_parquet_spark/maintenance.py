@@ -19,6 +19,20 @@ from .sources.readers import read_parquet
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # the canonical HDFS/parquet sweet spot
 
 
+def _refuse_versioned(catalog: FilesystemCatalog, rel: Relation, op: str) -> None:
+    """Generic maintenance rewrites files in place (write-then-swap) — on a
+    manifest-versioned root that would rewrite files committed manifests
+    still reference, corrupting every retained snapshot. Refuse and point
+    at the manifest-aware equivalent."""
+    if catalog.is_versioned(rel):
+        raise ValueError(
+            f"{op}: {rel.view_name} is a manifest-versioned table; use "
+            "`versions --optimize` / optimize_versioned(cluster_by=...) "
+            "instead — it rewrites through a new committed version, "
+            "keeping history intact"
+        )
+
+
 def compact(
     spark: SparkSession,
     catalog: FilesystemCatalog,
@@ -33,6 +47,7 @@ def compact(
     computed from actual on-disk size; the rewrite republishes atomically
     (write-to-temp + rename) so readers never see a half-compacted table.
     """
+    _refuse_versioned(catalog, rel, "compact")
     size = _path_bytes(catalog, rel)
     n_files = max(1, round(size / target_file_bytes))
     df = read_parquet(spark, rel.path).repartition(n_files)
@@ -98,6 +113,7 @@ def cluster_by(
     listed column simultaneous row-group locality (Delta/Iceberg
     OPTIMIZE ZORDER semantics on plain parquet).
     """
+    _refuse_versioned(catalog, rel, "cluster_by")
     size = _path_bytes(catalog, rel)
     n_files = max(1, round(size / target_file_bytes))
     df = read_parquet(spark, rel.path)

@@ -626,3 +626,37 @@ def test_optimize_recluster_restores_skipping(spark, vt):
     got = pruned.filter("id BETWEEN 100 AND 199").count()
     full = read_versioned(spark, catalog, rel).filter("id BETWEEN 100 AND 199").count()
     assert got == full
+
+
+def test_generic_catalog_surfaces_respect_versioned_roots(spark, vt):
+    """r11 advice: register_view / register_all_views on a versioned root
+    must resolve the CURRENT snapshot through the manifest (a directory
+    view unions every retained version's files — duplicate rows), and
+    maintain's compact/cluster_by must refuse (they would rewrite files
+    committed manifests reference)."""
+    from dbt_parquet_spark.maintenance import cluster_by, compact
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))
+    write_versioned(spark, catalog, rel, spark.range(10, 30), mode="append")
+    rollback_versioned(catalog, rel, 1)  # current = v1 (10 rows); 3 versions on disk
+    assert catalog.is_versioned(rel)
+    # the directory physically holds v1+append files: a raw dir read dups
+    df = catalog.register_view(spark, rel)
+    assert _ids(df) == list(range(10))
+    assert _ids(spark.sql(f"SELECT * FROM {rel.view_name}")) == list(range(10))
+    # register_all_views routes the same way
+    regs = catalog.register_all_views(spark)
+    assert rel.view_name in {r.view_name for r in regs}
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {rel.view_name}").collect()[0].n == 10
+    # schema + docs stats come from the manifest, not a directory walk
+    assert [f.name for f in catalog.get_columns(spark, rel).fields] == ["id"]
+    node = catalog.docs_artifact(spark)["nodes"][
+        f"model.dbt_parquet_spark.{rel.view_name}"
+    ]
+    assert node["stats"]["num_rows"]["value"] == 10
+    # maintenance refuses, pointing at the manifest-aware path
+    with pytest.raises(ValueError, match="manifest-versioned"):
+        compact(spark, catalog, rel)
+    with pytest.raises(ValueError, match="manifest-versioned"):
+        cluster_by(spark, catalog, rel, ["id"])
