@@ -33,6 +33,13 @@ from urllib.parse import urlparse
 
 import pyarrow.fs as pafs
 
+class ConcurrentWriteError(RuntimeError):
+    """Another mutator won the put-if-absent race for this commit's
+    generation. The loser committed NOTHING (its staged files are orphans a
+    vacuum reaps) — reload the manifest and retry. Shared by the versioned-
+    table and ANN-index manifest protocols."""
+
+
 # One shared in-memory FS per process: pyarrow's _MockFileSystem stores per
 # instance, so resolve("memory://...") must hand every caller the same one.
 _MEMORY_FS: pafs.FileSystem | None = None
@@ -130,6 +137,52 @@ class CatalogFS:
 
         with self.open_input(path) as fh:
             return json.loads(fh.read().decode("utf-8"))
+
+    def put_json_if_absent(self, path: str, obj) -> bool:
+        """Create ``path`` with obj's JSON iff it does not already exist —
+        the put-if-absent primitive multi-writer OCC commits need: N racing
+        writers targeting the same generation-numbered commit file get
+        exactly ONE winner, and the winner's file appears fully written
+        (readers can never observe a torn or empty commit).
+
+        Local filesystem: stage a dot-file sibling, then ``os.link`` it to
+        the target — link(2) is a single atomic syscall that fails with
+        EEXIST if the target exists and publishes the complete staged
+        content when it succeeds (O_CREAT|O_EXCL would win the race but
+        expose an empty file between create and write).
+
+        Object stores: the real primitive is a conditional PUT
+        (If-None-Match: * — supported by S3 since 2024, GCS
+        ifGenerationMatch=0, Azure If-None-Match). pyarrow.fs does not
+        expose conditional writes, so non-local backends fall back to
+        exists-check + PUT: a narrow race remains there until pyarrow grows
+        conditional puts — documented, and strictly no worse than the
+        load-recheck-replace it supersedes. Returns True iff this call
+        created the file."""
+        import json
+
+        data = json.dumps(obj).encode("utf-8")
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            import uuid
+
+            tmp = posixpath.join(
+                posixpath.dirname(path),
+                f".{posixpath.basename(path)}.{uuid.uuid4().hex[:8]}",
+            )
+            with self.open_output(tmp) as fh:
+                fh.write(data)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
+        if self.exists(path):
+            return False
+        with self.open_output(path) as fh:
+            fh.write(data)
+        return True
 
     def put_json_atomic(self, path: str, obj) -> None:
         """Write JSON such that a reader sees either the previous or the new

@@ -61,9 +61,11 @@ import pyarrow.fs as pafs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fs import CatalogFS, resolve_database
+from ..fs import CatalogFS, ConcurrentWriteError, resolve_database
 
-MANIFEST = "_manifest.json"
+MANIFEST = "_manifest.json"  # read cache (the commit log is authoritative)
+COMMITS_DIR = "_commits"  # generation-numbered OCC commit log
+COMMIT_GRACE = 3  # manifest_vacuum keeps this many trailing commit files
 
 
 def _ifs(path: str) -> tuple[CatalogFS, str]:
@@ -73,7 +75,24 @@ def _ifs(path: str) -> tuple[CatalogFS, str]:
     return cfs, cfs.root
 
 
+def _commit_path(cfs: CatalogFS, root: str, gen: int) -> str:
+    return cfs.join(root, COMMITS_DIR, f"{gen:012d}.json")
+
+
 def _load(cfs: CatalogFS, root: str) -> dict:
+    """Resolve the committed snapshot: highest generation in ``_commits/``
+    (each commit file a full manifest, written put-if-absent — always
+    complete), falling back to the ``_manifest.json`` cache for indexes
+    adopted before the OCC log or whose log was vacuumed away."""
+    commits = cfs.join(root, COMMITS_DIR)
+    if cfs.isdir(commits):
+        gens = [
+            int(e[:-5]) for e in cfs.listdir(commits)
+            if e.endswith(".json") and e[:-5].isdigit()
+        ]
+        if gens:
+            with cfs.open_input(_commit_path(cfs, root, max(gens))) as fh:
+                return json.loads(fh.read().decode("utf-8"))
     with cfs.open_input(cfs.join(root, MANIFEST)) as fh:
         return json.loads(fh.read().decode("utf-8"))
 
@@ -84,10 +103,26 @@ def _put_json(cfs: CatalogFS, path: str, obj: dict) -> None:
 
 
 def _commit(cfs: CatalogFS, root: str, manifest: dict) -> None:
-    """Atomically replace the manifest — THE commit point. On a local
-    filesystem: write a dot-file in the same directory, then one
-    ``os.replace`` (a single atomic rename syscall). On an object store a
-    direct PUT of the manifest object is already atomic — no staging."""
+    """Commit via put-if-absent on the generation-numbered commit file —
+    true multi-writer OCC (same primitive as versioned._commit_manifest):
+    the manifest's ``generation`` (already incremented by the caller) names
+    the commit file, racing mutators targeting the same generation get
+    exactly one winner, losers raise ConcurrentWriteError having committed
+    nothing (staged orphans; manifest_vacuum reaps). Mutators catch the
+    error, reload, and retry — this closes the load-merge-replace
+    lost-update window the r11 protocol retried on a generation PRE-check
+    (which left a sub-ms TOCTOU). After the winning commit the
+    ``_manifest.json`` cache is refreshed (atomic replace locally, plain
+    PUT on object stores); losing that write is harmless — the log is
+    authoritative and the cache at worst one generation stale."""
+    cfs.makedirs(cfs.join(root, COMMITS_DIR))
+    if not cfs.put_json_if_absent(
+        _commit_path(cfs, root, int(manifest["generation"])), manifest
+    ):
+        raise ConcurrentWriteError(
+            f"index generation {manifest['generation']} was committed by "
+            "another mutator; nothing committed — reload and retry"
+        )
     target = cfs.join(root, MANIFEST)
     if isinstance(cfs.fs, pafs.LocalFileSystem):
         tmp = cfs.join(root, f".{MANIFEST}.{uuid.uuid4().hex[:8]}")
@@ -115,7 +150,13 @@ def manifest_snapshot(path: str) -> dict:
         )
         if files:
             cells[entry[len("cell="):]] = files
-    manifest: dict = {"generation": 1, "cells": cells, "retired": []}
+    # re-adoption commits the NEXT generation (idempotent in effect: each
+    # call snapshots the current listing as a fresh committed generation)
+    try:
+        gen = int(_load(cfs, root)["generation"]) + 1
+    except FileNotFoundError:
+        gen = 1
+    manifest: dict = {"generation": gen, "cells": cells, "retired": []}
     if cfs.exists(cfs.join(root, "_ann_artifacts.json")):
         manifest["artifacts"] = "_ann_artifacts.json"
     _commit(cfs, root, manifest)
@@ -197,37 +238,53 @@ def manifest_append(
     reaps them); readers see the old snapshot until the commit and the
     full new one after — never anything in between.
 
-    One MUTATOR at a time (append or compact — the load-merge-replace
-    commit is last-writer-wins, so two racing mutators would orphan the
-    loser's files); readers never coordinate. ``before_commit`` is a test
-    seam invoked after staging."""
+    Multi-writer SAFE (r12 OCC): racing appends stage disjoint files, so a
+    loser of the generation race simply reloads the winner's manifest,
+    re-merges its own staged names, and retries the commit — both appends
+    land, no files orphan. A racing REBUILD is detected by the artifacts
+    pointer moving: this append's staged codes were encoded with the old
+    codebooks, so they are abandoned (invisible orphans; vacuum reaps) and
+    the delta is re-encoded with the retrained artifacts before retrying.
+    Readers never coordinate. ``before_commit`` is a test seam invoked
+    after staging, before each commit attempt."""
     from .kmeans import assign_udf
     from .similarity import _books_literal, _pq_encode
 
     cfs, root = _ifs(path)
-    # resolve through the manifest's artifacts pointer: an append after a
-    # manifest_rebuild must encode with the RETRAINED artifacts
-    cents, books = manifest_artifacts(spark, sf_dir, path)
-    assigned = delta.select(
-        "vec_id",
-        "embedding",
-        assign_udf(cents)(F.col("embedding")).alias("cell"),
-    )
-    codes = _pq_encode(
-        assigned.select("vec_id", "cell", "embedding"),
-        _books_literal(books),
-        keep_embedding=True,
-    )
-    added = _stage_codes(spark, cfs, root, codes)
-    if before_commit is not None:
-        before_commit()
-    m = _load(cfs, root)
-    for cell, names in added.items():
-        m["cells"].setdefault(cell, [])
-        m["cells"][cell] = sorted(m["cells"][cell] + names)
-    m["generation"] += 1
-    _commit(cfs, root, m)
-    return m
+    while True:
+        try:
+            art_ptr = _load(cfs, root).get("artifacts")
+        except FileNotFoundError:
+            art_ptr = None
+        # resolve through the manifest's artifacts pointer: an append after
+        # a manifest_rebuild must encode with the RETRAINED artifacts
+        cents, books = manifest_artifacts(spark, sf_dir, path)
+        assigned = delta.select(
+            "vec_id",
+            "embedding",
+            assign_udf(cents)(F.col("embedding")).alias("cell"),
+        )
+        codes = _pq_encode(
+            assigned.select("vec_id", "cell", "embedding"),
+            _books_literal(books),
+            keep_embedding=True,
+        )
+        added = _stage_codes(spark, cfs, root, codes)
+        while True:
+            if before_commit is not None:
+                before_commit()
+            m = _load(cfs, root)
+            if m.get("artifacts") != art_ptr:
+                break  # rebuild won mid-append: re-encode with its artifacts
+            for cell, names in added.items():
+                m["cells"].setdefault(cell, [])
+                m["cells"][cell] = sorted(set(m["cells"][cell] + names))
+            m["generation"] += 1
+            try:
+                _commit(cfs, root, m)
+                return m
+            except ConcurrentWriteError:
+                continue  # an append won this generation: re-merge, retry
 
 
 def manifest_compact(
@@ -288,7 +345,10 @@ def manifest_compact(
             m2["cells"][cell] = sorted(keep + new)
         m2["retired"] = [[c, f] for c, (old, _) in replaced.items() for f in old]
         m2["generation"] += 1
-        _commit(cfs, root, m2)
+        try:
+            _commit(cfs, root, m2)
+        except ConcurrentWriteError:
+            continue  # lost the OCC race (no TOCTOU left): redo the compact
         # delete what the PREVIOUS generation retired (grace expired)
         for cell, f in prev_retired:
             p = cfs.join(root, f"cell={cell}", f)
@@ -384,7 +444,10 @@ def manifest_rebuild(
             ],
             "artifacts": art_name,
         }
-        _commit(cfs, root, new_manifest)
+        try:
+            _commit(cfs, root, new_manifest)
+        except ConcurrentWriteError:
+            continue  # lost the OCC race: redo against the new snapshot
         for cell, f in prev_retired:
             p = cfs.join(root, f"cell={cell}", f)
             if cfs.exists(p):
@@ -445,13 +508,21 @@ def manifest_stream_append(
             keep_embedding=True,
         )
         added = _stage_codes(spark, cfs, root, codes)
-        m = _load(cfs, root)
-        for cell, names in added.items():
-            m["cells"].setdefault(cell, [])
-            m["cells"][cell] = sorted(m["cells"][cell] + names)
-        m.setdefault("streams", {})[sid] = batch_id
-        m["generation"] += 1
-        _commit(cfs, root, m)
+        while True:
+            m = _load(cfs, root)
+            last = m.get("streams", {}).get(sid)
+            if last is not None and batch_id <= last:
+                return  # committed concurrently (shouldn't happen; defensive)
+            for cell, names in added.items():
+                m["cells"].setdefault(cell, [])
+                m["cells"][cell] = sorted(set(m["cells"][cell] + names))
+            m.setdefault("streams", {})[sid] = batch_id
+            m["generation"] += 1
+            try:
+                _commit(cfs, root, m)
+                return
+            except ConcurrentWriteError:
+                continue  # a racing batch append won the generation: retry
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -461,27 +532,61 @@ def manifest_stream_append(
     return writer.start()
 
 
-def manifest_vacuum(path: str) -> list[str]:
+def manifest_vacuum(path: str, retention_s: float | None = None) -> list[str]:
     """Reap files no committed manifest references: crash orphans from
-    aborted stages and compactions, plus expired retirees and superseded
-    artifact generations. Never touches a file the current manifest lists
+    aborted stages and compactions, plus expired retirees, superseded
+    artifact generations, and superseded OCC commit-log entries (a
+    COMMIT_GRACE tail is kept so a reader between its log LIST and its
+    max-gen read is safe). Never touches a file the current manifest lists
     (live) or names in ``retired`` (still inside the grace window).
+
+    ``retention_s`` is a TIME FLOOR (the versioned-table vacuum
+    discipline): any candidate younger than it is kept — the guard against
+    reaping an IN-FLIGHT mutator's staging directory, which is
+    indistinguishable from a crash orphan by name alone. Candidates whose
+    backend reports no mtime are conservatively kept when a floor is set.
     Returns the deleted fs paths."""
+    import time
+
     cfs, root = _ifs(path)
     m = _load(cfs, root)
     live = {
         (c, f) for c, files in m["cells"].items() for f in files
     } | {(c, f) for c, f in m.get("retired", [])}
+
+    def young(p: str) -> bool:
+        if retention_s is None:
+            return False
+        mtime = cfs.getmtime(p)
+        return mtime is None or mtime > time.time() - retention_s
+
     deleted: list[str] = []
     for entry in cfs.listdir(root):
         p = cfs.join(root, entry)
         if entry.startswith(".stage_"):
+            if young(p):
+                continue
             cfs.rmtree(p)
             deleted.append(p)
+        elif entry == COMMITS_DIR:
+            gens = sorted(
+                int(e[:-5]) for e in cfs.listdir(p)
+                if e.endswith(".json") and e[:-5].isdigit()
+            )
+            for g in gens[:-COMMIT_GRACE]:
+                cp = _commit_path(cfs, root, g)
+                if young(cp):
+                    continue
+                cfs.remove_any(cp)
+                deleted.append(cp)
         elif entry.startswith("cell="):
             cell = entry[len("cell="):]
             for e in cfs.listdir(p):
-                if e.endswith(".parquet") and (cell, e) not in live:
+                if (
+                    e.endswith(".parquet")
+                    and (cell, e) not in live
+                    and not young(cfs.join(p, e))  # in-flight append's stage
+                ):
                     cfs.remove_any(cfs.join(p, e))
                     deleted.append(cfs.join(p, e))
         elif (
@@ -489,6 +594,7 @@ def manifest_vacuum(path: str) -> list[str]:
             and entry.endswith(".json")
             and entry != "_ann_artifacts.json"  # pre-manifest plain sidecar
             and entry != m.get("artifacts")
+            and not young(p)  # an in-flight rebuild's staged artifacts
         ):
             # generation-stamped artifacts superseded by a later rebuild
             cfs.remove_any(p)

@@ -19,12 +19,15 @@ replacing one small JSON manifest, so
 
 This intentionally mirrors the ANN index's manifest protocol
 (operators/index_manifest.py) — same commit primitive
-(``CatalogFS.put_json_atomic``: local ``os.replace`` / object-store
-single-object PUT), same crash story: a crash before the manifest replace
-leaves invisible staged orphans (reaped by vacuum), a crash after it
-leaves the new snapshot fully committed. There is no crash point that
-loses bytes a committed manifest references. One MUTATOR at a time per
-table (writers load-modify-replace the manifest); readers are always safe.
+(``CatalogFS.put_json_if_absent`` on a generation-numbered commit log:
+local ``os.link`` create-exclusive / object-store conditional PUT), same
+crash story: a crash before the manifest commit leaves invisible staged
+orphans (reaped by vacuum), a crash after it leaves the new snapshot fully
+committed. There is no crash point that loses bytes a committed manifest
+references. Writers are multi-writer SAFE (true OCC since r12): racing
+mutators commit against the same generation, exactly one wins, losers
+raise ConcurrentWriteError with nothing committed — reload and retry.
+Readers never coordinate and are always safe.
 
 Reference parity: the reference's CTAS overwrites in place (reference
 impl.py:75-85 rename pattern, macros/adapters.sql:10) — this module keeps
@@ -47,53 +50,82 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import FilesystemCatalog, Relation
+from .fs import ConcurrentWriteError  # noqa: F401 — re-exported (public API)
 from .registry import register
 from .sources.readers import load_table
 
-VERSIONS_MANIFEST = "_versions.json"
+VERSIONS_MANIFEST = "_versions.json"  # read cache + versioned-root marker
+COMMITS_DIR = "_commits"  # generation-numbered OCC commit log
+COMMIT_GRACE = 3  # vacuum keeps this many trailing commit files
 
 
 def _root(catalog: FilesystemCatalog, rel: Relation) -> str:
     return catalog.fs_path(rel)
 
 
+def _commit_path(io, root: str, gen: int) -> str:
+    return io.join(root, COMMITS_DIR, f"{gen:012d}.json")
+
+
 def _load_manifest(catalog: FilesystemCatalog, rel: Relation) -> dict:
+    """Resolve the table's committed state: the HIGHEST generation in the
+    ``_commits/`` log is authoritative (each commit file is a full manifest
+    snapshot written put-if-absent, so the max-gen file is always complete
+    and consistent). Tables created before the OCC log (or whose log was
+    fully vacuumed) fall back to the ``_versions.json`` cache; the next
+    commit seeds the log from there. The returned dict carries its
+    generation under ``gen`` — mutators pass it back as ``expect_gen``."""
     io = catalog.io
-    path = io.join(_root(catalog, rel), VERSIONS_MANIFEST)
+    root = _root(catalog, rel)
+    commits = io.join(root, COMMITS_DIR)
+    if io.isdir(commits):
+        gens = [
+            int(e[:-5]) for e in io.listdir(commits)
+            if e.endswith(".json") and e[:-5].isdigit()
+        ]
+        if gens:
+            m = io.get_json(_commit_path(io, root, max(gens)))
+            m["gen"] = max(gens)
+            return m
+    path = io.join(root, VERSIONS_MANIFEST)
     if not io.exists(path):
-        return {"current": 0, "versions": {}}
-    return io.get_json(path)
-
-
-class ConcurrentWriteError(RuntimeError):
-    """Another mutator committed between this writer's manifest load and
-    its commit attempt. The write staged files but committed NOTHING
-    (orphans; vacuum reaps) — reload and retry."""
+        return {"current": 0, "versions": {}, "gen": 0}
+    m = io.get_json(path)
+    m.setdefault("gen", 0)
+    return m
 
 
 def _commit_manifest(
     catalog: FilesystemCatalog,
     rel: Relation,
     m: dict,
-    expect_current: int | None = None,
+    expect_gen: int | None = None,
 ) -> None:
-    """Atomically replace the manifest. ``expect_current`` enables
-    optimistic conflict DETECTION for the single-mutator rule: re-read the
-    on-disk manifest immediately before the replace and refuse if another
-    writer advanced it since this writer's load — converting the
-    lost-update race into a loud ConcurrentWriteError in practically every
-    real overlap (a sub-ms TOCTOU window remains; true multi-writer OCC
-    needs put-if-absent on generation-numbered manifests — see SCALE.md)."""
+    """Commit the manifest at generation ``expect_gen + 1`` via
+    put-if-absent on the generation-numbered commit file — true
+    multi-writer OCC: when N writers race from the same loaded generation,
+    the filesystem's create-exclusive (local: one atomic link(2) syscall;
+    object stores: conditional PUT, see fs.put_json_if_absent) picks
+    exactly one winner and every loser raises ConcurrentWriteError having
+    committed NOTHING (staged orphans; vacuum reaps). This closes the
+    load-recheck-replace TOCTOU the r11 protocol documented. After the
+    winning commit, ``_versions.json`` is refreshed as a read cache /
+    versioned-root marker — losing that write is harmless (the commit log
+    is authoritative; the cache is one generation stale at worst until the
+    next commit)."""
     io = catalog.io
-    if expect_current is not None:
-        path = io.join(_root(catalog, rel), VERSIONS_MANIFEST)
-        on_disk = io.get_json(path)["current"] if io.exists(path) else 0
-        if on_disk != expect_current:
-            raise ConcurrentWriteError(
-                f"{rel.view_name}: manifest moved to version {on_disk} "
-                f"(this writer loaded {expect_current}); nothing committed"
-            )
-    io.put_json_atomic(io.join(_root(catalog, rel), VERSIONS_MANIFEST), m)
+    root = _root(catalog, rel)
+    if expect_gen is None:
+        expect_gen = int(m.get("gen", 0))
+    gen = expect_gen + 1
+    m = dict(m, gen=gen)
+    io.makedirs(io.join(root, COMMITS_DIR))
+    if not io.put_json_if_absent(_commit_path(io, root, gen), m):
+        raise ConcurrentWriteError(
+            f"{rel.view_name}: generation {gen} was committed by another "
+            f"writer (this writer loaded gen {expect_gen}); nothing committed"
+        )
+    io.put_json_atomic(io.join(root, VERSIONS_MANIFEST), m)
 
 
 # Parquet-safe type widenings accepted under evolve=True (the Delta type-
@@ -245,11 +277,18 @@ def write_versioned(
     txn: tuple[str, int] | None = None,
     stats_cols: tuple[str, ...] | None = None,
     evolve: bool = False,
+    before_commit=None,
 ) -> int | None:
     """Commit df as the table's next version. ``replace`` snapshots df
     alone; ``append`` stages only df's files and the new version references
     parent files + staged files (O(delta) IO). Returns the new version id.
-    Single mutator at a time per table (load-modify-replace).
+
+    Concurrency: genuinely racing writers are SAFE — the commit is
+    put-if-absent on a generation-numbered log (_commit_manifest), so one
+    racer wins and every other raises ConcurrentWriteError having
+    committed nothing (staged orphans; vacuum reaps). Catch it, reload,
+    retry. ``before_commit`` is a test seam invoked after staging, before
+    the commit attempt.
 
     ``txn=(stream_id, batch_id)`` makes the commit TRANSACTIONAL for
     streaming ingest (the Delta txnAppId/txnVersion discipline, shared
@@ -353,7 +392,9 @@ def write_versioned(
         m.setdefault("stats", {}).update(file_stats)
     if txn is not None:
         m.setdefault("streams", {})[txn[0]] = txn[1]
-    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
+    if before_commit is not None:
+        before_commit()
+    _commit_manifest(catalog, rel, m)
     return version
 
 
@@ -415,7 +456,7 @@ def rollback_versioned(
         "ts": time.time(),
     }
     m["current"] = new_version
-    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
+    _commit_manifest(catalog, rel, m)
     return new_version
 
 
@@ -583,7 +624,7 @@ def merge_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
+    _commit_manifest(catalog, rel, m)
     return version
 
 
@@ -650,7 +691,7 @@ def delete_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
+    _commit_manifest(catalog, rel, m)
     return version
 
 
@@ -710,7 +751,7 @@ def optimize_versioned(
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
-    _commit_manifest(catalog, rel, m, expect_current=m["current"] - 1)
+    _commit_manifest(catalog, rel, m)
     return version
 
 
@@ -774,7 +815,7 @@ def vacuum_versions(
     m["versions"] = {k: m["versions"][k] for k in keep}
     if "stats" in m:  # stats entries for reaped files go with them
         m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
-    _commit_manifest(catalog, rel, m, expect_current=m["current"])
+    _commit_manifest(catalog, rel, m)
     deleted = []
     for e in io.listdir(root):
         if e == VERSIONS_MANIFEST or e in kept_files:
@@ -782,6 +823,19 @@ def vacuum_versions(
         if e.endswith(".parquet") or e.startswith(".stage_"):
             io.remove_any(io.join(root, e))
             deleted.append(e)
+    # prune the OCC commit log: superseded generations are pure metadata
+    # history (every commit file is a full snapshot). Keep a COMMIT_GRACE
+    # tail so a reader between its log LIST and its max-gen read never has
+    # the file deleted under it (it would have to be GRACE commits stale).
+    commits = io.join(root, COMMITS_DIR)
+    if io.isdir(commits):
+        gens = sorted(
+            int(e[:-5]) for e in io.listdir(commits)
+            if e.endswith(".json") and e[:-5].isdigit()
+        )
+        for g in gens[:-COMMIT_GRACE]:
+            io.remove_any(_commit_path(io, root, g))
+            deleted.append(f"{COMMITS_DIR}/{g:012d}.json")
     return sorted(deleted)
 
 

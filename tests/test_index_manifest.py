@@ -216,3 +216,87 @@ def test_manifest_rebuild_atomic_artifacts_and_retirement(spark, tmp_path):
     assert os.path.join(root, m["artifacts"]) in deleted
     assert os.path.exists(os.path.join(root, m2["artifacts"]))
     assert os.path.exists(os.path.join(root, "_ann_artifacts.json"))  # untouched
+
+
+def test_occ_racing_appends_both_land(spark, tmp_path):
+    """r12 multi-writer OCC: two manifest_appends, barrier-synced between
+    manifest load and commit attempt, race the same generation — the OCC
+    loser retries against the winner's manifest and BOTH deltas commit
+    (no lost update, no orphaned winner files, generation advances by 2)."""
+    import threading
+
+    from dbt_parquet_spark.operators.index_manifest import _ifs, _load
+
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    cfs, root = _ifs(path)
+    gen0 = _load(cfs, root)["generation"]
+    barrier = threading.Barrier(2, timeout=120)
+    local = threading.local()
+    errors: list[Exception] = []
+
+    def barrier_once():
+        # sync each appender's FIRST commit attempt only — the OCC loser's
+        # retries must pass straight through, not re-block on the barrier
+        if getattr(local, "hit", False):
+            return
+        local.hit = True
+        barrier.wait()
+
+    def appender(lo: int, hi: int) -> None:
+        try:
+            manifest_append(
+                spark, base_dir, path,
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                before_commit=barrier_once,
+            )
+        except Exception as exc:  # noqa: BLE001 — surface in the assert
+            errors.append(exc)
+
+    ta = threading.Thread(target=appender, args=(400, 420))
+    tb = threading.Thread(target=appender, args=(420, 440))
+    ta.start(); tb.start(); ta.join(300); tb.join(300)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert not errors, errors
+    got = {r.vec_id for r in manifest_read(spark, path).select("vec_id").collect()}
+    assert got == set(range(440))  # base 400 + BOTH racing deltas
+    assert _load(cfs, root)["generation"] == gen0 + 2
+
+
+def test_occ_commit_log_prune_and_inflight_stage_retention(spark, tmp_path):
+    """manifest_vacuum prunes superseded commit-log generations (keeping
+    the grace tail) and, with retention_s, keeps young stage dirs an
+    in-flight mutator may still own."""
+    from dbt_parquet_spark.operators.index_manifest import (
+        COMMIT_GRACE,
+        COMMITS_DIR,
+        _ifs,
+    )
+
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    for lo in (400, 410, 420, 430):
+        manifest_append(
+            spark, base_dir, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+        )
+    cfs, root = _ifs(path)
+    commits = cfs.join(root, COMMITS_DIR)
+    assert len(cfs.listdir(commits)) >= COMMIT_GRACE + 1
+    # a fresh stage dir, as an in-flight appender would leave mid-write
+    cfs.makedirs(cfs.join(root, ".stage_inflight"))
+    with cfs.open_output(cfs.join(root, ".stage_inflight", "x.parquet")) as fh:
+        fh.write(b"partial")
+    n_commits = len(cfs.listdir(commits))
+    manifest_vacuum(path, retention_s=3600.0)
+    # the retention floor keeps EVERY young candidate: the in-flight stage
+    # dir and the fresh commit-log entries alike
+    assert cfs.isdir(cfs.join(root, ".stage_inflight"))
+    assert len(cfs.listdir(commits)) == n_commits
+    # without a floor: crash-cleanup default — orphan stage reaped, commit
+    # log pruned to the grace tail
+    deleted2 = manifest_vacuum(path)
+    assert not cfs.isdir(cfs.join(root, ".stage_inflight"))
+    assert any(".stage_inflight" in d for d in deleted2)
+    assert len(cfs.listdir(commits)) == COMMIT_GRACE
+    assert any(COMMITS_DIR in d for d in deleted2)
+    # the index still reads complete after all vacuuming
+    assert manifest_read(spark, path).count() == 440

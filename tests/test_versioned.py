@@ -84,8 +84,10 @@ def test_vacuum_keeps_recent_reaps_old(spark, vt):
     write_versioned(spark, catalog, rel, spark.range(7))  # v2 (replace)
     write_versioned(spark, catalog, rel, spark.range(7, 9), mode="append")  # v3
     deleted = vacuum_versions(catalog, rel, keep_last=2)
-    # v1's files are only referenced by v1 -> reaped; v2's survive (v3 refs them)
-    assert deleted and all(d.startswith("v000001-") for d in deleted)
+    # v1's files are only referenced by v1 -> reaped; v2's survive (v3 refs
+    # them); superseded OCC commit-log generations are reported separately
+    data_deleted = [d for d in deleted if d.endswith(".parquet")]
+    assert data_deleted and all(d.startswith("v000001-") for d in data_deleted)
     hist = version_history(catalog, rel)
     assert [h["version"] for h in hist] == [2, 3]
     assert _ids(read_versioned(spark, catalog, rel)) == list(range(9))
@@ -377,8 +379,7 @@ def test_delete_copy_on_write_with_prune(spark, vt):
 def test_concurrent_write_detection(spark, vt):
     """A mutator whose manifest view went stale (another writer committed
     in between) fails LOUDLY at commit time instead of silently dropping
-    the other writer's version — the optimistic detection layered on the
-    single-mutator rule."""
+    the other writer's version — the OCC gate at the commit-log layer."""
     from dbt_parquet_spark.versioned import (
         ConcurrentWriteError,
         _commit_manifest,
@@ -387,13 +388,111 @@ def test_concurrent_write_detection(spark, vt):
 
     catalog, rel = vt
     write_versioned(spark, catalog, rel, spark.range(3))
-    stale = _load_manifest(catalog, rel)  # writer A loads at current=1
-    write_versioned(spark, catalog, rel, spark.range(4))  # writer B -> v2
+    stale = _load_manifest(catalog, rel)  # writer A loads at gen 1
+    write_versioned(spark, catalog, rel, spark.range(4))  # writer B -> gen 2
     stale["current"] = 2  # writer A would now clobber B's v2
     with pytest.raises(ConcurrentWriteError):
-        _commit_manifest(catalog, rel, stale, expect_current=1)
+        _commit_manifest(catalog, rel, stale)  # expect_gen from A's load
     # B's commit is intact, nothing was lost
     assert version_history(catalog, rel)[-1]["rows"] == 4
+
+
+def test_occ_racing_writers_exactly_one_wins(spark, vt):
+    """TRUE multi-writer OCC (the r11 carried TOCTOU): two writers, barrier-
+    synced between manifest load and commit attempt, both try to commit —
+    exactly one wins, the loser raises ConcurrentWriteError with ZERO
+    committed bytes lost, its staged orphans are vacuum-reaped, and a
+    plain reload-retry by the loser lands both deltas."""
+    import threading
+
+    from dbt_parquet_spark.versioned import ConcurrentWriteError
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))
+    barrier = threading.Barrier(2, timeout=120)
+    results: dict[str, object] = {}
+
+    def writer(tag: str, lo: int, hi: int) -> None:
+        try:
+            results[tag] = write_versioned(
+                spark, catalog, rel, spark.range(lo, hi), mode="append",
+                before_commit=barrier.wait,  # both staged, both loaded gen 1
+            )
+        except ConcurrentWriteError:
+            results[tag] = "lost"
+
+    ta = threading.Thread(target=writer, args=("a", 10, 15))
+    tb = threading.Thread(target=writer, args=("b", 20, 25))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert sorted(results.values(), key=str) == [2, "lost"]
+    winner_lo = 10 if results["a"] == 2 else 20
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(10)) + list(
+        range(winner_lo, winner_lo + 5)
+    )
+    # the loser's staged files are invisible orphans; vacuum reaps them
+    deleted = vacuum_versions(catalog, rel, keep_last=10)
+    assert deleted  # the orphaned v2 staging of the loser
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(10)) + list(
+        range(winner_lo, winner_lo + 5)
+    )
+    # loser retries from a fresh load: both deltas now committed
+    loser_lo = 20 if winner_lo == 10 else 10
+    v3 = write_versioned(
+        spark, catalog, rel, spark.range(loser_lo, loser_lo + 5), mode="append"
+    )
+    assert v3 == 3
+    assert _ids(read_versioned(spark, catalog, rel)) == (
+        list(range(10)) + list(range(10, 15)) + list(range(20, 25))
+    )
+
+
+def test_put_json_if_absent_race_one_winner(tmp_path):
+    """The OCC primitive itself: N threads racing the same commit path get
+    exactly one True, and the winning file holds complete JSON."""
+    import json
+    import threading
+
+    from dbt_parquet_spark.fs import resolve_database
+
+    cfs = resolve_database(str(tmp_path))
+    path = cfs.join(cfs.root, "_commits_race.json")
+    barrier = threading.Barrier(8, timeout=60)
+    wins: list[int] = []
+
+    def racer(i: int) -> None:
+        barrier.wait()
+        if cfs.put_json_if_absent(path, {"winner": i, "payload": list(range(100))}):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert len(wins) == 1
+    committed = json.loads(open(str(tmp_path / "_commits_race.json")).read())
+    assert committed["winner"] == wins[0]
+    assert committed["payload"] == list(range(100))
+    # no staging residue
+    assert not [e for e in cfs.listdir(cfs.root) if e.startswith("._commits_race")]
+
+
+def test_legacy_versions_json_migrates_into_commit_log(spark, vt):
+    """A table whose root predates the OCC log (only _versions.json) loads
+    correctly, and its next commit seeds _commits/ from the cached state."""
+    from dbt_parquet_spark.versioned import COMMITS_DIR, _load_manifest
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(5))
+    io = catalog.io
+    root = catalog.fs_path(rel)
+    io.rmtree(io.join(root, COMMITS_DIR))  # simulate a pre-OCC table
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(5))
+    v2 = write_versioned(spark, catalog, rel, spark.range(5, 8), mode="append")
+    assert v2 == 2
+    m = _load_manifest(catalog, rel)
+    assert m["gen"] == 2 and io.isdir(io.join(root, COMMITS_DIR))
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(8))
 
 
 def test_schema_evolution_additive_append(spark, vt):
@@ -586,7 +685,7 @@ def test_vacuum_retention_floor(spark, vt):
 
     m = _load_manifest(catalog, rel)
     m["versions"]["1"]["ts"] = 1.0
-    _commit_manifest(catalog, rel, m, expect_current=m["current"])
+    _commit_manifest(catalog, rel, m)
     vacuum_versions(catalog, rel, keep_last=1, retention_s=3600.0)
     hist = {h["version"] for h in version_history(catalog, rel)}
     # v1 (old) reaped; v2 and v3 (young) both survive despite keep_last=1
