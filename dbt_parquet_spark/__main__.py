@@ -12,7 +12,9 @@
     python -m dbt_parquet_spark shell --database DB   (interactive DuckDB escape hatch)
     python -m dbt_parquet_spark maintain --database DB [--stats | --table T (--compact | --cluster-by C1,C2 [--zorder])]
     python -m dbt_parquet_spark snapshot --database DB --from SRC --table T --key K (--updated-col C | --check-cols C1,C2 --as-of TS)
-    python -m dbt_parquet_spark versions --database DB --table T [--rollback V] [--vacuum KEEP]
+    python -m dbt_parquet_spark versions --database DB --table T [--diff N M]
+                                      [--rollback V] [--vacuum KEEP [--retention-s S]]
+                                      [--optimize [--cluster-by COLS]]
 """
 
 from __future__ import annotations
@@ -197,9 +199,28 @@ def main(argv: list[str] | None = None) -> int:
         "and staged orphans",
     )
     vt_p.add_argument(
+        "--retention-s", dest="retention_s", type=float, default=None,
+        metavar="SECS",
+        help="with --vacuum: time floor — versions committed within the "
+        "last SECS seconds survive even when KEEP would reap them "
+        "(long-running-reader guard)",
+    )
+    vt_p.add_argument(
         "--optimize", action="store_true",
         help="compact the current snapshot into ~128MB files as a new "
         "version (history intact until --vacuum)",
+    )
+    vt_p.add_argument(
+        "--cluster-by", dest="vt_cluster_by", default=None, metavar="COLS",
+        help="with --optimize: comma-separated columns to range-cluster the "
+        "rewrite by (restores manifest-side data skipping after append "
+        "churn; pass the table's stats columns)",
+    )
+    vt_p.add_argument(
+        "--diff", nargs=2, type=int, default=None, metavar=("N", "M"),
+        help="value-level diff of two committed snapshots (row-count "
+        "difference + mismatched-row count) — the time-travel debugging "
+        "loop: what changed between version N and version M?",
     )
 
     args = p.parse_args(argv)
@@ -220,17 +241,42 @@ def main(argv: list[str] | None = None) -> int:
         from .versioned import rollback_versioned, vacuum_versions, version_history
 
         rel = catalog.relation(args.table, args.schema)
+        if args.diff is not None:
+            from .diff import relations_diff
+            from .session import get_spark as _gs
+            from .versioned import read_versioned
+
+            spark_ = _gs("dbt_parquet_spark_cli")
+            n, m_ = args.diff
+            row = relations_diff(
+                read_versioned(spark_, catalog, rel, version=n),
+                read_versioned(spark_, catalog, rel, version=m_),
+            ).collect()[0]
+            print(
+                f"diff {rel.view_name} v{n} vs v{m_}: "
+                f"row_count_difference={row.row_count_difference} "
+                f"num_mismatched={row.num_mismatched}"
+            )
         if args.optimize:
             from .session import get_spark as _gs
             from .versioned import optimize_versioned
 
-            v = optimize_versioned(_gs("dbt_parquet_spark_cli"), catalog, rel)
+            cols = (
+                tuple(c.strip() for c in args.vt_cluster_by.split(",") if c.strip())
+                if args.vt_cluster_by
+                else None
+            )
+            v = optimize_versioned(
+                _gs("dbt_parquet_spark_cli"), catalog, rel, cluster_by=cols
+            )
             print(f"OK optimize {rel.view_name} (version {v})")
         if args.rollback is not None:
             v = rollback_versioned(catalog, rel, args.rollback)
             print(f"OK rollback {rel.view_name} -> snapshot {args.rollback} (version {v})")
         if args.vacuum is not None:
-            deleted = vacuum_versions(catalog, rel, keep_last=args.vacuum)
+            deleted = vacuum_versions(
+                catalog, rel, keep_last=args.vacuum, retention_s=args.retention_s
+            )
             print(f"OK vacuum {rel.view_name}: {len(deleted)} file(s) reaped")
         for h in version_history(catalog, rel):
             cur = " <- current" if h["is_current"] else ""

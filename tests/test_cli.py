@@ -313,3 +313,32 @@ def test_versioned_lake_example_runs(tmp_path):
     assert "merged: 500 rows" in r.stdout
     assert "time travel: v1 still reads 400 rows" in r.stdout
     assert "OK versioned lake lifecycle complete" in r.stdout
+
+
+def test_cli_versions_diff(tmp_path):
+    """versions --diff N M: value-level diff of two committed snapshots —
+    the time-travel debugging loop (what changed between v1 and v2?)."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "d.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs <= 5\n"
+    )
+    assert _cli("seed", "--database", db, "--csv",
+                "examples/animals/seeds/animals.csv").returncode == 0
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    (models / "d.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs = 2\n"
+    )
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    out = _cli("versions", "--database", db, "--table", "d", "--diff", "1", "2")
+    assert out.returncode == 0
+    # v1 has 3 rows, v2 has 1 (a strict subset): 2 rows differ, count gap 2
+    assert "row_count_difference=2" in out.stdout
+    assert "num_mismatched=2" in out.stdout
+    same = _cli("versions", "--database", db, "--table", "d", "--diff", "1", "1")
+    assert "row_count_difference=0" in same.stdout
+    assert "num_mismatched=0" in same.stdout
