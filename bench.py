@@ -242,24 +242,50 @@ def main() -> None:
         pass
     time.sleep(3.0)
 
-    # Min-of-3 per query INSIDE one invocation, so a single driver draw is
-    # low-variance (round-5 lesson: one draw drifted +21% vs a local
-    # min-of-3 with identical plans). Repeats are capped for slow queries
-    # (>4 s best-of-2 stops there, not 3) to keep total wall-time sane —
-    # the cap is deliberately ABOVE the scaffold-cache build cost so a
-    # query whose first run pays a shared persist still gets its
-    # steady-state third run (q_dedup_components lesson). A throwing
-    # query costs one error row, never the artifact: the loop isolates
-    # per-query failures so the JSON line always carries whatever ran.
+    # Loadavg guard (r11 verdict: a contended committed draw came in 1.39x
+    # uniformly on identical code and was indistinguishable from a
+    # regression). Measure 1-min loadavg AFTER our own warm-up settles:
+    # load beyond what this process generates means another workload is
+    # competing for the box. A contended draw is FLAGGED on the artifact
+    # (machine-classifiable as noise), given extra settle time, and its
+    # per-query repeats are raised so the recorded min has more chances to
+    # land in a quiet window — never refused outright (the round driver
+    # needs an artifact either way).
+    def _loadavg() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except (AttributeError, OSError):
+            return None
+
+    n_cpus = os.cpu_count() or 8
+    load_pre = _loadavg()
+    contended = load_pre is not None and load_pre > max(4.0, n_cpus / 4)
+    if contended:
+        time.sleep(10.0)
+        load_pre = _loadavg()
+        contended = load_pre is not None and load_pre > max(4.0, n_cpus / 4)
+
+    # Min-of-5 per query INSIDE one invocation (raised from min-of-3, r11
+    # verdict: the instrument must out-resolve box noise whose spread on
+    # identical code approached the 2x gate), so a single driver draw is
+    # low-variance. Repeats are tiered by cost to keep total wall-time
+    # sane: >4 s best-of-2, >1.5 s best-of-3, else best-of-5 — the slow
+    # tiers are deliberately ABOVE the scaffold-cache build cost so a
+    # query whose first run pays a shared persist still gets a
+    # steady-state rep (q_dedup_components lesson). A contended draw gets
+    # one extra rep per tier. A throwing query costs one error row, never
+    # the artifact: the loop isolates per-query failures so the JSON line
+    # always carries whatever ran.
     spies = _instrument_caches()
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     warm_cache: list[str] = []
+    extra = 1 if contended else 0
     for name in names:
         hits_before = sum(s.hits for s in spies)
         runs: list[float] = []
-        for attempt in range(3):
+        for attempt in range(5 + extra):
             t0 = time.perf_counter()
             try:
                 run_query(specs[name].builder(spark, SF_DIR))
@@ -267,7 +293,9 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
             runs.append(time.perf_counter() - t0)
-            if attempt >= 1 and min(runs) > 4.0:
+            if attempt >= 1 + extra and min(runs) > 4.0:
+                break
+            if attempt >= 2 + extra and min(runs) > 1.5:
                 break
         if name not in errors and runs:
             if sum(s.hits for s in spies) > hits_before:
@@ -295,12 +323,28 @@ def main() -> None:
     # next to this script. If the compact line itself ever outgrows the
     # window (more headliners), degrade per-query precision before anything
     # else; the total and query set always survive.
+    load_post = _loadavg()
+    # Draw-level noise classification on the artifact itself: the median
+    # per-query spread says whether THIS draw's mins are trustworthy
+    # ((max-min)/min per query; a quiet box sits well under 0.3 median),
+    # and the loadavg pair says whether another workload was competing.
+    # A round-over-round mover can now be machine-classified from the two
+    # artifacts alone: if either draw is flagged, it's box state, not code.
+    all_spreads = sorted(s["spread"] for s in spreads.values())
+    med_spread = all_spreads[len(all_spreads) // 2] if all_spreads else 0.0
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "box": {
+            "loadavg_pre": load_pre,
+            "loadavg_post": load_post,
+            "contended": bool(contended),
+            "median_spread": round(med_spread, 3),
+            "reps": "min-of-5 tiered (>1.5s:3, >4s:2)",
+        },
     }
     if errors:
         out["errors"] = errors

@@ -453,6 +453,25 @@ def ivf_nprobe(cells: int) -> int:
 
     return max(IVF_NPROBE_MIN, math.isqrt(cells))
 
+
+def adaptive_nprobe(cells: int, survivor_frac: float) -> int:
+    """Probe budget for FILTERED search: scale nprobe inversely with the
+    predicate's survivor fraction so the EXPECTED allowed-candidate pool
+    stays at the unfiltered size. A pre-filter keeping fraction s of the
+    postings thins every probed cell to ~s of its rows; at a fixed nprobe
+    the candidate pool collapses to s·(unfiltered pool) and recall decays
+    silently — the failure mode filtered ANN is known for. Probing
+    ceil(nprobe/s) cells (capped at every cell — a maximally selective
+    filter degrades gracefully into exact search over the survivors)
+    restores the pool. Cost scales as (nprobe/s)·s = the UNFILTERED scan
+    cost, so adapting is free in scanned bytes; it only re-widens the
+    directory fan-in the filter narrowed."""
+    import math
+
+    base = ivf_nprobe(cells)
+    s = max(float(survivor_frac), 1.0 / max(cells, 1))
+    return min(cells, max(base, math.ceil(base / s)))
+
 # sf_dir -> fitted coarse quantizer / codebooks (the _PCA_CACHE discipline)
 # Keyed (applicationId, sf_dir) like _PQ_INDEX_CACHE/_LIFECYCLE_CACHE — one
 # scaffold-cache keying discipline package-wide: a new Spark session never
@@ -1474,25 +1493,33 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_search(
-    spark: SparkSession, sf_dir: str, allow: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    allow: DataFrame | None = None,
+    survivor_frac: float | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ probe/score/rerank body. ``allow`` (vec_id rows)
     restricts candidates BEFORE ADC scoring — the filtered-search
     pre-filter applied at cell-posting granularity, so the ADC pass and
-    the rerank only ever touch allowed vectors."""
+    the rerank only ever touch allowed vectors. ``survivor_frac`` (the
+    filter's keep fraction) widens the probe via ``adaptive_nprobe`` so a
+    selective predicate cannot silently collapse the candidate pool."""
     from .kmeans import probe_udf
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_quantizer(spark, sf_dir)
     adc = _adc_udf(train_pq_codebooks(spark, sf_dir))
+    nprobe = (
+        ivf_nprobe(len(cents))
+        if survivor_frac is None
+        else adaptive_nprobe(len(cents), survivor_frac)
+    )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(
-                probe_udf(cents, ivf_nprobe(len(cents)))(F.col("embedding"))
-            ).alias("cell"),
+            F.explode(probe_udf(cents, nprobe)(F.col("embedding"))).alias("cell"),
         )
     )
     # the probed cell set is queries x nprobe — driver-scale by definition
@@ -1529,19 +1556,27 @@ def q_ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — the allow-list joins the probed cells' posting rows BEFORE ADC
     scoring, so both the byte-code pass and the exact rerank touch only
     allowed vectors (pre-filter, never post-filter: a post-filtered top-k
-    under-fills k under selective predicates). Rows-only driver check;
-    pytest pins membership (every neighbor allowed), per-query fill, and
-    agreement with the exact filtered baseline on overlapping ranks.
+    under-fills k under selective predicates). The probe budget ADAPTS to
+    the filter's survivor fraction (adaptive_nprobe): a selective
+    predicate probes proportionally more cells so the allowed-candidate
+    pool — and therefore recall — holds instead of collapsing; the
+    recall-vs-selectivity curve is audited by q_ann_filtered_recall_audit
+    against the oracle-exact q_ann_filtered baseline. Rows-only driver
+    check; pytest pins membership (every neighbor allowed), per-query
+    fill, agreement with the exact baseline, and the selective-predicate
+    recall floor.
 
-    Scale: cost is (probe fraction) x (filter selectivity) of the code
-    scan — the levers multiply; the allow-list is a key equi-join that
-    co-partitions with a vec_id-bucketed documents layout."""
-    allowed = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("lang") == ANN_FILTER_LANG)
-        .select(F.col("doc_id").alias("vec_id"))
+    Scale: scanned bytes stay at the UNFILTERED probe cost ((nprobe/s)·s);
+    the survivor fraction here is an exact count over the KB-scale
+    documents dimension — at 100 TB substitute the predicate column's
+    NDV/histogram estimate or a sampled count. The allow-list is a key
+    equi-join that co-partitions with a vec_id-bucketed documents layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == ANN_FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
     )
-    return _ivf_pq_search(spark, sf_dir, allow=allowed)
+    frac = allowed.count() / max(docs.count(), 1)
+    return _ivf_pq_search(spark, sf_dir, allow=allowed, survivor_frac=frac)
 
 
 # --- Cluster-balanced sampling -----------------------------------------------
@@ -2063,15 +2098,24 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction once against the broadcast queries — cost scales with the
     selectivity, not the corpus. For a probed index the same pre-filter
     composes per-cell (filter the posting lists, then probe)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
     allowed = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang") == ANN_FILTER_LANG)
         .select(F.col("doc_id").alias("vec_id"))
     )
-    corpus = emb.join(allowed, "vec_id")
+    return _exact_filtered_topk(spark, sf_dir, allowed)
+
+
+def _exact_filtered_topk(
+    spark: SparkSession, sf_dir: str, allowed: DataFrame
+) -> DataFrame:
+    """Exact filtered cosine top-k over an arbitrary allow-list — the
+    ground-truth side every probed filtered variant is recall-measured
+    against (q_ann_filtered is its lang='en' registered instance)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    corpus = emb.join(allowed.select("vec_id"), "vec_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -2093,3 +2137,95 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= TOP_K)
+
+
+# --- Filtered-search recall audit ------------------------------------------------
+# Three predicate tiers spanning ~40x in selectivity on the documents
+# metadata — broad enough to behave like the unfiltered path, selective
+# enough to trigger the candidate-pool collapse a fixed nprobe suffers.
+FILTERED_AUDIT_TIERS: tuple[tuple[str, object], ...] = (
+    ("lang_en", lambda: F.col("lang") == ANN_FILTER_LANG),  # ~0.4
+    ("source_src1", lambda: F.col("source") == "src1"),  # ~0.05
+    ("doc_id_mod_101", lambda: F.col("doc_id") % 101 == 0),  # ~0.01
+)
+
+
+def filtered_ann_recall_audit(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Recall@TOP_K of the PRODUCTION filtered path (pre-filter + adaptive
+    probe + ADC + exact rerank, exactly q_ann_ivf_pq_filtered's plan)
+    against the exact filtered baseline, at each FILTERED_AUDIT_TIERS
+    predicate — the monitor for filtered ANN's known failure mode (recall
+    collapse under selective predicates), closing the r11 gap where only
+    the UNFILTERED probe path was audited.
+
+    One dict per tier: (filter, survivor_frac, nprobe, n_queries,
+    mean_recall, min_recall). Driver-side assembly is 3 aggregate rows;
+    the per-tier work is distributed (one probed index read + one
+    allowed-fraction exact scan each — the exact side is the honest price
+    of ground truth, bounded by selectivity x panel size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    cents = train_ivf_quantizer(spark, sf_dir)
+    out: list[dict] = []
+    for label, pred in FILTERED_AUDIT_TIERS:
+        allowed = docs.filter(pred()).select(F.col("doc_id").alias("vec_id"))
+        frac = allowed.count() / max(total, 1)
+        approx = _ivf_pq_search(
+            spark, sf_dir, allow=allowed, survivor_frac=frac
+        ).select("query_id", "neighbor_id")
+        exact = _exact_filtered_topk(spark, sf_dir, allowed).select(
+            "query_id", "neighbor_id"
+        )
+        truth = exact.groupBy("query_id").agg(F.count("*").alias("n_true"))
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_q = truth.join(hits, "query_id", "left").select(
+            (
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest("n_true", F.lit(1))
+            ).alias("recall")
+        )
+        agg = per_q.agg(
+            F.count("*").alias("n"),
+            F.avg("recall").alias("mean_r"),
+            F.min("recall").alias("min_r"),
+        ).collect()[0]
+        out.append(
+            {
+                "filter": label,
+                "survivor_frac": round(frac, 4),
+                "nprobe": adaptive_nprobe(len(cents), frac),
+                "n_queries": int(agg.n),
+                "mean_recall": float(agg.mean_r) if agg.mean_r is not None else 1.0,
+                "min_recall": float(agg.min_r) if agg.min_r is not None else 1.0,
+            }
+        )
+    return out
+
+
+@register(
+    "q_ann_filtered_recall_audit",
+    tags=("similarity", "ann", "filtered", "audit", "serving"),
+)
+def q_ann_filtered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered filtered-search freshness monitor: one row per
+    selectivity tier with the probed path's recall against the exact
+    filtered baseline and the adaptive probe budget used. Rows-only driver
+    check (quantizer artifacts are operator identity, like
+    q_index_recall_audit); the selective-tier recall floor is pinned in
+    tests/test_joins_ivf.py."""
+    rows = filtered_ann_recall_audit(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                r["filter"], r["survivor_frac"], r["nprobe"], r["n_queries"],
+                r["mean_recall"], r["min_recall"],
+            )
+            for r in rows
+        ],
+        "filter string, survivor_frac double, nprobe bigint, n_queries bigint, "
+        "mean_recall double, min_recall double",
+    )

@@ -600,3 +600,70 @@ def test_ann_ivf_pq_filtered_membership_and_agreement(spark):
     assert overlap, "no overlap with the exact filtered baseline"
     for r in overlap:
         assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+def test_adaptive_nprobe_scaling():
+    """Probe budget scales inversely with survivor fraction: unfiltered
+    keeps the base budget, fraction s widens to ~base/s, a maximally
+    selective filter degrades gracefully into probing every cell."""
+    from dbt_parquet_spark.operators.similarity import adaptive_nprobe, ivf_nprobe
+
+    base = ivf_nprobe(100)
+    assert adaptive_nprobe(100, 1.0) == base
+    assert adaptive_nprobe(100, 0.5) == base * 2
+    assert adaptive_nprobe(100, 0.01) == 100  # capped at every cell
+    assert adaptive_nprobe(100, 0.0) == 100  # degenerate fraction: cap
+    # never narrower than the unfiltered budget
+    assert adaptive_nprobe(100, 2.0) == base
+
+
+def test_filtered_recall_audit_selective_floor(spark):
+    """The r11 gap: filtered ANN had no recall story under selective
+    predicates. The audit runs the PRODUCTION adaptive-probe path against
+    the exact filtered baseline at three selectivities; the most selective
+    tier must hold recall above the floor BECAUSE the probe widened (at a
+    fixed base nprobe its candidate pool would collapse)."""
+    from dbt_parquet_spark.operators.similarity import (
+        FILTERED_AUDIT_TIERS,
+        _exact_filtered_topk,
+        _ivf_pq_search,
+        filtered_ann_recall_audit,
+        ivf_nprobe,
+        train_ivf_quantizer,
+    )
+    from dbt_parquet_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    tiers = {r["filter"]: r for r in filtered_ann_recall_audit(spark, SF_ORACLE)}
+    assert set(tiers) == {t[0] for t in FILTERED_AUDIT_TIERS}
+    cells = len(train_ivf_quantizer(spark, SF_ORACLE))
+    base = ivf_nprobe(cells)
+    # selectivity ordering holds on the synthetic corpus
+    assert tiers["lang_en"]["survivor_frac"] > tiers["source_src1"]["survivor_frac"]
+    assert tiers["source_src1"]["survivor_frac"] > tiers["doc_id_mod_101"]["survivor_frac"]
+    # the probe widened for selective tiers — up to every cell at ~1%
+    assert tiers["source_src1"]["nprobe"] > base
+    assert tiers["doc_id_mod_101"]["nprobe"] == cells
+    # recall floor: the adaptive path holds at every tier; the selective
+    # tier (probing all cells = exact over survivors) is perfect
+    for r in tiers.values():
+        assert r["mean_recall"] >= 0.8, r
+    assert tiers["doc_id_mod_101"]["mean_recall"] == 1.0
+    # and the adaptive path dominates the fixed-nprobe path at the most
+    # selective tier (the collapse the adaptation exists to prevent)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    label, pred = FILTERED_AUDIT_TIERS[-1]
+    allowed = docs.filter(pred()).select(F.col("doc_id").alias("vec_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _exact_filtered_topk(spark, SF_ORACLE, allowed).collect()
+    }
+    fixed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _ivf_pq_search(spark, SF_ORACLE, allow=allowed).collect()
+    }
+    adaptive_recall = tiers[label]["mean_recall"]
+    fixed_recall = len(fixed & exact) / max(len(exact), 1)
+    assert adaptive_recall >= fixed_recall

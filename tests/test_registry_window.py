@@ -181,8 +181,11 @@ def test_registry_exposes_all_queries():
     # with the materialized IVF-PQ probe: allow-list joins the posting
     # rows before ADC, rows-only + membership/fill/overlap pins),
     # +q_context_pack_batch (operators/serving.py — per-query greedy
-    # packing over the batched BM25 run, oracle-checked)
-    assert len(specs) == 217
+    # packing over the batched BM25 run, oracle-checked),
+    # +q_ann_filtered_recall_audit (similarity.py — recall@k of the
+    # adaptive-probe filtered path vs the exact filtered baseline at three
+    # predicate selectivities; rows-only, floor pinned in test_joins_ivf)
+    assert len(specs) == 218
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
