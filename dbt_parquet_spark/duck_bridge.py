@@ -35,8 +35,10 @@ def duckdb_query(
     con = duckdb.connect()
     if catalog is not None:
         register_catalog_views(con, catalog)
-    arrow_table = con.execute(sql).arrow()
-    return spark.createDataFrame(arrow_table.to_pandas())
+    # Direct Arrow -> Spark (supported on Spark 4): the previous pandas
+    # hop silently rewrote Arrow types (ns timestamps, nullable ints
+    # becoming float64 with NaN) and double-copied the batch.
+    return spark.createDataFrame(con.execute(sql).arrow())
 
 
 def register_catalog_views(con, catalog: FilesystemCatalog) -> list[str]:

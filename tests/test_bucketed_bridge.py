@@ -58,3 +58,18 @@ def test_to_duckdb_roundtrip(spark):
     con = to_duckdb(df, "regions")
     n = con.execute("SELECT COUNT(*) FROM regions").fetchone()[0]
     assert n == df.count()
+
+
+def test_duckdb_query_preserves_arrow_types(spark):
+    """Direct Arrow->Spark interop (r11 hygiene advice): microsecond
+    timestamps survive and nullable ints stay integral (the pandas hop
+    rewrote them to float64/NaN)."""
+    out = duckdb_query(
+        spark,
+        "SELECT 1::BIGINT AS a, TIMESTAMP '2024-01-02 03:04:05.123456' AS ts, "
+        "NULL::INT AS n UNION ALL SELECT 2, TIMESTAMP '2024-01-03', 7",
+    )
+    assert dict(out.dtypes) == {"a": "bigint", "ts": "timestamp", "n": "int"}
+    rows = {r.a: r for r in out.collect()}
+    assert rows[1].ts.microsecond == 123456
+    assert rows[1].n is None and rows[2].n == 7
