@@ -1029,3 +1029,110 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain SQL over the source table."""
     catalog, rel = _merge_table(spark, sf_dir)
     return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")
+
+
+# Delete scaffold: its own memoized table (same idempotence discipline as
+# the merge scaffold — the CoW delete happens ONCE per session, the
+# registered query just reads the committed result).
+_DELETE_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+DELETE_LO, DELETE_HI = 300, 399  # the deleted doc_id window
+
+
+def _delete_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DELETE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_delete_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_delete", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    write_versioned(
+        spark, catalog, rel, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    delete_versioned(
+        spark, catalog, rel,
+        F.col("doc_id").between(DELETE_LO, DELETE_HI),
+        prune={"doc_id": (DELETE_LO, DELETE_HI)},
+    )
+    _DELETE_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_versioned_delete",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT BETWEEN {DELETE_LO} AND {DELETE_HI}
+    """,
+    tags=("versioned", "delete", "copy-on-write", "catalog"),
+)
+def q_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE, driver-checked: delete a doc_id window from a
+    range-clustered versioned table with a prune range and read the
+    committed result — only files whose skipping stats intersect the
+    window are rewritten (their surviving rows), every other file carries
+    into the new version by reference, and the pre-delete snapshot stays
+    addressable. Oracle = the complementary WHERE over the source table."""
+    catalog, rel = _delete_table(spark, sf_dir)
+    return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")
+
+
+# Schema-evolution scaffold: v1 = the even-doc_id half at the NARROW shape
+# (n_chars int, no lang); v2 = evolved append of the odd half that both
+# WIDENS n_chars (int -> bigint) and ADDS lang — the full r12 evolution
+# surface (additive + widening) in one committed lineage.
+_EVOLUTION_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+
+def _evolution_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EVOLUTION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_evolve_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_evolve", "vt")
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    write_versioned(
+        spark, catalog, rel, narrow.repartitionByRange(4, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    wide = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "lang"
+    )
+    write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
+    _EVOLUTION_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+    FROM documents
+    """,
+    tags=("versioned", "schema-evolution", "widening", "catalog"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive + widening schema evolution, driver-checked end-to-end:
+    the evolved snapshot reads with the version's PINNED schema, so
+    pre-evolution files upcast n_chars (int -> bigint) and null-fill lang
+    while post-evolution files carry real values — bit-identical to the
+    oracle's CAST + CASE over the source table. Time travel back to the
+    narrow v1 (old shape AND old types) is pinned in
+    tests/test_versioned.py's widening test."""
+    catalog, rel = _evolution_table(spark, sf_dir)
+    return read_versioned(spark, catalog, rel).select("doc_id", "n_chars", "lang")

@@ -184,8 +184,13 @@ def test_registry_exposes_all_queries():
     # packing over the batched BM25 run, oracle-checked),
     # +q_ann_filtered_recall_audit (similarity.py — recall@k of the
     # adaptive-probe filtered path vs the exact filtered baseline at three
-    # predicate selectivities; rows-only, floor pinned in test_joins_ivf)
-    assert len(specs) == 218
+    # predicate selectivities; rows-only, floor pinned in test_joins_ivf),
+    # +q_versioned_delete (versioned.py — copy-on-write DELETE with prune
+    # ranges over a range-clustered table, oracle-checked),
+    # +q_schema_evolution (versioned.py — additive + widening evolution
+    # read end-to-end: pinned-schema scan null-fills/upcasts pre-evolution
+    # files, oracle-checked vs CAST + CASE over the source)
+    assert len(specs) == 220
     # round-1 fixed rows stay inside the verified window too
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
     assert fixed <= set(list(specs)[:DRIVER_WINDOW])
