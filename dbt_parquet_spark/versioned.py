@@ -277,18 +277,28 @@ def write_versioned(
     txn: tuple[str, int] | None = None,
     stats_cols: tuple[str, ...] | None = None,
     evolve: bool = False,
+    retry_on_conflict: bool = True,
     before_commit=None,
 ) -> int | None:
     """Commit df as the table's next version. ``replace`` snapshots df
     alone; ``append`` stages only df's files and the new version references
     parent files + staged files (O(delta) IO). Returns the new version id.
 
-    Concurrency: genuinely racing writers are SAFE — the commit is
-    put-if-absent on a generation-numbered log (_commit_manifest), so one
-    racer wins and every other raises ConcurrentWriteError having
-    committed nothing (staged orphans; vacuum reaps). Catch it, reload,
-    retry. ``before_commit`` is a test seam invoked after staging, before
-    the commit attempt.
+    Concurrency: racing writers are MULTI-WRITER SAFE — the commit is
+    put-if-absent on a generation-numbered log (_commit_manifest), so
+    exactly one racer wins each generation, and because appends and
+    replaces are commutative against a moving parent (an append's staged
+    files stay valid; it just re-points at the winner's file list; a
+    replace doesn't read the parent at all), the loser RE-RESOLVES the
+    new state and retries by default: N racing appends all land, in
+    commit-log order, none lost — the Delta transaction ergonomics.
+    ``retry_on_conflict=False`` surfaces the loss as ConcurrentWriteError
+    instead (nothing committed; staged orphans; vacuum reaps). A retried
+    append re-runs the schema gate against the NEW parent, so a racing
+    replace that changed the schema fails loudly, never merges silently.
+    The stateful mutators (merge/delete/rollback/optimize) never
+    auto-retry — their output depends on the snapshot they read.
+    ``before_commit`` is a test seam invoked before each commit attempt.
 
     ``txn=(stream_id, batch_id)`` makes the commit TRANSACTIONAL for
     streaming ingest (the Delta txnAppId/txnVersion discipline, shared
@@ -316,6 +326,55 @@ def write_versioned(
     its own dtypes). ``optimize_versioned`` rewrites an evolved lineage
     uniform again."""
     assert mode in ("replace", "append"), mode
+    df_columns = list(df.columns)
+    df_dtypes = _dtypes(df)
+
+    def gate(m: dict) -> tuple[list[str], dict[str, str], bool]:
+        """Schema gate + merged (columns, dtypes, evolved) against the
+        manifest's CURRENT parent — run before any bytes move, and re-run
+        on every conflict retry (the parent may have changed under us)."""
+        if mode != "append" or not m["current"]:
+            return df_columns, dict(df_dtypes), False
+        parent = m["versions"][str(m["current"])]
+        parent_cols = parent["columns"]
+        parent_dtypes = parent.get("dtypes", {})
+        if not evolve:
+            if df_columns != parent_cols or (
+                parent_dtypes
+                and any(
+                    df_dtypes[c] != parent_dtypes.get(c, df_dtypes[c])
+                    for c in df_columns
+                )
+            ):
+                raise ValueError(
+                    f"append schema {df_columns} != table schema "
+                    f"{parent_cols}; pass evolve=True for additive/widening "
+                    "evolution or mode='replace' to change the schema freely "
+                    "(versions are immutable snapshots — history keeps the "
+                    "old shape)"
+                )
+            columns, dtypes = df_columns, dict(df_dtypes)
+        else:
+            missing = [c for c in parent_cols if c not in df_columns]
+            if missing:
+                raise ValueError(
+                    f"evolved append drops parent columns {missing} — "
+                    "evolution is additive only; use mode='replace' to narrow"
+                )
+            dtypes = _merge_dtypes(
+                parent_dtypes, df_dtypes, f"{rel.view_name} evolved append"
+            )
+            # keep parent column order; evolved columns append at the end
+            columns = parent_cols + [c for c in df_columns if c not in parent_cols]
+        # mixed-schema file list: this append added columns or widened
+        # types, or an earlier evolution already left mixed files behind
+        evolved = (
+            columns != parent_cols
+            or dtypes != parent_dtypes
+            or bool(parent.get("evolved"))
+        )
+        return columns, dtypes, evolved
+
     m = _load_manifest(catalog, rel)
     if stats_cols is not None:
         m["stats_cols"] = sorted(stats_cols)
@@ -325,77 +384,55 @@ def write_versioned(
         last = m.get("streams", {}).get(sid)
         if last is not None and bid <= last:
             return None  # replay of a committed batch: the txn record skips it
-    evolved = False
-    columns = list(df.columns)
-    dtypes = _dtypes(df)
-    if mode == "append" and m["current"]:
-        # schema gate BEFORE any bytes move: a mismatched append would
-        # otherwise silently schema-merge (nulls) at read time
-        parent = m["versions"][str(m["current"])]
-        parent_cols = parent["columns"]
-        parent_dtypes = parent.get("dtypes", {})
-        if not evolve:
-            if list(df.columns) != parent_cols or (
-                parent_dtypes
-                and any(dtypes[c] != parent_dtypes.get(c, dtypes[c]) for c in columns)
-            ):
-                raise ValueError(
-                    f"append schema {list(df.columns)} != table schema "
-                    f"{parent_cols}; pass evolve=True for additive/widening "
-                    "evolution or mode='replace' to change the schema freely "
-                    "(versions are immutable snapshots — history keeps the "
-                    "old shape)"
-                )
-        else:
-            missing = [c for c in parent_cols if c not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"evolved append drops parent columns {missing} — "
-                    "evolution is additive only; use mode='replace' to narrow"
-                )
-            dtypes = _merge_dtypes(
-                parent_dtypes, dtypes, f"{rel.view_name} evolved append"
-            )
-            # keep parent column order; evolved columns append at the end
-            columns = parent_cols + [c for c in columns if c not in parent_cols]
-        # mixed-schema file list: this append added columns or widened
-        # types, or an earlier evolution already left mixed files behind
-        evolved = (
-            columns != parent_cols
-            or dtypes != parent_dtypes
-            or bool(parent.get("evolved"))
-        )
-    version = m["current"] + 1
-    names, rows, file_stats = _stage_files(
-        spark, catalog, rel, df, version, effective_stats_cols
+    columns, dtypes, evolved = gate(m)
+    names, rows_staged, file_stats = _stage_files(
+        spark, catalog, rel, df, m["current"] + 1, effective_stats_cols
     )
-    if mode == "append" and m["current"]:
-        parent = m["versions"][str(m["current"])]
-        files = parent["files"] + names
-        rows = parent["rows"] + rows
-    else:
-        files = names
     import time
 
-    m["versions"][str(version)] = {
-        "files": files,
-        "op": mode,
-        "parent": m["current"] or None,
-        "rows": rows,
-        "columns": columns,
-        "dtypes": dtypes,
-        "evolved": evolved,
-        "ts": time.time(),
-    }
-    m["current"] = version
-    if file_stats:
-        m.setdefault("stats", {}).update(file_stats)
-    if txn is not None:
-        m.setdefault("streams", {})[txn[0]] = txn[1]
-    if before_commit is not None:
-        before_commit()
-    _commit_manifest(catalog, rel, m)
-    return version
+    while True:
+        version = m["current"] + 1
+        if mode == "append" and m["current"]:
+            parent = m["versions"][str(m["current"])]
+            files = parent["files"] + names
+            rows = parent["rows"] + rows_staged
+        else:
+            files = names
+            rows = rows_staged
+        m["versions"][str(version)] = {
+            "files": files,
+            "op": mode,
+            "parent": m["current"] or None,
+            "rows": rows,
+            "columns": columns,
+            "dtypes": dtypes,
+            "evolved": evolved,
+            "ts": time.time(),
+        }
+        m["current"] = version
+        if file_stats:
+            m.setdefault("stats", {}).update(file_stats)
+        if txn is not None:
+            m.setdefault("streams", {})[txn[0]] = txn[1]
+        if before_commit is not None:
+            before_commit()
+        try:
+            _commit_manifest(catalog, rel, m)
+            return version
+        except ConcurrentWriteError:
+            if not retry_on_conflict:
+                raise
+            # another writer won this generation: the staged files stay
+            # valid (their names are already unique; the version prefix in
+            # the name is cosmetic), so re-resolve the new state and retry
+            m = _load_manifest(catalog, rel)
+            if stats_cols is not None:
+                m["stats_cols"] = sorted(stats_cols)
+            if txn is not None:
+                last = m.get("streams", {}).get(txn[0])
+                if last is not None and txn[1] <= last:
+                    return None  # our batch committed concurrently
+            columns, dtypes, evolved = gate(m)  # may raise: schema moved
 
 
 def stream_append_versioned(

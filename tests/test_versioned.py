@@ -398,11 +398,12 @@ def test_concurrent_write_detection(spark, vt):
 
 
 def test_occ_racing_writers_exactly_one_wins(spark, vt):
-    """TRUE multi-writer OCC (the r11 carried TOCTOU): two writers, barrier-
-    synced between manifest load and commit attempt, both try to commit —
-    exactly one wins, the loser raises ConcurrentWriteError with ZERO
-    committed bytes lost, its staged orphans are vacuum-reaped, and a
-    plain reload-retry by the loser lands both deltas."""
+    """TRUE multi-writer OCC (the r11 carried TOCTOU), retry disabled: two
+    writers, barrier-synced between manifest load and commit attempt, both
+    try to commit — exactly one wins, the loser raises
+    ConcurrentWriteError with ZERO committed bytes lost, its staged
+    orphans are vacuum-reaped, and a plain reload-retry by the loser lands
+    both deltas."""
     import threading
 
     from dbt_parquet_spark.versioned import ConcurrentWriteError
@@ -416,6 +417,7 @@ def test_occ_racing_writers_exactly_one_wins(spark, vt):
         try:
             results[tag] = write_versioned(
                 spark, catalog, rel, spark.range(lo, hi), mode="append",
+                retry_on_conflict=False,
                 before_commit=barrier.wait,  # both staged, both loaded gen 1
             )
         except ConcurrentWriteError:
@@ -444,6 +446,87 @@ def test_occ_racing_writers_exactly_one_wins(spark, vt):
     assert _ids(read_versioned(spark, catalog, rel)) == (
         list(range(10)) + list(range(10, 15)) + list(range(20, 25))
     )
+
+
+def test_occ_racing_appends_both_land_with_retry(spark, vt):
+    """Default ergonomics (Delta-style): racing appends are commutative, so
+    the OCC loser auto-retries against the winner's state — BOTH deltas
+    commit as consecutive versions, none lost, staged files reused (no
+    re-staging IO). A racing append against a schema-changing replace
+    fails LOUDLY at the retried gate instead of merging silently."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))
+    barrier = threading.Barrier(2, timeout=120)
+    local = threading.local()
+    results: dict[str, object] = {}
+    errors: list[Exception] = []
+
+    def barrier_once():
+        if getattr(local, "hit", False):
+            return  # retries pass straight through
+        local.hit = True
+        barrier.wait()
+
+    def writer(tag: str, lo: int, hi: int) -> None:
+        try:
+            results[tag] = write_versioned(
+                spark, catalog, rel, spark.range(lo, hi), mode="append",
+                before_commit=barrier_once,
+            )
+        except Exception as exc:  # noqa: BLE001 — surface in the assert
+            errors.append(exc)
+
+    ta = threading.Thread(target=writer, args=("a", 10, 15))
+    tb = threading.Thread(target=writer, args=("b", 20, 25))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errors, errors
+    assert sorted(results.values()) == [2, 3]
+    assert _ids(read_versioned(spark, catalog, rel)) == (
+        list(range(10)) + list(range(10, 15)) + list(range(20, 25))
+    )
+    hist = {h["version"]: h for h in version_history(catalog, rel)}
+    assert hist[3]["rows"] == 20 and hist[3]["is_current"]
+    # append racing a schema-changing replace: the retried gate rejects
+    barrier2 = threading.Barrier(2, timeout=120)
+    local2 = threading.local()
+    outcome: dict[str, object] = {}
+
+    def barrier2_once():
+        if getattr(local2, "hit", False):
+            return
+        local2.hit = True
+        barrier2.wait()
+
+    def replacer() -> None:
+        outcome["replace"] = write_versioned(
+            spark, catalog, rel,
+            spark.range(3).select(F.col("id").alias("renamed")),
+            before_commit=barrier2_once,
+        )
+
+    def appender() -> None:
+        try:
+            outcome["append"] = write_versioned(
+                spark, catalog, rel, spark.range(30, 35), mode="append",
+                before_commit=barrier2_once,
+            )
+        except ValueError as exc:
+            outcome["append"] = f"gate: {exc}"
+
+    tr = threading.Thread(target=replacer)
+    tp = threading.Thread(target=appender)
+    tr.start(); tp.start(); tr.join(120); tp.join(120)
+    # either the append won its generation first (then the replace simply
+    # supersedes it) or the replace won and the append's retried gate
+    # rejected the schema mismatch — silent merge is impossible either way
+    assert outcome["replace"] in (4, 5)
+    assert outcome["append"] == 4 or str(outcome["append"]).startswith("gate:")
+    cur = read_versioned(spark, catalog, rel)
+    assert cur.columns == ["renamed"] and cur.count() == 3
 
 
 def test_put_json_if_absent_race_one_winner(tmp_path):
