@@ -206,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
         "(long-running-reader guard)",
     )
     vt_p.add_argument(
+        "--dry-run", dest="dry_run", action="store_true",
+        help="with --vacuum: list what would be reaped without committing "
+        "or deleting anything",
+    )
+    vt_p.add_argument(
         "--optimize", action="store_true",
         help="compact the current snapshot into ~128MB files as a new "
         "version (history intact until --vacuum)",
@@ -275,9 +280,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"OK rollback {rel.view_name} -> snapshot {args.rollback} (version {v})")
         if args.vacuum is not None:
             deleted = vacuum_versions(
-                catalog, rel, keep_last=args.vacuum, retention_s=args.retention_s
+                catalog, rel, keep_last=args.vacuum,
+                retention_s=args.retention_s, dry_run=args.dry_run,
             )
-            print(f"OK vacuum {rel.view_name}: {len(deleted)} file(s) reaped")
+            if args.dry_run:
+                for d in deleted:
+                    print(f"would reap {d}")
+                print(f"OK vacuum (dry run) {rel.view_name}: {len(deleted)} file(s) would be reaped")
+            else:
+                print(f"OK vacuum {rel.view_name}: {len(deleted)} file(s) reaped")
         for h in version_history(catalog, rel):
             cur = " <- current" if h["is_current"] else ""
             print(

@@ -817,6 +817,7 @@ def vacuum_versions(
     rel: Relation,
     keep_last: int = 1,
     retention_s: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reap history: keep the newest ``keep_last`` versions (always
     including current), delete every data file only the dropped versions
@@ -825,6 +826,10 @@ def vacuum_versions(
     dropped version's file list keeps working until the physical delete,
     and a crash between the two leaves only unreferenced files (re-vacuum
     reaps them). Returns the deleted file names.
+
+    ``dry_run=True`` commits NOTHING and deletes NOTHING: it returns the
+    file names the same call would reap (the Delta VACUUM DRY RUN safety
+    loop — inspect before an irreversible history prune).
 
     ``retention_s`` is a TIME FLOOR composed with keep_last (the Delta
     retention discipline): any version committed within the last
@@ -849,21 +854,26 @@ def vacuum_versions(
         keep.append(str(m["current"]))
     keep = sorted(set(keep), key=int)
     kept_files = {f for k in keep for f in m["versions"][k]["files"]}
-    m["versions"] = {k: m["versions"][k] for k in keep}
-    if "stats" in m:  # stats entries for reaped files go with them
-        m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
-    _commit_manifest(catalog, rel, m)
+    if not dry_run:
+        m["versions"] = {k: m["versions"][k] for k in keep}
+        if "stats" in m:  # stats entries for reaped files go with them
+            m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
+        _commit_manifest(catalog, rel, m)
     deleted = []
     for e in io.listdir(root):
         if e == VERSIONS_MANIFEST or e in kept_files:
             continue
         if e.endswith(".parquet") or e.startswith(".stage_"):
-            io.remove_any(io.join(root, e))
+            if not dry_run:
+                io.remove_any(io.join(root, e))
             deleted.append(e)
     # prune the OCC commit log: superseded generations are pure metadata
     # history (every commit file is a full snapshot). Keep a COMMIT_GRACE
     # tail so a reader between its log LIST and its max-gen read never has
     # the file deleted under it (it would have to be GRACE commits stale).
+    # The dry run previews one FEWER pruned entry (the real vacuum's own
+    # commit pushes a generation into the tail) — preview counts are a
+    # floor, which is the conservative direction for a safety check.
     commits = io.join(root, COMMITS_DIR)
     if io.isdir(commits):
         gens = sorted(
@@ -871,7 +881,8 @@ def vacuum_versions(
             if e.endswith(".json") and e[:-5].isdigit()
         )
         for g in gens[:-COMMIT_GRACE]:
-            io.remove_any(_commit_path(io, root, g))
+            if not dry_run:
+                io.remove_any(_commit_path(io, root, g))
             deleted.append(f"{COMMITS_DIR}/{g:012d}.json")
     return sorted(deleted)
 

@@ -342,3 +342,33 @@ def test_cli_versions_diff(tmp_path):
     same = _cli("versions", "--database", db, "--table", "d", "--diff", "1", "1")
     assert "row_count_difference=0" in same.stdout
     assert "num_mismatched=0" in same.stdout
+
+
+def test_cli_versions_vacuum_dry_run(tmp_path):
+    """versions --vacuum --dry-run previews the reap set without
+    committing or deleting; a real vacuum afterwards actually reaps."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "v.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs <= 5\n"
+    )
+    assert _cli("seed", "--database", db, "--csv",
+                "examples/animals/seeds/animals.csv").returncode == 0
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    (models / "v.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs = 2\n"
+    )
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    dry = _cli("versions", "--database", db, "--table", "v",
+               "--vacuum", "1", "--dry-run")
+    assert dry.returncode == 0 and "would reap" in dry.stdout
+    assert "dry run" in dry.stdout
+    # history untouched by the dry run: v1 still listed
+    assert "v1\treplace" in dry.stdout
+    real = _cli("versions", "--database", db, "--table", "v", "--vacuum", "1")
+    assert real.returncode == 0 and "reaped" in real.stdout
+    assert "v1\treplace" not in real.stdout

@@ -842,3 +842,73 @@ def test_generic_catalog_surfaces_respect_versioned_roots(spark, vt):
         compact(spark, catalog, rel)
     with pytest.raises(ValueError, match="manifest-versioned"):
         cluster_by(spark, catalog, rel, ["id"])
+
+
+def test_vacuum_dry_run_commits_and_deletes_nothing(spark, vt):
+    """dry_run previews the reap set without committing a manifest or
+    deleting a byte; the subsequent real vacuum reaps (at least) it."""
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(3))
+    write_versioned(spark, catalog, rel, spark.range(7))
+    write_versioned(spark, catalog, rel, spark.range(7, 9), mode="append")
+    from dbt_parquet_spark.versioned import _load_manifest
+
+    gen_before = _load_manifest(catalog, rel)["gen"]
+    preview = vacuum_versions(catalog, rel, keep_last=2, dry_run=True)
+    assert preview and any(d.startswith("v000001-") for d in preview)
+    m = _load_manifest(catalog, rel)
+    # nothing committed, nothing deleted, history intact
+    assert m["gen"] == gen_before
+    assert sorted(m["versions"], key=int) == ["1", "2", "3"]
+    assert _ids(read_versioned(spark, catalog, rel, version=1)) == list(range(3))
+    real = vacuum_versions(catalog, rel, keep_last=2)
+    assert set(preview) <= set(real)
+    with pytest.raises(KeyError):
+        read_versioned(spark, catalog, rel, version=1)
+
+
+def test_occ_concurrent_append_stress(spark, vt):
+    """OCC stress: 4 threads x 3 appends each, no external coordination —
+    every append lands exactly once (rows exact, 13 versions), the commit
+    log is gap-free, and every version's recorded row count equals its
+    parent's plus its delta."""
+    import threading
+
+    from dbt_parquet_spark.versioned import _load_manifest
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(0, 100))
+    N_THREADS, N_APPENDS, CHUNK = 4, 3, 100
+    errors: list[Exception] = []
+
+    def worker(t: int) -> None:
+        try:
+            for i in range(N_APPENDS):
+                lo = 1000 * (t + 1) + i * CHUNK
+                write_versioned(
+                    spark, catalog, rel, spark.range(lo, lo + CHUNK), mode="append"
+                )
+        except Exception as exc:  # noqa: BLE001 — surface in the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors, errors
+    total_appends = N_THREADS * N_APPENDS
+    expected = set(range(100))
+    for t in range(N_THREADS):
+        for i in range(N_APPENDS):
+            lo = 1000 * (t + 1) + i * CHUNK
+            expected |= set(range(lo, lo + CHUNK))
+    assert set(_ids(read_versioned(spark, catalog, rel))) == expected
+    hist = version_history(catalog, rel)
+    assert [h["version"] for h in hist] == list(range(1, total_appends + 2))
+    rows_by_v = {h["version"]: h["rows"] for h in hist}
+    for v in range(2, total_appends + 2):
+        assert rows_by_v[v] == rows_by_v[v - 1] + CHUNK
+    # commit log is gap-free through the last generation
+    m = _load_manifest(catalog, rel)
+    assert m["gen"] == total_appends + 1
