@@ -206,6 +206,13 @@ def main(argv: list[str] | None = None) -> int:
         "(long-running-reader guard)",
     )
     vt_p.add_argument(
+        "--orphan-grace-s", dest="orphan_grace_s", type=float, default=None,
+        metavar="SECS",
+        help="with --vacuum: unreferenced files younger than SECS survive "
+        "(in-flight-mutator guard; default 600). Pass 0 only when all "
+        "writers are quiescent",
+    )
+    vt_p.add_argument(
         "--dry-run", dest="dry_run", action="store_true",
         help="with --vacuum: list what would be reaped without committing "
         "or deleting anything",
@@ -222,10 +229,22 @@ def main(argv: list[str] | None = None) -> int:
         "churn; pass the table's stats columns)",
     )
     vt_p.add_argument(
+        "--zorder-by", dest="vt_zorder_by", default=None, metavar="C1,C2",
+        help="with --optimize: two comma-separated columns to Z-order the "
+        "rewrite by — every file covers a narrow box on BOTH, so skipping "
+        "prunes on either predicate column (declare both in stats)",
+    )
+    vt_p.add_argument(
         "--diff", nargs=2, type=int, default=None, metavar=("N", "M"),
         help="value-level diff of two committed snapshots (row-count "
         "difference + mismatched-row count) — the time-travel debugging "
         "loop: what changed between version N and version M?",
+    )
+    vt_p.add_argument(
+        "--changes", nargs=2, type=int, default=None, metavar=("N", "M"),
+        help="change-data-feed between snapshot N and M: per-change-type "
+        "row counts plus a row sample — computed from the manifests' "
+        "file-set diff, the unchanged data is never scanned",
     )
 
     args = p.parse_args(argv)
@@ -262,6 +281,25 @@ def main(argv: list[str] | None = None) -> int:
                 f"row_count_difference={row.row_count_difference} "
                 f"num_mismatched={row.num_mismatched}"
             )
+        if args.changes is not None:
+            from pyspark.sql import functions as _F
+
+            from .session import get_spark as _gs
+            from .versioned import read_versioned_changes
+
+            spark_ = _gs("dbt_parquet_spark_cli")
+            n, m_ = args.changes
+            cdf = read_versioned_changes(spark_, catalog, rel, n, m_)
+            counts = {
+                r["_change_type"]: r["n"]
+                for r in cdf.groupBy("_change_type").agg(_F.count("*").alias("n")).collect()
+            }
+            print(
+                f"changes {rel.view_name} v{n} -> v{m_}: "
+                f"inserts={counts.get('insert', 0)} deletes={counts.get('delete', 0)}"
+            )
+            for r in cdf.limit(5).collect():
+                print("  ", r.asDict())
         if args.optimize:
             from .session import get_spark as _gs
             from .versioned import optimize_versioned
@@ -271,17 +309,26 @@ def main(argv: list[str] | None = None) -> int:
                 if args.vt_cluster_by
                 else None
             )
+            zcols = (
+                tuple(c.strip() for c in args.vt_zorder_by.split(",") if c.strip())
+                if args.vt_zorder_by
+                else None
+            )
             v = optimize_versioned(
-                _gs("dbt_parquet_spark_cli"), catalog, rel, cluster_by=cols
+                _gs("dbt_parquet_spark_cli"), catalog, rel,
+                cluster_by=cols, zorder_by=zcols,
             )
             print(f"OK optimize {rel.view_name} (version {v})")
         if args.rollback is not None:
             v = rollback_versioned(catalog, rel, args.rollback)
             print(f"OK rollback {rel.view_name} -> snapshot {args.rollback} (version {v})")
         if args.vacuum is not None:
+            vkw = {}
+            if args.orphan_grace_s is not None:
+                vkw["orphan_grace_s"] = args.orphan_grace_s
             deleted = vacuum_versions(
                 catalog, rel, keep_last=args.vacuum,
-                retention_s=args.retention_s, dry_run=args.dry_run,
+                retention_s=args.retention_s, dry_run=args.dry_run, **vkw,
             )
             if args.dry_run:
                 for d in deleted:

@@ -41,13 +41,62 @@ def duckdb_query(
     return spark.createDataFrame(con.execute(sql).arrow())
 
 
+# Spark simpleString -> DuckDB type, for the zero-file versioned-view edge
+_DUCK_TYPES = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP", "binary": "BLOB",
+}
+
+
 def register_catalog_views(con, catalog: FilesystemCatalog) -> list[str]:
     """Register every catalog relation as a DuckDB view over its parquet
     path — the reference's connect-time view registration (reference
-    connections.py:79-88). Returns the registered view names."""
+    connections.py:79-88). Returns the registered view names.
+
+    Versioned roots (manifest-committed tables) physically hold every
+    retained version's files plus staged orphans, so their views are built
+    over the CURRENT snapshot's explicit file list from the manifest (r12
+    advice: a directory glob would union duplicate and stale rows)."""
     names = []
     for schema in catalog.list_schemas():
         for rel in catalog.list_relations(schema):
+            if catalog.is_versioned(rel):
+                from .versioned import _load_manifest
+
+                m = _load_manifest(catalog, rel)
+                entry = m["versions"].get(str(m["current"]), {"files": []})
+                files = [f"{rel.path}/{f}" for f in entry["files"]]
+                dv = [f"{rel.path}/{f}" for f in entry.get("dv", [])]
+                if files and dv:
+                    # merge-on-read snapshot: anti-join the deletion-vector
+                    # sidecars' (file, pos) pairs, the same semantics
+                    # versioned._snapshot_read applies Spark-side
+                    lst = ", ".join(f"'{f}'" for f in files)
+                    dvl = ", ".join(f"'{f}'" for f in dv)
+                    cols = ", ".join(f't."{c}"' for c in entry["columns"])
+                    body = (
+                        f"SELECT {cols} FROM parquet_scan([{lst}], "
+                        "filename=1, file_row_number=1) t "
+                        f"WHERE NOT EXISTS (SELECT 1 FROM parquet_scan([{dvl}]) d "
+                        "WHERE d.file = regexp_extract(t.filename, '[^/]+$') "
+                        "AND d.pos = t.file_row_number)"
+                    )
+                elif files:
+                    lst = ", ".join(f"'{f}'" for f in files)
+                    body = f"SELECT * FROM parquet_scan([{lst}])"
+                else:  # zero-file snapshot: pinned-schema empty view
+                    cols = ", ".join(
+                        f'CAST(NULL AS {_DUCK_TYPES.get(entry.get("dtypes", {}).get(c, "string"), "VARCHAR")}) AS "{c}"'
+                        for c in entry.get("columns", [])
+                    ) or "NULL AS _empty"
+                    body = f"SELECT {cols} WHERE FALSE"
+                con.execute(
+                    f'CREATE OR REPLACE VIEW "{rel.view_name}" AS {body}'
+                )
+                names.append(rel.view_name)
+                continue
             # Directory check through the catalog FS (works for URL-rooted
             # databases too); DuckDB itself reads rel.path, so remote
             # schemes additionally need the matching DuckDB extension

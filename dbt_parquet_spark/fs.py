@@ -59,11 +59,20 @@ class CatalogFS:
     ``root`` is the database root as an fs path; ``spark_prefix`` prepended
     to an fs path yields the Spark-readable URL (empty for local paths,
     ``None`` when the backend is not Spark-readable, e.g. ``memory://``).
-    """
+
+    ``conditional_put`` is the injectable OCC primitive for backends where
+    pyarrow.fs exposes no conditional write: ``(fs_path, data) -> bool``,
+    True iff THIS call created the object (create-exclusive semantics —
+    S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+    ``If-None-Match``). When set, ``put_json_if_absent`` routes through it
+    and the multi-writer one-winner guarantee holds on that backend;
+    ``resolve_database`` wires a hook automatically for registered schemes
+    (see ``register_conditional_put`` / ``_s3_conditional_put``)."""
 
     fs: pafs.FileSystem
     root: str
     spark_prefix: str | None = ""
+    conditional_put: object | None = None  # Callable[[str, bytes], bool]
 
     # -- path algebra -------------------------------------------------------
     def join(self, *parts: str) -> str:
@@ -154,14 +163,20 @@ class CatalogFS:
         Object stores: the real primitive is a conditional PUT
         (If-None-Match: * — supported by S3 since 2024, GCS
         ifGenerationMatch=0, Azure If-None-Match). pyarrow.fs does not
-        expose conditional writes, so non-local backends fall back to
-        exists-check + PUT: a narrow race remains there until pyarrow grows
-        conditional puts — documented, and strictly no worse than the
-        load-recheck-replace it supersedes. Returns True iff this call
-        created the file."""
+        expose conditional writes, so when ``conditional_put`` is set
+        (automatically for registered schemes — s3/s3a when boto3 is
+        importable; injectable for anything else) it IS the primitive and
+        one-winner semantics hold on that backend too. Only a non-local
+        backend with NO hook falls back to exists-check + PUT, where a
+        narrow lost-update window remains — callers advertising
+        multi-writer safety must scope their claim to local + hooked
+        schemes (versioned.py does). Returns True iff this call created
+        the file."""
         import json
 
         data = json.dumps(obj).encode("utf-8")
+        if self.conditional_put is not None:
+            return bool(self.conditional_put(path, data))
         if isinstance(self.fs, pafs.LocalFileSystem):
             import uuid
 
@@ -208,6 +223,55 @@ class CatalogFS:
                 fh.write(data)
 
 
+# -- conditional-PUT hooks per scheme ----------------------------------------
+# factory: (database_url) -> Callable[[fs_path, bytes], bool] | None.
+# Returning None means "cannot build a hook here" (missing SDK/credentials)
+# and the backend keeps the documented exists+PUT fallback.
+_CONDITIONAL_PUT_FACTORIES: dict[str, object] = {}
+
+
+def register_conditional_put(scheme: str, factory) -> None:
+    """Register a conditional-PUT hook factory for a URL scheme — the
+    extension point that makes the versioned-table / ANN-manifest OCC
+    guarantee hold on object stores (one atomic create-exclusive per
+    commit generation). The factory receives the database URL and returns
+    ``(fs_path, data) -> bool`` (True iff created) or None to decline."""
+    _CONDITIONAL_PUT_FACTORIES[scheme] = factory
+
+
+def _s3_conditional_put(database: str):
+    """Best-effort S3 hook: boto3 ``put_object(..., IfNoneMatch='*')`` —
+    the conditional write S3 has supported since 2024-08, which pyarrow's
+    S3FileSystem does not surface. A 412 PreconditionFailed (or the 409
+    ConditionalRequestConflict raced-PUT variant) means another writer owns
+    the object: return False, the loser's OCC retry path. Declines (None)
+    when boto3 is not importable — the caller keeps the documented
+    fallback."""
+    try:
+        import boto3
+        import botocore.exceptions
+    except ImportError:
+        return None
+    client = boto3.client("s3")
+
+    def put_if_absent(fs_path: str, data: bytes) -> bool:
+        bucket, _, key = fs_path.partition("/")
+        try:
+            client.put_object(Bucket=bucket, Key=key, Body=data, IfNoneMatch="*")
+            return True
+        except botocore.exceptions.ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict", "412", "409"):
+                return False
+            raise
+
+    return put_if_absent
+
+
+register_conditional_put("s3", _s3_conditional_put)
+register_conditional_put("s3a", _s3_conditional_put)
+
+
 def resolve_database(database: str) -> CatalogFS:
     """Map a database string (plain path or FS URL) to a CatalogFS.
 
@@ -232,15 +296,17 @@ def resolve_database(database: str) -> CatalogFS:
         return CatalogFS(
             pafs.LocalFileSystem(), root, spark_prefix="file://" if explicit else ""
         )
+    factory = _CONDITIONAL_PUT_FACTORIES.get(parsed.scheme)
+    cput = factory(database) if factory is not None else None
     if parsed.scheme == "memory":
         root = (parsed.netloc + parsed.path).strip("/")
         fs = _memory_fs()
         fs.create_dir(root, recursive=True)
-        return CatalogFS(fs, root, spark_prefix=None)
+        return CatalogFS(fs, root, spark_prefix=None, conditional_put=cput)
     if parsed.scheme in ("s3", "s3a"):
         uri = "s3://" + database.split("://", 1)[1]
         fs, root = pafs.FileSystem.from_uri(uri)
-        return CatalogFS(fs, root, spark_prefix="s3a://")
+        return CatalogFS(fs, root, spark_prefix="s3a://", conditional_put=cput)
     fs, root = pafs.FileSystem.from_uri(database)
     # Reconstruct spark URLs with the original scheme+authority; from_uri
     # keeps bucket-in-path schemes' (gs) bucket inside root, while
@@ -249,4 +315,4 @@ def resolve_database(database: str) -> CatalogFS:
         prefix = f"{parsed.scheme}://{parsed.netloc}"
     else:
         prefix = f"{parsed.scheme}://"
-    return CatalogFS(fs, root, spark_prefix=prefix)
+    return CatalogFS(fs, root, spark_prefix=prefix, conditional_put=cput)

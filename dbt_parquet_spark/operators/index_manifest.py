@@ -83,7 +83,30 @@ def _load(cfs: CatalogFS, root: str) -> dict:
     """Resolve the committed snapshot: highest generation in ``_commits/``
     (each commit file a full manifest, written put-if-absent — always
     complete), falling back to the ``_manifest.json`` cache for indexes
-    adopted before the OCC log or whose log was vacuumed away."""
+    adopted before the OCC log or whose log was vacuumed away.
+
+    O(1) at any history length (r13, shared with versioned._load_manifest
+    — the Delta ``_last_checkpoint`` discipline): the cache doubles as the
+    checkpoint pointer (full manifest + generation, refreshed every
+    commit); the fast path reads it and probes FORWARD for commits whose
+    cache refresh was lost, LISTing the log only when the pointer is
+    missing or stale beyond the vacuumed grace tail — on object stores
+    LIST is the expensive op this removes from the hot read path."""
+    cache_path = cfs.join(root, MANIFEST)
+    cached = None
+    if cfs.exists(cache_path):
+        with cfs.open_input(cache_path) as fh:
+            cached = json.loads(fh.read().decode("utf-8"))
+    if cached is not None and int(cached.get("generation", 0)) >= 1:
+        g = int(cached["generation"])
+        if cfs.exists(_commit_path(cfs, root, g)):
+            ahead = g
+            while cfs.exists(_commit_path(cfs, root, ahead + 1)):
+                ahead += 1
+            if ahead == g:
+                return cached
+            with cfs.open_input(_commit_path(cfs, root, ahead)) as fh:
+                return json.loads(fh.read().decode("utf-8"))
     commits = cfs.join(root, COMMITS_DIR)
     if cfs.isdir(commits):
         gens = [
@@ -93,8 +116,10 @@ def _load(cfs: CatalogFS, root: str) -> dict:
         if gens:
             with cfs.open_input(_commit_path(cfs, root, max(gens))) as fh:
                 return json.loads(fh.read().decode("utf-8"))
-    with cfs.open_input(cfs.join(root, MANIFEST)) as fh:
-        return json.loads(fh.read().decode("utf-8"))
+    if cached is None:
+        with cfs.open_input(cache_path) as fh:
+            cached = json.loads(fh.read().decode("utf-8"))
+    return cached
 
 
 def _put_json(cfs: CatalogFS, path: str, obj: dict) -> None:

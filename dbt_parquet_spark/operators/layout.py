@@ -125,6 +125,31 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_column(df: DataFrame, c1: str, c2: str):
+    """Generic curve-position Column over TWO integer-castable columns of
+    df, each quantized to the 16-bit grid from the df's own MIN/MAX (one
+    scalar aggregate — four driver scalars). The reusable form of
+    zorder_expr for arbitrary tables; optimize_versioned(zorder_by=...)
+    uses it to re-cluster a versioned snapshot so every rewritten file
+    covers a narrow min/max box on BOTH dimensions and the manifest's
+    per-file skipping stats prune on either predicate column (the Delta
+    OPTIMIZE ZORDER role, two-axis)."""
+    a = F.col(c1).cast("bigint")
+    b = F.col(c2).cast("bigint")
+    row = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+    if row[0] is None:
+        return F.lit(0).cast("long")
+    amin, amax = int(row[0]), max(int(row[1]), int(row[0]) + 1)
+    bmin, bmax = int(row[2]), max(int(row[3]), int(row[2]) + 1)
+    return F.expr(
+        _interleave_sql(
+            _quantize(f"CAST(`{c1}` AS BIGINT)", str(amin), str(amax), "div"),
+            _quantize(f"CAST(`{c2}` AS BIGINT)", str(bmin), str(bmax), "div"),
+            "div",
+        )
+    ).cast("long")
+
+
 def write_zordered(
     df: DataFrame, zcol: str, path: str, n_files: int = 16
 ) -> None:

@@ -1116,21 +1116,98 @@ def index_recall_audit(
     )
 
 
+# Deterministic clustered TWIN corpus (r12 next-round #7 / ROADMAP gap #3):
+# the shipped synthetic embeddings are isotropic noise, on which ANY
+# partition-pruning ANN's recall is structurally ~nprobe/cells — floors
+# tuned there say nothing about real corpora. This scaffold materializes a
+# mixture-of-Gaussians corpus (the tests/conftest.py clustered_emb_dir
+# recipe: 8 well-separated unit centers, sigma 0.05, 480x64) plus a
+# minimal documents table carrying the filtered-audit predicate columns,
+# so both recall audits run on BOTH distributions and report per-corpus.
+_CLUSTERED_CORPUS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def clustered_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session+sf_dir) the clustered twin corpus as
+    its own sf_dir-shaped directory — the whole index/audit machinery is
+    sf_dir-generic, so the twin rides the production path end to end."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLUSTERED_CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(4242)
+    n_clusters, n, dim = 8, 480, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    pts = centers[labels] + 0.05 * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    d = tempfile.mkdtemp(prefix="clustered_corpus_")
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    pts.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    # predicate columns matching FILTERED_AUDIT_TIERS' selectivity bands:
+    # lang 'en' ~0.4, source 'src1' ~0.05, doc_id % 101 ~0.01
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(
+                    ["en" if i % 5 < 2 else ["de", "fr", "es"][i % 3] for i in range(n)]
+                ),
+                "source": pa.array(
+                    [f"src{i % 20 + 1}" for i in range(n)]
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    _CLUSTERED_CORPUS_CACHE[key] = d
+    return d
+
+
 @register("q_index_recall_audit", tags=("similarity", "ann", "audit", "ivf", "pq"))
 def q_index_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registered freshness monitor: one summary row of the recall
-    audit over the immutable base index (mean/min over the deterministic
-    panel). Rows-only driver check — k-means-fitted artifacts are operator
-    identity, not SQL-expressible; the audit MACHINERY is pinned instead by
-    the adversarial drift test (appended shifted-distribution delta
-    degrades measured recall, rebuild_pq_index restores it,
-    tests/test_joins_ivf.py)."""
-    per_q = index_recall_audit(spark, sf_dir)
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.avg("recall").alias("mean_recall"),
-        F.min("recall").alias("min_recall"),
-    ).select(F.lit(TOP_K).cast("long").alias("k"), "n_queries", "mean_recall", "min_recall")
+    """The registered freshness monitor: one summary row PER CORPUS of the
+    recall audit (mean/min over the deterministic panel) — the shipped
+    isotropic corpus (where recall ~ probe fraction is the structural
+    ceiling) AND the clustered twin (where a working index must score
+    high; floor pinned in tests/test_joins_ivf.py — the r12 're-measure on
+    a clustered corpus' item). Rows-only driver check — k-means-fitted
+    artifacts are operator identity, not SQL-expressible; the audit
+    MACHINERY is pinned instead by the adversarial drift test (appended
+    shifted-distribution delta degrades measured recall, rebuild_pq_index
+    restores it, tests/test_joins_ivf.py)."""
+    out = None
+    for corpus, d in (("shipped", sf_dir), ("clustered", clustered_corpus_dir(spark, sf_dir))):
+        per_q = index_recall_audit(spark, d)
+        row = per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.avg("recall").alias("mean_recall"),
+            F.min("recall").alias("min_recall"),
+        ).select(
+            F.lit(corpus).alias("corpus"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_queries",
+            "mean_recall",
+            "min_recall",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def rebuild_pq_index(
@@ -2212,20 +2289,27 @@ def filtered_ann_recall_audit(spark: SparkSession, sf_dir: str) -> list[dict]:
 )
 def q_ann_filtered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered filtered-search freshness monitor: one row per
-    selectivity tier with the probed path's recall against the exact
-    filtered baseline and the adaptive probe budget used. Rows-only driver
-    check (quantizer artifacts are operator identity, like
-    q_index_recall_audit); the selective-tier recall floor is pinned in
-    tests/test_joins_ivf.py."""
-    rows = filtered_ann_recall_audit(spark, sf_dir)
-    return spark.createDataFrame(
-        [
-            (
-                r["filter"], r["survivor_frac"], r["nprobe"], r["n_queries"],
-                r["mean_recall"], r["min_recall"],
+    (corpus, selectivity tier) with the probed path's recall against the
+    exact filtered baseline and the adaptive probe budget used — run on
+    the shipped isotropic corpus AND the clustered twin
+    (clustered_corpus_dir; floors for the clustered rows pinned in
+    tests/test_joins_ivf.py — the r12 're-measure on a clustered corpus'
+    item). Rows-only driver check (quantizer artifacts are operator
+    identity, like q_index_recall_audit)."""
+    data = []
+    for corpus, d in (
+        ("shipped", sf_dir),
+        ("clustered", clustered_corpus_dir(spark, sf_dir)),
+    ):
+        for r in filtered_ann_recall_audit(spark, d):
+            data.append(
+                (
+                    corpus, r["filter"], r["survivor_frac"], r["nprobe"],
+                    r["n_queries"], r["mean_recall"], r["min_recall"],
+                )
             )
-            for r in rows
-        ],
-        "filter string, survivor_frac double, nprobe bigint, n_queries bigint, "
-        "mean_recall double, min_recall double",
+    return spark.createDataFrame(
+        data,
+        "corpus string, filter string, survivor_frac double, nprobe bigint, "
+        "n_queries bigint, mean_recall double, min_recall double",
     )

@@ -62,15 +62,20 @@ _OPERATOR_MODULES = (
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver's
 # correctness pass verifies the FIRST 50 registered queries, so the front of
-# this list is the verified contract surface: the 18 SURVEY §2C contract
-# queries, then every LLM-pipeline / temporal / streaming operator that has a
-# deterministic DuckDB oracle, then the remaining SQL-surface queries (those
-# were all driver-verified green in round 1, CORRECTNESS_r01.json). Every
+# this list is the verified contract surface. ROTATION POLICY (r12 verdict
+# next-round #4): the 18 SURVEY §2C contract queries hold their slots
+# permanently; the other 32 slots rotate each round through oracle-backed
+# queries the driver has NEVER value-hash-checked (rounds 1-12 verified 80
+# distinct names; tests/test_registry_window.py machine-checks the rotation
+# against the committed CORRECTNESS_r*.json artifacts). Rotated-OUT queries
+# stay registered (after the priority block) and stay held to the identical
+# bit-exact comparison locally by tests/test_oracle_parity.py — the rotation
+# widens the driver's cumulative coverage, it never weakens anything. Every
 # name in the first 50 slots carries oracle SQL — asserted by
 # tests/test_registry_window.py — so the checked window contains no weaker
 # rows-only entries. Names not listed keep registration order after these.
 _PRIORITY = (
-    # SURVEY §2C contract queries (18)
+    # SURVEY §2C contract queries (18, permanent)
     "q_scan_project_cast",
     "q_filter_in",
     "q_agg_count_star",
@@ -89,56 +94,47 @@ _PRIORITY = (
     "q_window_rank",
     "q_seed_roundtrip",
     "q_schema_introspect",
-    # round-1 non-green rows, fixed this round (5)
-    "q_json_extract",
-    "q_array_agg",
-    "q_map_funcs",
-    "q_sample",
-    "q_approx_quantile",
-    # text analysis (q_explode/q_fingerprint stay oracle-checked locally;
-    # their ops overlap q_vocabulary's explode and q_train_test_split's md5)
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    # dedup (2 oracle-checkable; minhash/simhash are recall-tested in pytest)
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    # similarity (2 exact baselines; LSH/IVF are recall-tested in pytest)
-    "q_ann_topk",
-    "q_embedding_cosine_dedup",
-    # corpus accounting (5)
-    "q_vocabulary",
-    "q_cooccurrence",
-    "q_train_test_split",
-    "q_contamination",
-    # temporal joins (2)
-    "q_asof_join",
-    "q_range_join",
-    # structured-streaming executions + batch sessionization. The tumbling/
-    # sliding/dedup batch twins sit OUTSIDE the window: their semantics are
-    # verified here through the streaming executions (identical oracles)
-    # and locally by tests/test_oracle_parity.py.
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_stream_join",
-    "q_stream_stateful_profile",
-    "q_session_window",
-    # round-2 flagships: iterative graph closure (recursive-CTE oracle) and
-    # the oracle-checked mapInPandas packing (recursive-CTE oracle)
-    "q_dedup_components",
-    "q_sequence_packing",
-    # pipeline / multimodal (q_text_normalize is subsumed by the pipeline;
-    # q_multimodal_extract value-checks the whole binary+Arrow decode path)
-    "q_corpus_pipeline",
-    "q_quality_score",
-    "q_multimodal_extract",
-    # python extension points, each driver-checked via a deterministic
-    # oracle: grouped-map UDF (exact moments), grouped-agg UDAF (rank-
-    # trimmed exact mean), UDTF (integer chunking)
-    "q_grouped_zscore",
-    "q_trimmed_mean",
-    "q_chunk_udtf",
+    # ---- r13 rotation (32 slots, none ever driver-checked before) ----
+    # versioned lake: time travel, history, skipping, merge, both delete
+    # paths (CoW + the new MoR deletion vectors), CDF, schema evolution
+    "q_time_travel",
+    "q_version_history",
+    "q_versioned_skipping",
+    "q_versioned_merge",
+    "q_versioned_delete",
+    "q_versioned_delete_mor",
+    "q_version_changes",
+    "q_schema_evolution",
+    # pipeline gates / audits
+    "q_expectations",
+    "q_dataset_diff",
+    "q_key_skew_profile",
+    "q_drop_reasons",
+    "q_kanon_release",
+    "q_source_drift",
+    # retrieval / serving
+    "q_bm25_topk",
+    "q_bm25_batch",
+    "q_hybrid_retrieval",
+    "q_retrieval_eval",
+    "q_context_pack",
+    # dedup beyond the r1 set: spans, substrings, incremental, evidence,
+    # cross-split decontamination
+    "q_span_dedup",
+    "q_cross_split_decontamination",
+    "q_incremental_dedup",
+    "q_substring_dedup",
+    "q_dedup_evidence",
+    # text / LM scoring
+    "q_winnowing",
+    "q_bigram_lm",
+    "q_perplexity_buckets",
+    "q_redact_pii",
+    # corpus selection / accounting
+    "q_temperature_sample",
+    "q_token_budget_sample",
+    "q_quality_prune",
+    "q_corpus_datasheet",
 )
 
 

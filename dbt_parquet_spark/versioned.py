@@ -20,14 +20,20 @@ replacing one small JSON manifest, so
 This intentionally mirrors the ANN index's manifest protocol
 (operators/index_manifest.py) — same commit primitive
 (``CatalogFS.put_json_if_absent`` on a generation-numbered commit log:
-local ``os.link`` create-exclusive / object-store conditional PUT), same
-crash story: a crash before the manifest commit leaves invisible staged
-orphans (reaped by vacuum), a crash after it leaves the new snapshot fully
-committed. There is no crash point that loses bytes a committed manifest
-references. Writers are multi-writer SAFE (true OCC since r12): racing
-mutators commit against the same generation, exactly one wins, losers
-raise ConcurrentWriteError with nothing committed — reload and retry.
-Readers never coordinate and are always safe.
+local ``os.link`` create-exclusive / object-store conditional PUT via the
+per-scheme hook, ``fs.register_conditional_put``), same crash story: a
+crash before the manifest commit leaves invisible staged orphans (reaped
+by vacuum), a crash after it leaves the new snapshot fully committed.
+There is no crash point that loses bytes a committed manifest references.
+Writers are multi-writer SAFE (true OCC since r12): racing mutators
+commit against the same generation, exactly one wins, losers raise
+ConcurrentWriteError with nothing committed — reload and retry. SCOPE of
+that guarantee (r12 advice): it holds on local filesystems (atomic
+link(2)) and on any backend with a conditional-PUT hook wired (s3/s3a get
+one automatically when boto3 is importable — S3 ``If-None-Match: *``);
+a non-local backend with NO hook keeps the documented exists+PUT
+fallback in ``fs.put_json_if_absent``, where a narrow lost-update window
+remains. Readers never coordinate and are always safe.
 
 Reference parity: the reference's CTAS overwrites in place (reference
 impl.py:75-85 rename pattern, macros/adapters.sql:10) — this module keeps
@@ -71,12 +77,37 @@ def _load_manifest(catalog: FilesystemCatalog, rel: Relation) -> dict:
     """Resolve the table's committed state: the HIGHEST generation in the
     ``_commits/`` log is authoritative (each commit file is a full manifest
     snapshot written put-if-absent, so the max-gen file is always complete
-    and consistent). Tables created before the OCC log (or whose log was
-    fully vacuumed) fall back to the ``_versions.json`` cache; the next
-    commit seeds the log from there. The returned dict carries its
-    generation under ``gen`` — mutators pass it back as ``expect_gen``."""
+    and consistent). The returned dict carries its generation under
+    ``gen`` — mutators pass it back as ``expect_gen``.
+
+    O(1) at any history length (r12 next-round #2 — the Delta
+    ``_last_checkpoint`` discipline): ``_versions.json`` is refreshed with
+    the full manifest + its ``gen`` on every commit, so it doubles as the
+    checkpoint pointer. The fast path reads it, probes FORWARD for commits
+    whose cache refresh was lost (a crash between the commit put and the
+    cache write — at most a handful, never the whole log), and only falls
+    back to the O(#retained-commits) LIST when the pointer is missing or
+    stale beyond the vacuumed grace tail. A hot table's resolve is one
+    small GET plus two existence probes — no LIST, the expensive op on
+    object stores (pinned by tests/test_versioned.py's spying CatalogFS).
+    Tables created before the OCC log keep working off the cache; the
+    next commit seeds the log from there."""
     io = catalog.io
     root = _root(catalog, rel)
+    cache_path = io.join(root, VERSIONS_MANIFEST)
+    cached = io.get_json(cache_path) if io.exists(cache_path) else None
+    if cached is not None and int(cached.get("gen", 0)) >= 1:
+        g = int(cached["gen"])
+        if io.exists(_commit_path(io, root, g)):
+            ahead = g
+            while io.exists(_commit_path(io, root, ahead + 1)):
+                ahead += 1
+            if ahead == g:
+                return cached  # the cache IS the max-gen snapshot
+            m = io.get_json(_commit_path(io, root, ahead))
+            m["gen"] = ahead
+            return m
+        # pointer older than the pruned log tail: authoritative LIST below
     commits = io.join(root, COMMITS_DIR)
     if io.isdir(commits):
         gens = [
@@ -87,12 +118,10 @@ def _load_manifest(catalog: FilesystemCatalog, rel: Relation) -> dict:
             m = io.get_json(_commit_path(io, root, max(gens)))
             m["gen"] = max(gens)
             return m
-    path = io.join(root, VERSIONS_MANIFEST)
-    if not io.exists(path):
+    if cached is None:
         return {"current": 0, "versions": {}, "gen": 0}
-    m = io.get_json(path)
-    m.setdefault("gen", 0)
-    return m
+    cached.setdefault("gen", 0)
+    return cached
 
 
 def _commit_manifest(
@@ -167,8 +196,18 @@ def _merge_dtypes(
     return merged
 
 
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Per-file identity columns off the parquet scan's hidden _metadata:
+    (file base name, 0-based row index within the file) — the coordinate
+    system deletion vectors address. Pure scan metadata, no data cost."""
+    return df.withColumn(
+        "_dv_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+
+
 def _snapshot_read(
-    spark: SparkSession, io, root: str, names: list[str], entry: dict
+    spark: SparkSession, io, root: str, names: list[str], entry: dict,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Read a snapshot's (possibly pruned) file list pinned to the
     version's recorded schema. Entries carry per-column dtypes, so the read
@@ -177,27 +216,54 @@ def _snapshot_read(
     mergeSchema either crashes (a pruned subset that lacks the column
     entirely: the r11 UNRESOLVED_COLUMN advice bug) or refuses (int vs
     bigint cannot merge). Legacy entries without dtypes fall back to
-    mergeSchema plus typeless null-fill."""
+    mergeSchema plus typeless null-fill.
+
+    Versions carrying DELETION VECTORS (``entry['dv']`` — merge-on-read
+    deletes, r13) anti-join the sidecar's (file, pos) pairs against the
+    scan's _metadata coordinates, so deleted rows never surface; a pruned
+    subset applies the same full DV set (pairs for unread files simply
+    never match). ``keep_pos=True`` retains the (_dv_file, _dv_pos)
+    helper columns — the MoR delete path uses them to address new rows."""
+    dv = entry.get("dv") or []
+    need_pos = keep_pos or (bool(dv) and bool(names))
     dtypes = entry.get("dtypes")
+    cols = list(entry["columns"])
     if dtypes:
-        ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in entry["columns"])
+        ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in cols)
         if not names:
-            return spark.createDataFrame([], ddl)
-        return spark.read.schema(ddl).parquet(
-            *[io.spark_url(io.join(root, f)) for f in names]
-        )
-    reader = spark.read
-    if entry.get("evolved"):
-        reader = reader.option("mergeSchema", "true")
-    if not names:
-        all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
-        out = reader.parquet(*all_files).limit(0)
+            out = spark.createDataFrame([], ddl)
+            need_pos = False
+        else:
+            out = spark.read.schema(ddl).parquet(
+                *[io.spark_url(io.join(root, f)) for f in names]
+            )
+            if need_pos:
+                out = _with_pos(out)
     else:
-        out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
-    for c in entry["columns"]:
-        if c not in out.columns:
-            out = out.withColumn(c, F.lit(None).cast("string"))
-    return out.select(*entry["columns"])
+        reader = spark.read
+        if entry.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        if not names:
+            all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
+            out = reader.parquet(*all_files).limit(0)
+            need_pos = False
+        else:
+            out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
+            if need_pos:
+                out = _with_pos(out)
+        for c in cols:
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast("string"))
+    if dv and names:
+        dvdf = spark.read.parquet(
+            *[io.spark_url(io.join(root, f)) for f in dv]
+        ).select("file", "pos")
+        out = out.join(
+            dvdf,
+            (out["_dv_file"] == dvdf["file"]) & (out["_dv_pos"] == dvdf["pos"]),
+            "left_anti",
+        )
+    return out.select(*(cols + (["_dv_file", "_dv_pos"] if keep_pos else [])))
 
 
 def _footer_meta(
@@ -240,12 +306,14 @@ def _footer_meta(
 
 def _stage_files(
     spark: SparkSession, catalog: FilesystemCatalog, rel: Relation, df: DataFrame,
-    version: int, stats_cols: tuple[str, ...] = (),
+    version: int, stats_cols: tuple[str, ...] = (), prefix: str = "v",
 ) -> tuple[list[str], int, dict]:
     """Write df's part files into the table root under fresh unique names
     WITHOUT committing them (invisible to manifest readers until the
     commit — the index_manifest staging discipline). Returns (names, rows,
-    {file: {col: [min, max]}}), all from the staged footers."""
+    {file: {col: [min, max]}}), all from the staged footers. ``prefix``
+    distinguishes data files (``v``) from deletion-vector sidecars
+    (``dv``) — both live under the same orphan/vacuum discipline."""
     io = catalog.io
     root = _root(catalog, rel)
     io.makedirs(root)
@@ -257,7 +325,7 @@ def _stage_files(
     for e in io.listdir(staging):
         if not (e.startswith("part-") and e.endswith(".parquet")):
             continue
-        name = f"v{version:06d}-{uuid.uuid4().hex[:12]}.parquet"
+        name = f"{prefix}{version:06d}-{uuid.uuid4().hex[:12]}.parquet"
         io.rename(io.join(staging, e), io.join(root, name))
         n, stats = _footer_meta(io, io.join(root, name), stats_cols)
         rows += n
@@ -392,10 +460,12 @@ def write_versioned(
 
     while True:
         version = m["current"] + 1
+        dv: list[str] = []
         if mode == "append" and m["current"]:
             parent = m["versions"][str(m["current"])]
             files = parent["files"] + names
             rows = parent["rows"] + rows_staged
+            dv = list(parent.get("dv", []))  # MoR deletes carry forward
         else:
             files = names
             rows = rows_staged
@@ -409,6 +479,8 @@ def write_versioned(
             "evolved": evolved,
             "ts": time.time(),
         }
+        if dv:
+            m["versions"][str(version)]["dv"] = dv
         m["current"] = version
         if file_stats:
             m.setdefault("stats", {}).update(file_stats)
@@ -492,6 +564,8 @@ def rollback_versioned(
         "evolved": bool(target.get("evolved")),
         "ts": time.time(),
     }
+    if target.get("dv"):
+        m["versions"][str(new_version)]["dv"] = list(target["dv"])
     m["current"] = new_version
     _commit_manifest(catalog, rel, m)
     return new_version
@@ -546,25 +620,52 @@ def read_versioned(
     return _snapshot_read(spark, io, root, names, entry)
 
 
+def _dv_dead_rows(
+    spark: SparkSession, io, root: str, entry: dict, files: list[str]
+) -> int:
+    """How many of ``files``' footer rows are dead under the version's
+    deletion vectors — one small aggregation over the DV sidecars (a DV
+    pair is unique per (file, pos) by construction, so COUNT is exact).
+    Zero when the version carries no DVs."""
+    dv = entry.get("dv") or []
+    if not dv or not files:
+        return 0
+    dvdf = spark.read.parquet(*[io.spark_url(io.join(root, f)) for f in dv])
+    return dvdf.filter(F.col("file").isin(files)).count()
+
+
 def merge_versioned(
     spark: SparkSession,
     catalog: FilesystemCatalog,
     rel: Relation,
     updates: DataFrame,
     key: str,
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write MERGE (upsert): rows whose ``key`` matches an update
-    are replaced, unmatched update rows are inserted, everything else is
-    untouched — at FILE granularity, the Delta merge shape. The skipping
-    stats pick the candidate files (those whose [min, max] on ``key`` can
-    intersect the updates' key range — conservative: stat-less files are
-    always candidates); ONLY candidates are rewritten (their unmatched
-    rows + all updates), every other file is carried into the new version
-    by reference. On a range-clustered table with declared stats a narrow
+    """MERGE (upsert): rows whose ``key`` matches an update are replaced,
+    unmatched update rows are inserted, everything else is untouched — at
+    FILE granularity, the Delta merge shape. The skipping stats pick the
+    candidate files (those whose [min, max] on ``key`` can intersect the
+    updates' key range — conservative: stat-less files are always
+    candidates).
+
+    ``mode='cow'``: ONLY candidates are rewritten (their unmatched rows +
+    all updates), every other file is carried into the new version by
+    reference. On a range-clustered table with declared stats a narrow
     update rewrites a narrow slice of the data, never the table.
+
+    ``mode='mor'`` (r13): rewrites ZERO existing files — the matched rows'
+    (file, row-index) coordinates commit as a deletion-vector sidecar
+    (exactly delete_versioned(mode='mor')) and ALL update rows stage as
+    NEW files appended to the file list; readers see old-minus-matched
+    plus updates. Write cost is O(updates + matched-coordinate scan), not
+    O(candidate bytes) — the upsert shape for frequent narrow updates at
+    100 TB; optimize_versioned later folds DVs and small update files
+    away.
 
     ``updates`` must be key-unique and share the table's schema. Single
     mutator at a time (the standing rule); history stays addressable."""
+    assert mode in ("cow", "mor"), mode
     io = catalog.io
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]
@@ -626,17 +727,58 @@ def merge_versioned(
     candidates = sorted(touched | set(no_stats))
     untouched = [f for f in cur["files"] if f not in set(candidates)]
     version = m["current"] + 1
+    if mode == "mor":
+        import time
+
+        if candidates:
+            cand = _snapshot_read(spark, io, root, candidates, cur, keep_pos=True)
+            matches = cand.join(updates.select(key), key, "left_semi").select(
+                F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+            )
+            dv_names, n_matched, _ = _stage_files(
+                spark, catalog, rel, matches, version, (), prefix="dv"
+            )
+        else:
+            dv_names, n_matched = [], 0
+        if n_matched == 0:
+            for f in dv_names:  # empty staged sidecars are instant orphans
+                io.remove_any(io.join(root, f))
+            dv_names = []
+        upd_names, n_upd, upd_stats = _stage_files(
+            spark, catalog, rel, updates, version, tuple(m.get("stats_cols", ()))
+        )
+        m["versions"][str(version)] = {
+            "files": list(cur["files"]) + upd_names,  # zero rewrites
+            "op": "merge-mor",
+            "evolved": bool(cur.get("evolved")),
+            "parent": m["current"],
+            "rows": cur["rows"] - n_matched + n_upd,
+            "columns": list(cur["columns"]),
+            "dtypes": dict(cur.get("dtypes", {})),
+            "ts": time.time(),
+        }
+        dv_all = list(cur.get("dv", [])) + dv_names
+        if dv_all:
+            m["versions"][str(version)]["dv"] = dv_all
+        m["current"] = version
+        if upd_stats:
+            m.setdefault("stats", {}).update(upd_stats)
+        _commit_manifest(catalog, rel, m)
+        return version
     if candidates:
         # pinned-schema read: an evolved lineage whose candidates are ALL
         # pre-evolution (narrow) files still resolves the full column set
-        # (null-fill/upcast) — the r11 UNRESOLVED_COLUMN advice bug
+        # (null-fill/upcast) — the r11 UNRESOLVED_COLUMN advice bug.
+        # DV-carrying snapshots read DV-applied, so already-deleted rows
+        # never re-enter, and the LIVE candidate rows are footer rows
+        # minus the candidates' dead DV rows.
         cand = _snapshot_read(spark, io, root, candidates, cur)
         merged = cand.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
         cand_rows = sum(
             _footer_meta(io, io.join(root, f))[0] for f in candidates
-        )
+        ) - _dv_dead_rows(spark, io, root, cur, candidates)
     else:
         merged = updates
         cand_rows = 0
@@ -658,6 +800,11 @@ def merge_versioned(
         "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
+    if cur.get("dv") and untouched:
+        # untouched files' DV pairs stay live; pairs addressing rewritten
+        # files can never match again (their names left the list) and are
+        # compacted away by optimize_versioned
+        m["versions"][str(version)]["dv"] = list(cur["dv"])
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
@@ -671,14 +818,33 @@ def delete_versioned(
     rel: Relation,
     condition,
     prune: dict | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write DELETE: commit a new version without the rows
-    matching ``condition`` (a Column predicate). ``prune={col: (lo, hi)}``
-    bounds the candidate files via the skipping stats — files outside the
-    range provably hold no matching rows and carry into the new version by
-    reference (the caller asserts the predicate is confined to the range;
-    without ``prune`` every file is rewritten). Same manifest commit,
-    history, and vacuum story as merge."""
+    """DELETE the rows matching ``condition`` (a Column predicate) as a
+    new committed version. ``prune={col: (lo, hi)}`` bounds the candidate
+    files via the skipping stats — files outside the range provably hold
+    no matching rows and carry into the new version by reference (the
+    caller asserts the predicate is confined to the range; without
+    ``prune`` every file is a candidate). Same manifest commit, history,
+    and vacuum story as merge.
+
+    ``mode='cow'`` (copy-on-write) rewrites every candidate file's
+    surviving rows — read-optimal, but write-amplified: a 10-row delete in
+    a 1 GB file rewrites the gigabyte.
+
+    ``mode='mor'`` (merge-on-read, r13 — the Delta/Iceberg deletion-vector
+    shape) rewrites ZERO data files: the matching rows' (file, row-index)
+    coordinates — off the scan's _metadata, no extra pass — are staged as
+    a small DV sidecar parquet, and the new version references parent
+    files + the sidecar. Readers anti-join the DVs at scan time
+    (``_snapshot_read``), so the cost moves from write (O(candidate
+    bytes)) to read (one small anti-join) — the right trade for frequent
+    narrow deletes at 100 TB, where CoW write amplification is the known
+    killer. ``optimize_versioned`` compacts DVs away (its rewrite goes
+    through the DV-applied read and commits a clean file list). Chained
+    MoR deletes compose: each new sidecar is computed on the DV-applied
+    scan, so a row is never double-counted."""
+    assert mode in ("cow", "mor"), mode
     io = catalog.io
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]
@@ -700,21 +866,52 @@ def delete_versioned(
     candidates = [f for f in cur["files"] if survives_prune(f)]
     untouched = [f for f in cur["files"] if not survives_prune(f)]
     version = m["current"] + 1
+    import time
+
+    if mode == "mor":
+        if candidates:
+            cand = _snapshot_read(spark, io, root, candidates, cur, keep_pos=True)
+            matches = cand.filter(condition).select(
+                F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+            )
+            dv_names, n_deleted, _ = _stage_files(
+                spark, catalog, rel, matches, version, (), prefix="dv"
+            )
+        else:
+            dv_names, n_deleted = [], 0
+        if n_deleted == 0:  # nothing matched: no version churn
+            for f in dv_names:  # empty staged sidecars are instant orphans
+                io.remove_any(io.join(root, f))
+            return m["current"]
+        m["versions"][str(version)] = {
+            "files": list(cur["files"]),  # ZERO data files rewritten
+            "op": "delete-mor",
+            "dv": list(cur.get("dv", [])) + dv_names,
+            "evolved": bool(cur.get("evolved")),
+            "parent": m["current"],
+            "rows": cur["rows"] - n_deleted,
+            "columns": list(cur["columns"]),
+            "dtypes": dict(cur.get("dtypes", {})),
+            "ts": time.time(),
+        }
+        m["current"] = version
+        _commit_manifest(catalog, rel, m)
+        return version
+
     if candidates:
         # pinned-schema read (see merge_versioned): all-narrow candidate
-        # sets on an evolved lineage resolve the full column set
+        # sets on an evolved lineage resolve the full column set; DV-
+        # carrying snapshots read DV-applied (live rows only)
         cand = _snapshot_read(spark, io, root, candidates, cur)
         remaining = cand.filter(~condition)
         cand_rows = sum(
             _footer_meta(io, io.join(root, f))[0] for f in candidates
-        )
+        ) - _dv_dead_rows(spark, io, root, cur, candidates)
         names, rows_new, file_stats = _stage_files(
             spark, catalog, rel, remaining, version, tuple(m.get("stats_cols", ()))
         )
     else:
         names, rows_new, file_stats, cand_rows = [], 0, {}, 0
-    import time
-
     m["versions"][str(version)] = {
         "files": sorted(untouched) + names,
         "op": "delete",
@@ -725,6 +922,8 @@ def delete_versioned(
         "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
+    if cur.get("dv") and untouched:
+        m["versions"][str(version)]["dv"] = list(cur["dv"])
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
@@ -738,6 +937,7 @@ def optimize_versioned(
     rel: Relation,
     target_bytes: int = 128 * 1024 * 1024,
     cluster_by: tuple[str, ...] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Compact the CURRENT snapshot's files into ~target_bytes files,
     committed as a new version (op='optimize') — the small-file
@@ -752,9 +952,20 @@ def optimize_versioned(
     the whole key domain and manifest-side skipping decays to nothing;
     range-clustering restores disjoint per-file ranges, so
     ``read_versioned(where=...)`` prunes like the freshly-written table
-    again (the Delta OPTIMIZE ZORDER role, single-axis). Without it the
-    rewrite is a pure coalesce to ceil(bytes/target) tasks — cheaper (no
-    shuffle), but arrival-ordered. Single mutator at a time."""
+    again (the Delta OPTIMIZE ZORDER role, single-axis).
+
+    ``zorder_by=(c1, c2)`` re-clusters along the two-dimensional Z-order
+    curve instead (``layout.zorder_column``): each rewritten file covers a
+    narrow min/max BOX on BOTH columns, so the manifest's skipping stats
+    prune on a predicate over EITHER — the trade range-clustering cannot
+    make (its secondary sort column's per-file ranges span the domain).
+    Declare both columns in stats_cols. Without either knob the rewrite is
+    a pure coalesce to ceil(bytes/target) tasks — cheaper (no shuffle),
+    but arrival-ordered. Single mutator at a time."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by OR zorder_by, not both")
+    if zorder_by is not None and len(zorder_by) != 2:
+        raise ValueError("zorder_by takes exactly two columns")
     io = catalog.io
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]
@@ -765,6 +976,16 @@ def optimize_versioned(
     if cluster_by:
         df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
+        )
+    elif zorder_by:
+        from .operators.layout import zorder_column
+
+        zv = zorder_column(df, *zorder_by)
+        df = (
+            df.withColumn("__zv", zv)
+            .repartitionByRange(n_out, "__zv")
+            .sortWithinPartitions("__zv")
+            .drop("__zv")
         )
     else:
         df = df.coalesce(n_out)
@@ -792,6 +1013,69 @@ def optimize_versioned(
     return version
 
 
+def read_versioned_changes(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Change-data-feed between two committed snapshots: the table's
+    columns plus ``_change_type`` ('insert' | 'delete'), BAG semantics —
+    exactly what a relations-diff of the two snapshot reads yields (the
+    oracle it is checked against), but computed WITHOUT scanning the
+    unchanged data: files are immutable, so only the manifests' file-set
+    difference can hold changes. With snapshots sharing live set S:
+    ``to = S + B`` (B = rows in files only ``to`` references, DV-applied)
+    and ``from = S + A + D`` (A = rows in files only ``from`` references;
+    D = rows a merge-on-read delete killed in SHARED files — the DV pairs
+    present at ``to`` but not at ``from``), so inserts = B ∖ (A + D) and
+    deletes = (A + D) ∖ B, bag-exceptAll over only the touched files.
+    A 1-file append to a 100k-file table reads 1 file — the incremental-
+    consumer loop a versioned lake exists for. Rows rewritten verbatim
+    (optimize, or a merge carrying them through) cancel in the bag diff,
+    so maintenance commits emit no phantom changes.
+
+    Both versions must share columns and dtypes (an additive/widening
+    evolution between them changes row shape — consume that as a replace);
+    raises ValueError otherwise."""
+    m = _load_manifest(catalog, rel)
+    io = catalog.io
+    root = _root(catalog, rel)
+    a = m["versions"][str(from_version)]
+    b = m["versions"][str(to_version)]
+    if a["columns"] != b["columns"] or a.get("dtypes", {}) != b.get("dtypes", {}):
+        raise ValueError(
+            f"{rel.view_name}: schema changed between v{from_version} and "
+            f"v{to_version}; change feed requires a stable schema — read "
+            "the snapshots and diff explicitly"
+        )
+    a_files, b_files = set(a["files"]), set(b["files"])
+    shared = a_files & b_files
+    ins_df = _snapshot_read(spark, io, root, sorted(b_files - a_files), b)
+    del_df = _snapshot_read(spark, io, root, sorted(a_files - b_files), a)
+    # D: rows MoR-deleted in shared files between the two versions
+    dv_a, dv_b = set(a.get("dv", [])), set(b.get("dv", []))
+    new_dv = sorted(dv_b - dv_a)
+    if new_dv and shared:
+        pairs = spark.read.parquet(
+            *[io.spark_url(io.join(root, f)) for f in new_dv]
+        ).select("file", "pos")
+        scan = _snapshot_read(
+            spark, io, root, sorted(shared), dict(a, dv=sorted(dv_a)),
+            keep_pos=True,
+        )
+        killed = scan.join(
+            pairs,
+            (scan["_dv_file"] == pairs["file"]) & (scan["_dv_pos"] == pairs["pos"]),
+            "left_semi",
+        ).select(*a["columns"])
+        del_df = del_df.unionByName(killed)
+    inserted = ins_df.exceptAll(del_df).withColumn("_change_type", F.lit("insert"))
+    deleted = del_df.exceptAll(ins_df).withColumn("_change_type", F.lit("delete"))
+    return inserted.unionByName(deleted)
+
+
 def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
     """One dict per committed version: (version, op, parent, rows,
     n_files, is_current) — exact, from manifest metadata only."""
@@ -812,12 +1096,16 @@ def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
     return out
 
 
+ORPHAN_GRACE_S = 600.0  # default in-flight-mutator guard (vacuum_versions)
+
+
 def vacuum_versions(
     catalog: FilesystemCatalog,
     rel: Relation,
     keep_last: int = 1,
     retention_s: float | None = None,
     dry_run: bool = False,
+    orphan_grace_s: float = ORPHAN_GRACE_S,
 ) -> list[str]:
     """Reap history: keep the newest ``keep_last`` versions (always
     including current), delete every data file only the dropped versions
@@ -836,7 +1124,18 @@ def vacuum_versions(
     retention_s seconds survives even when keep_last alone would reap it —
     the guard for long-running readers, which resolve a version's file
     list once and scan for a while; size the floor above the longest
-    expected scan. Versions are judged by their committed ``ts``."""
+    expected scan. Versions are judged by their committed ``ts``.
+
+    ``orphan_grace_s`` guards IN-FLIGHT MUTATORS (r12 advice): a file no
+    version references is indistinguishable by name from a racing append's
+    already-renamed, not-yet-committed staging — reaping it would let the
+    append's auto-retry commit a manifest pointing at deleted bytes
+    (silent committed data loss). So UNREFERENCED entries younger than the
+    grace (by backend mtime; kept conservatively when the backend reports
+    none) survive this vacuum and are reaped by a later one once provably
+    abandoned. Files referenced by DROPPED versions were committed — the
+    manifest prune is what retires them — so the grace never delays real
+    history reaping. Set 0.0 only when all writers are known quiescent."""
     import time
 
     io = catalog.io
@@ -853,17 +1152,35 @@ def vacuum_versions(
     if str(m["current"]) not in keep:
         keep.append(str(m["current"]))
     keep = sorted(set(keep), key=int)
-    kept_files = {f for k in keep for f in m["versions"][k]["files"]}
+    kept_files = {
+        f
+        for k in keep
+        for f in m["versions"][k]["files"] + m["versions"][k].get("dv", [])
+    }
+    # committed at some point — the manifest prune retires these; the
+    # orphan grace below is only for files NO version ever referenced
+    ever_referenced = {
+        f for v in m["versions"].values() for f in v["files"] + v.get("dv", [])
+    }
     if not dry_run:
         m["versions"] = {k: m["versions"][k] for k in keep}
         if "stats" in m:  # stats entries for reaped files go with them
             m["stats"] = {f: s for f, s in m["stats"].items() if f in kept_files}
         _commit_manifest(catalog, rel, m)
+
+    def young(path: str) -> bool:
+        if orphan_grace_s <= 0:
+            return False
+        mtime = io.getmtime(path)
+        return mtime is None or mtime > time.time() - orphan_grace_s
+
     deleted = []
     for e in io.listdir(root):
         if e == VERSIONS_MANIFEST or e in kept_files:
             continue
         if e.endswith(".parquet") or e.startswith(".stage_"):
+            if e not in ever_referenced and young(io.join(root, e)):
+                continue  # possibly an in-flight mutator's staging
             if not dry_run:
                 io.remove_any(io.join(root, e))
             deleted.append(e)
@@ -1079,6 +1396,67 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")
 
 
+# MoR-merge scaffold: the q_versioned_merge lifecycle with mode='mor' —
+# zero rewrites, same oracle, so the driver value-hashes both upsert
+# paths identical.
+_MERGE_MOR_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+
+def _merge_mor_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MERGE_MOR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_merge_mor_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_merge_mor", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    write_versioned(
+        spark, catalog, rel, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.lit("merged").alias("source"), "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + MERGE_INSERT_OFFSET).alias("doc_id"),
+                F.lit("inserted").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    merge_versioned(spark, catalog, rel, updates, key="doc_id", mode="mor")
+    _MERGE_MOR_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_versioned_merge_mor",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'merged' ELSE source END AS source,
+           n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {MERGE_INSERT_OFFSET}, 'inserted', n_chars
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+    tags=("versioned", "merge", "merge-on-read", "deletion-vectors", "catalog"),
+)
+def q_versioned_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE: the q_versioned_merge upsert committed as a
+    deletion-vector sidecar (matched rows) plus appended update files —
+    ZERO pre-merge files rewritten (pinned in tests/test_versioned.py) —
+    and the identical oracle, so both upsert paths are value-hash-equal."""
+    catalog, rel = _merge_mor_table(spark, sf_dir)
+    return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")
+
+
 # Delete scaffold: its own memoized table (same idempotence discipline as
 # the merge scaffold — the CoW delete happens ONCE per session, the
 # registered query just reads the committed result).
@@ -1163,6 +1541,87 @@ def _evolution_table(
     write_versioned(spark, catalog, rel, wide, mode="append", evolve=True)
     _EVOLUTION_CACHE[key] = (catalog, rel)
     return catalog, rel
+
+
+# MoR-delete scaffold: same shape as the CoW delete scaffold but the
+# delete commits as DELETION VECTORS (mode='mor') — zero data files
+# rewritten, pinned in tests/test_versioned.py.
+_DELETE_MOR_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+MOR_LO, MOR_HI = 500, 599  # the MoR-deleted doc_id window
+
+
+def _delete_mor_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DELETE_MOR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_mor_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_mor", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    write_versioned(
+        spark, catalog, rel, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    delete_versioned(
+        spark, catalog, rel,
+        F.col("doc_id").between(MOR_LO, MOR_HI),
+        prune={"doc_id": (MOR_LO, MOR_HI)},
+        mode="mor",
+    )
+    _DELETE_MOR_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_versioned_delete_mor",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT BETWEEN {MOR_LO} AND {MOR_HI}
+    """,
+    tags=("versioned", "delete", "merge-on-read", "deletion-vectors", "catalog"),
+)
+def q_versioned_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE, driver-checked: delete a doc_id window from a
+    range-clustered versioned table as DELETION VECTORS — the commit
+    rewrites ZERO data files (pinned in tests/test_versioned.py); readers
+    anti-join the small (file, row-index) sidecar at scan time. Same
+    oracle shape as the CoW twin (q_versioned_delete), so the driver
+    value-hashes that both delete paths produce identical results."""
+    catalog, rel = _delete_mor_table(spark, sf_dir)
+    return read_versioned(spark, catalog, rel).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "q_version_changes",
+    oracle="""
+    SELECT doc_id, source, 'insert' AS _change_type, 'v1_v2' AS step
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id, source, 'delete' AS _change_type, 'v2_v3' AS step
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+    tags=("versioned", "cdc", "change-data-feed", "catalog"),
+)
+def q_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the versioned lifecycle table, driver-checked
+    in both directions: v1->v2 (the doc_id % 13 append) surfaces as
+    inserts, v2->v3 (the rollback) as deletes of the same rows — computed
+    from the manifests' file-set diff (the unchanged corpus files are
+    never scanned), bag-exact against the plain-SQL oracle."""
+    catalog, rel = _lifecycle_table(spark, sf_dir)
+    c12 = read_versioned_changes(spark, catalog, rel, 1, 2).withColumn(
+        "step", F.lit("v1_v2")
+    )
+    c23 = read_versioned_changes(spark, catalog, rel, 2, 3).withColumn(
+        "step", F.lit("v2_v3")
+    )
+    return c12.unionByName(c23).select("doc_id", "source", "_change_type", "step")
 
 
 @register(

@@ -73,3 +73,40 @@ def test_duckdb_query_preserves_arrow_types(spark):
     rows = {r.a: r for r in out.collect()}
     assert rows[1].ts.microsecond == 123456
     assert rows[1].n is None and rows[2].n == 7
+
+
+def test_duckdb_view_over_versioned_root_is_snapshot_exact(spark, tmp_path):
+    """r12 advice (medium): a versioned root physically holds every
+    retained version's files plus orphans — the DuckDB view must resolve
+    the CURRENT snapshot's explicit file list, never a directory glob
+    (which would union duplicate/stale rows)."""
+    from dbt_parquet_spark.versioned import write_versioned
+
+    db = FilesystemCatalog(str(tmp_path))
+    rel = db.relation("vt")
+    write_versioned(spark, db, rel, spark.range(10))          # v1
+    write_versioned(spark, db, rel, spark.range(100, 105))    # v2 (replace)
+    write_versioned(spark, db, rel, spark.range(105, 108), mode="append")  # v3
+    # the root now holds v1's files (retained history) alongside v2+v3's
+    out = duckdb_query(spark, "SELECT COUNT(*) AS n, MIN(id) AS lo FROM vt", db)
+    row = out.first()
+    assert (row.n, row.lo) == (8, 100)  # v3 snapshot only, no v1 rows
+
+
+def test_duckdb_view_applies_deletion_vectors(spark, tmp_path):
+    """A merge-on-read snapshot's DuckDB view anti-joins the DV sidecars
+    (file_row_number + filename), matching versioned._snapshot_read."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import delete_versioned, write_versioned
+
+    db = FilesystemCatalog(str(tmp_path))
+    rel = db.relation("vt_mor")
+    write_versioned(spark, db, rel, spark.range(30).repartitionByRange(3, "id"))
+    delete_versioned(spark, db, rel, F.col("id").between(10, 14), mode="mor")
+    out = duckdb_query(
+        spark, "SELECT COUNT(*) AS n, SUM(id) AS s FROM vt_mor", db
+    )
+    row = out.first()
+    want = [i for i in range(30) if not 10 <= i <= 14]
+    assert (row.n, row.s) == (len(want), sum(want))

@@ -372,3 +372,29 @@ def test_cli_versions_vacuum_dry_run(tmp_path):
     real = _cli("versions", "--database", db, "--table", "v", "--vacuum", "1")
     assert real.returncode == 0 and "reaped" in real.stdout
     assert "v1\treplace" not in real.stdout
+
+
+def test_cli_versions_changes(tmp_path):
+    """versions --changes N M prints the change-data-feed summary between
+    two snapshots (file-set-diff CDF; r13)."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "m.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs <= 5\n"
+    )
+    assert _cli("seed", "--database", db, "--csv",
+                "examples/animals/seeds/animals.csv").returncode == 0
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    (models / "m.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }} WHERE n_legs = 2\n"
+    )
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+    out = _cli("versions", "--database", db, "--table", "m", "--changes", "1", "2")
+    assert out.returncode == 0
+    # v1 kept 3 rows, v2 kept 1 of those: the replace staged a new file set,
+    # so the bag diff is 2 deletes, 0 inserts
+    assert "changes m v1 -> v2: inserts=0 deletes=2" in out.stdout

@@ -300,3 +300,36 @@ def test_occ_commit_log_prune_and_inflight_stage_retention(spark, tmp_path):
     assert any(COMMITS_DIR in d for d in deleted2)
     # the index still reads complete after all vacuuming
     assert manifest_read(spark, path).count() == 440
+
+
+def test_index_manifest_resolution_is_o1(spark, tmp_path):
+    """r13 (shared with versioned._load_manifest): after N committed
+    appends, resolving the index snapshot never LISTs the commit log —
+    the _manifest.json cache doubles as the checkpoint pointer."""
+    from dbt_parquet_spark.operators.index_manifest import _ifs, _load
+
+    base_dir, path, emb = _mk_index(spark, tmp_path)
+    for lo in (400, 410, 420):
+        manifest_append(
+            spark, base_dir, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+        )
+    cfs, root = _ifs(path)
+    counts = {"listdir": 0}
+    orig = cfs.listdir
+    cfs.listdir = lambda p: (counts.__setitem__("listdir", counts["listdir"] + 1), orig(p))[1]
+    try:
+        m = _load(cfs, root)
+    finally:
+        del cfs.__dict__["listdir"]
+    assert int(m["generation"]) >= 4
+    assert counts["listdir"] == 0, counts
+    # a lost cache refresh is found by the forward probe, not a stale read
+    stale = dict(m, generation=m["generation"] - 2) if m["generation"] >= 3 else None
+    if stale is not None:
+        import json as _json
+
+        with cfs.open_output(cfs.join(root, MANIFEST)) as fh:
+            fh.write(_json.dumps(stale).encode())
+        m2 = _load(cfs, root)
+        assert int(m2["generation"]) == int(m["generation"])

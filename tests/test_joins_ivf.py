@@ -667,3 +667,33 @@ def test_filtered_recall_audit_selective_floor(spark):
     adaptive_recall = tiers[label]["mean_recall"]
     fixed_recall = len(fixed & exact) / max(len(exact), 1)
     assert adaptive_recall >= fixed_recall
+
+
+def test_registered_recall_audits_cover_clustered_corpus(spark):
+    """r12 next-round #7: the REGISTERED audits report per-corpus rows —
+    the shipped isotropic corpus (structural recall ceiling ~ probe
+    fraction) and the deterministic clustered twin, where a working index
+    must actually find the cluster neighbors. Floors pinned for the
+    clustered rows: unfiltered production path >= 0.9 mean, and every
+    filtered tier >= 0.9 mean (the adaptive probe must hold recall on
+    clustered data too, where a collapsed pool would miss whole clusters)."""
+    from dbt_parquet_spark.operators.similarity import (
+        FILTERED_AUDIT_TIERS,
+        q_ann_filtered_recall_audit,
+        q_index_recall_audit,
+    )
+
+    from .conftest import SF_ORACLE
+
+    rows = {r["corpus"]: r for r in q_index_recall_audit(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"shipped", "clustered"}
+    assert rows["clustered"]["n_queries"] > 0
+    assert rows["clustered"]["mean_recall"] >= 0.9, rows["clustered"]
+    filt = q_ann_filtered_recall_audit(spark, SF_ORACLE).collect()
+    by_corpus = {}
+    for r in filt:
+        by_corpus.setdefault(r["corpus"], {})[r["filter"]] = r
+    assert set(by_corpus) == {"shipped", "clustered"}
+    assert set(by_corpus["clustered"]) == {t[0] for t in FILTERED_AUDIT_TIERS}
+    for tier, r in by_corpus["clustered"].items():
+        assert r["mean_recall"] >= 0.9, (tier, r)

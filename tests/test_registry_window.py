@@ -31,48 +31,82 @@ CONTRACT_QUERIES = {
     "q_schema_introspect",
 }
 
-NORTH_STAR_IN_WINDOW = {
-    # dedup / similarity
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_ann_topk",
-    "q_embedding_cosine_dedup",
-    # text / pipeline (q_explode/q_fingerprint/q_text_normalize sit outside:
-    # their ops are subsumed by in-window queries, and the slots go to the
-    # python extension points below)
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_corpus_pipeline",
-    "q_quality_score",
-    # binary + Arrow decode path, value-checked end to end
-    "q_multimodal_extract",
-    # python extension points, all oracle-backed (incl. the recursive-CTE-
-    # oracled mapInPandas packing and the iterative graph closure)
-    "q_grouped_zscore",
-    "q_trimmed_mean",
-    "q_chunk_udtf",
-    "q_sequence_packing",
-    "q_dedup_components",
-    # corpus accounting (q_histogram sits outside: plain groupBy, covered
-    # by many in-window aggregations)
-    "q_vocabulary",
-    "q_cooccurrence",
-    "q_train_test_split",
-    "q_contamination",
-    # temporal
-    "q_asof_join",
-    "q_range_join",
-    # ALL structured-streaming execution modes (windowed, stream-stream
-    # join, custom stateful) + batch sessionization; the tumbling/sliding/
-    # dedup batch twins sit outside (same oracles as the executions)
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_stream_join",
-    "q_stream_stateful_profile",
-    "q_session_window",
+# r13 ROTATION (r12 verdict next-round #4): the permanent 18 contract slots
+# plus 32 oracle-backed queries the driver never value-hash-checked in
+# rounds 1-12. Rotated-out queries (streaming, dedup r1 set, python
+# extension points, ...) remain registered and remain bit-exact-checked
+# locally by tests/test_oracle_parity.py — rotation widens the driver's
+# CUMULATIVE coverage.
+ROTATION_IN_WINDOW = {
+    # versioned lake (incl. the r13 MoR deletion vectors + CDF)
+    "q_time_travel",
+    "q_version_history",
+    "q_versioned_skipping",
+    "q_versioned_merge",
+    "q_versioned_delete",
+    "q_versioned_delete_mor",
+    "q_version_changes",
+    "q_schema_evolution",
+    # gates / audits
+    "q_expectations",
+    "q_dataset_diff",
+    "q_key_skew_profile",
+    "q_drop_reasons",
+    "q_kanon_release",
+    "q_source_drift",
+    # retrieval / serving
+    "q_bm25_topk",
+    "q_bm25_batch",
+    "q_hybrid_retrieval",
+    "q_retrieval_eval",
+    "q_context_pack",
+    # dedup beyond the r1 set
+    "q_span_dedup",
+    "q_cross_split_decontamination",
+    "q_incremental_dedup",
+    "q_substring_dedup",
+    "q_dedup_evidence",
+    # text / LM scoring
+    "q_winnowing",
+    "q_bigram_lm",
+    "q_perplexity_buckets",
+    "q_redact_pii",
+    # corpus selection / accounting
+    "q_temperature_sample",
+    "q_token_budget_sample",
+    "q_quality_prune",
+    "q_corpus_datasheet",
 }
+
+
+def _ever_driver_checked() -> set[str]:
+    """Union of query names in every committed CORRECTNESS_r*.json — the
+    driver's cumulative value-hash coverage before this round."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    names: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        d = json.load(open(f))
+        keys = d.get("queries", d) if isinstance(d, dict) else {}
+        names |= {k for k in keys if k.startswith("q_")}
+    return names
+
+
+def test_rotation_targets_never_checked_queries():
+    """The judge's done-criterion: this round's window must contain >=25
+    queries no prior CORRECTNESS artifact ever value-hash-verified."""
+    checked = _ever_driver_checked()
+    if not checked:  # fresh checkout without artifacts: nothing to pin
+        return
+    names = list(load_all())
+    window = set(names[:DRIVER_WINDOW])
+    fresh = window - checked
+    assert len(fresh) >= 25, (len(fresh), sorted(window & checked))
+    # and the rotation set itself is entirely never-before-checked
+    assert not (ROTATION_IN_WINDOW & checked), sorted(ROTATION_IN_WINDOW & checked)
 
 
 def test_driver_window_is_fully_oracle_backed():
@@ -82,11 +116,11 @@ def test_driver_window_is_fully_oracle_backed():
     assert not missing, f"rows-only queries inside the driver window: {missing}"
 
 
-def test_contract_and_north_star_queries_inside_window():
+def test_contract_and_rotation_queries_inside_window():
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
     assert CONTRACT_QUERIES <= window, sorted(CONTRACT_QUERIES - window)
-    assert NORTH_STAR_IN_WINDOW <= window, sorted(NORTH_STAR_IN_WINDOW - window)
+    assert ROTATION_IN_WINDOW <= window, sorted(ROTATION_IN_WINDOW - window)
 
 
 def test_registry_exposes_all_queries():
@@ -190,7 +224,17 @@ def test_registry_exposes_all_queries():
     # +q_schema_evolution (versioned.py — additive + widening evolution
     # read end-to-end: pinned-schema scan null-fills/upcasts pre-evolution
     # files, oracle-checked vs CAST + CASE over the source)
-    assert len(specs) == 220
-    # round-1 fixed rows stay inside the verified window too
+    # r13: +q_versioned_delete_mor (versioned.py — merge-on-read DELETE as
+    # deletion-vector sidecars, zero data files rewritten, oracle-checked
+    # against the CoW twin's shape), +q_version_changes (versioned.py —
+    # change-data-feed from the manifests' file-set diff, bag-exact,
+    # oracle-checked in both insert and delete directions),
+    # +q_versioned_merge_mor (versioned.py — merge-on-read MERGE: matched
+    # rows DV out, updates append as new files, zero rewrites, identical
+    # oracle to the CoW merge so both upsert paths value-hash equal)
+    assert len(specs) == 223
+    # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
+    # local parity gate holds them); pinned so the rotation never silently
+    # drops an oracle
     fixed = {"q_json_extract", "q_array_agg", "q_map_funcs", "q_sample", "q_approx_quantile"}
-    assert fixed <= set(list(specs)[:DRIVER_WINDOW])
+    assert all(specs[n].oracle is not None for n in fixed)
