@@ -49,6 +49,7 @@ def main() -> int:
         merge_versioned,
         optimize_versioned,
         read_versioned,
+        read_versioned_changes,
         rollback_versioned,
         vacuum_versions,
         version_history,
@@ -108,16 +109,35 @@ def main() -> int:
     )
     print(f"v{v4} deleted 10 rows: {version_history(catalog, rel)[-1]['rows']} remain")
 
-    # 6. v5: optimize (compact small files, history intact)
+    # 5b. v4b: merge-on-read delete — deletion vectors, ZERO files rewritten
+    pre = version_history(catalog, rel)[-1]["n_files"]
+    v4b = delete_versioned(
+        spark, catalog, rel,
+        (F.col("doc_id") >= 210) & (F.col("doc_id") < 215),
+        prune={"doc_id": (210, 214)},
+        mode="mor",
+    )
+    h4b = version_history(catalog, rel)[-1]
+    assert h4b["n_files"] == pre  # same data files; only a DV sidecar added
+    print(f"v{v4b} MoR-deleted 5 rows via deletion vectors (0 files rewritten)")
+
+    # 5c. change-data-feed between the two delete snapshots
+    cdf = read_versioned_changes(spark, catalog, rel, v4, v4b)
+    by_type = {r["_change_type"]: r["n"] for r in
+               cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"delete": 5}
+    print(f"CDF v{v4} -> v{v4b}: {by_type}")
+
+    # 6. v5: optimize (compact small files + fold the DVs away)
     v5 = optimize_versioned(spark, catalog, rel)
     h5 = version_history(catalog, rel)[-1]
-    print(f"v{v5} optimized into {h5['n_files']} file(s)")
+    print(f"v{v5} optimized into {h5['n_files']} file(s); deletion vectors compacted")
 
     # 7. time travel + rollback
     n_v1 = read_versioned(spark, catalog, rel, version=v1).count()
     print(f"time travel: v{v1} still reads {n_v1} rows")
-    v6 = rollback_versioned(catalog, rel, v4)
-    print(f"v{v6} rolled back to v{v4}")
+    v6 = rollback_versioned(catalog, rel, v4b)
+    print(f"v{v6} rolled back to v{v4b} (deletion vectors restored with it)")
 
     # 8. vacuum: keep the recent tail, reap the rest
     reaped = vacuum_versions(catalog, rel, keep_last=2)
@@ -127,6 +147,7 @@ def main() -> int:
     n = final.count()
     edited = final.filter(F.col("source") == "edited").count()
     assert edited == 20 and n == version_history(catalog, rel)[-1]["rows"]
+    assert final.filter(F.col("doc_id").between(210, 214)).count() == 0
     print(f"OK versioned lake lifecycle complete: {n} rows, {edited} edited")
     return 0
 
