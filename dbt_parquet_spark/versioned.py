@@ -620,6 +620,35 @@ def read_versioned(
     return _snapshot_read(spark, io, root, names, entry)
 
 
+def _dv_prune(
+    spark: SparkSession, catalog: FilesystemCatalog, rel: Relation,
+    cur: dict, untouched: list[str], version: int,
+) -> list[str]:
+    """Re-stage the parent's deletion vectors keeping only pairs that
+    address files STILL in the new version's list (CoW rewrites retire
+    the rest — their files left the list, so their pairs could never
+    match again but would otherwise ride every future version as dead
+    weight until an optimize). One small job over sidecar bytes; returns
+    the new sidecar names ([] when nothing survives). The parent's
+    sidecars stay referenced by the parent version and vacuum with it."""
+    io = catalog.io
+    root = _root(catalog, rel)
+    dv = cur.get("dv") or []
+    if not dv or not untouched:
+        return []
+    pairs = spark.read.parquet(
+        *[io.spark_url(io.join(root, f)) for f in dv]
+    ).filter(F.col("file").isin(untouched))
+    names, n_pairs, _ = _stage_files(
+        spark, catalog, rel, pairs, version, (), prefix="dv"
+    )
+    if n_pairs == 0:
+        for f in names:
+            io.remove_any(io.join(root, f))
+        return []
+    return names
+
+
 def _dv_dead_rows(
     spark: SparkSession, io, root: str, entry: dict, files: list[str]
 ) -> int:
@@ -800,11 +829,9 @@ def merge_versioned(
         "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
-    if cur.get("dv") and untouched:
-        # untouched files' DV pairs stay live; pairs addressing rewritten
-        # files can never match again (their names left the list) and are
-        # compacted away by optimize_versioned
-        m["versions"][str(version)]["dv"] = list(cur["dv"])
+    dv_kept = _dv_prune(spark, catalog, rel, cur, untouched, version)
+    if dv_kept:
+        m["versions"][str(version)]["dv"] = dv_kept
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
@@ -922,8 +949,9 @@ def delete_versioned(
         "dtypes": dict(cur.get("dtypes", {})),
         "ts": time.time(),
     }
-    if cur.get("dv") and untouched:
-        m["versions"][str(version)]["dv"] = list(cur["dv"])
+    dv_kept = _dv_prune(spark, catalog, rel, cur, untouched, version)
+    if dv_kept:
+        m["versions"][str(version)]["dv"] = dv_kept
     m["current"] = version
     if file_stats:
         m.setdefault("stats", {}).update(file_stats)
@@ -1074,6 +1102,42 @@ def read_versioned_changes(
     inserted = ins_df.exceptAll(del_df).withColumn("_change_type", F.lit("insert"))
     deleted = del_df.exceptAll(ins_df).withColumn("_change_type", F.lit("delete"))
     return inserted.unionByName(deleted)
+
+
+def read_versioned_changes_feed(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The Delta-CDF-shaped feed: per-commit changes for every version in
+    (from_version, to_version] (default: current), each row tagged
+    ``_commit_version`` — so a downstream consumer can both apply the
+    deltas AND attribute them to the commit that produced them (audit,
+    replication ordering, exactly-once apply keyed on the version id).
+    Built as the union of consecutive-pair ``read_versioned_changes``
+    diffs, so each hop reads only that commit's file-set difference —
+    following a table costs O(changed bytes), never O(table). Requires
+    every version in the range to still be retained (vacuum with a
+    keep_last/retention floor sized to the consumer's lag — the Delta
+    CDF retention rule) and the schema to be stable across the range
+    (both raise loudly otherwise)."""
+    m = _load_manifest(catalog, rel)
+    to_v = m["current"] if to_version is None else to_version
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_v + 1):
+        c = read_versioned_changes(spark, catalog, rel, v - 1, v).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")
+        )
+        out = c if out is None else out.unionByName(c)
+    if out is None:  # empty range: typed empty frame off the target entry
+        entry = m["versions"][str(to_v)]
+        base = _snapshot_read(spark, catalog.io, _root(catalog, rel), [], entry)
+        return base.withColumn("_change_type", F.lit("insert")).withColumn(
+            "_commit_version", F.lit(0).cast("bigint")
+        ).limit(0)
+    return out
 
 
 def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
@@ -1622,6 +1686,29 @@ def q_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", F.lit("v2_v3")
     )
     return c12.unionByName(c23).select("doc_id", "source", "_change_type", "step")
+
+
+@register(
+    "q_version_changes_feed",
+    oracle="""
+    SELECT doc_id, source, 'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id, source, 'delete', 3
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+    tags=("versioned", "cdc", "change-data-feed", "catalog"),
+)
+def q_version_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDF feed over the lifecycle table's whole history
+    (v1 -> current): the append surfaces as inserts tagged
+    _commit_version 2, the rollback as deletes tagged 3 — the Delta CDF
+    shape (deltas + attribution) computed purely from file-set diffs."""
+    catalog, rel = _lifecycle_table(spark, sf_dir)
+    return read_versioned_changes_feed(spark, catalog, rel, 1).select(
+        "doc_id", "source", "_change_type", "_commit_version"
+    )
 
 
 @register(

@@ -231,8 +231,10 @@ def test_registry_exposes_all_queries():
     # oracle-checked in both insert and delete directions),
     # +q_versioned_merge_mor (versioned.py — merge-on-read MERGE: matched
     # rows DV out, updates append as new files, zero rewrites, identical
-    # oracle to the CoW merge so both upsert paths value-hash equal)
-    assert len(specs) == 223
+    # oracle to the CoW merge so both upsert paths value-hash equal),
+    # +q_version_changes_feed (versioned.py — per-commit CDF feed with
+    # _commit_version attribution, the Delta CDF shape, oracle-checked)
+    assert len(specs) == 224
     # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
     # local parity gate holds them); pinned so the rotation never silently
     # drops an oracle

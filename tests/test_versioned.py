@@ -1463,3 +1463,80 @@ def test_mor_merge_zero_rewrites_and_oracle_equal_to_cow(spark, vt):
         for r in read_versioned(spark, mor_cat, mor_rel).collect()
     }
     assert got[25] == -1 and got[1002] == -2 and got[5] == 50
+
+
+def test_changes_feed_attribution_and_mor(spark, vt):
+    """read_versioned_changes_feed tags every delta with the commit that
+    produced it; MoR deletes attribute to their own version, and an
+    empty range yields a typed empty frame."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import (
+        delete_versioned,
+        read_versioned_changes_feed,
+    )
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))            # v1
+    write_versioned(spark, catalog, rel, spark.range(10, 13), mode="append")  # v2
+    delete_versioned(spark, catalog, rel, F.col("id") < 2, mode="mor")  # v3
+    feed = read_versioned_changes_feed(spark, catalog, rel, 1)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in feed.collect()
+    )
+    assert rows == [(2, "insert", 10), (2, "insert", 11), (2, "insert", 12),
+                    (3, "delete", 0), (3, "delete", 1)]
+    empty = read_versioned_changes_feed(spark, catalog, rel, 3, 3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "_change_type", "_commit_version"}
+
+
+def test_cow_rewrite_prunes_stale_dv_pairs(spark, vt):
+    """A CoW rewrite restages the parent's deletion vectors keeping only
+    pairs addressing files still in the list — stale pairs for rewritten
+    files retire with the parent version instead of riding every future
+    commit; pairs for untouched files survive exactly, and the CDF across
+    the rewrite stays content-exact (no phantom deletes from renaming)."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import (
+        _load_manifest,
+        delete_versioned,
+        read_versioned_changes,
+    )
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel,
+        spark.range(80).repartitionByRange(4, "id"),
+        stats_cols=("id",),
+    )
+    # MoR-delete rows in BOTH the low file (0-4) and the high file (70-74)
+    delete_versioned(spark, catalog, rel, F.col("id") < 5, mode="mor")          # v2
+    delete_versioned(spark, catalog, rel, F.col("id").between(70, 74), mode="mor")  # v3
+    # CoW delete confined to the LOW file: it is rewritten, the high
+    # file is untouched — its DV pairs must survive the restage
+    delete_versioned(
+        spark, catalog, rel, F.col("id").between(5, 9),
+        prune={"id": (5, 9)}, mode="cow",
+    )  # v4
+    m = _load_manifest(catalog, rel)
+    e4 = m["versions"]["4"]
+    assert e4.get("dv"), "untouched high-file DV pairs must survive"
+    assert all(d.startswith("dv000004-") for d in e4["dv"]), e4["dv"]
+    assert _ids(read_versioned(spark, catalog, rel)) == list(range(10, 70)) + [
+        i for i in range(75, 80)
+    ]
+    assert e4["rows"] == 65
+    # the restaged sidecar introduces no phantom CDF deletes: v3 -> v4
+    # changes are exactly the CoW-deleted rows 5..9
+    rows = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_versioned_changes(spark, catalog, rel, 3, 4).collect()
+    )
+    assert rows == [(i, "delete") for i in range(5, 10)]
+    # a CoW rewrite touching EVERY dv-bearing file drops the dv entirely
+    delete_versioned(spark, catalog, rel, F.col("id") >= 0, mode="cow")  # v5: all
+    m = _load_manifest(catalog, rel)
+    assert "dv" not in m["versions"]["5"]
+    assert m["versions"]["5"]["rows"] == 0
