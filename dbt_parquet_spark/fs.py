@@ -246,13 +246,39 @@ def _s3_conditional_put(database: str):
     ConditionalRequestConflict raced-PUT variant) means another writer owns
     the object: return False, the loser's OCC retry path. Declines (None)
     when boto3 is not importable — the caller keeps the documented
-    fallback."""
+    fallback.
+
+    The boto3 client is built from the SAME connection facts pyarrow's
+    S3FileSystem resolves off the database URL (r13 advice: ambient-config
+    boto3 against a ``?endpoint_override=minio:9000`` URL would point the
+    OCC commit PUT at a DIFFERENT store than the data path): pyarrow's
+    s3:// from_uri grammar carries ``access_key:secret_key@`` in the
+    authority and ``region`` / ``scheme`` / ``endpoint_override`` as query
+    parameters — each one, when present, is mirrored onto the client;
+    absent ones keep boto3's ambient resolution, matching pyarrow's own
+    fallback chain."""
     try:
         import boto3
         import botocore.exceptions
     except ImportError:
         return None
-    client = boto3.client("s3")
+    from urllib.parse import parse_qs, unquote
+
+    parsed = urlparse(database)
+    q = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+    kwargs: dict = {}
+    if q.get("region"):
+        kwargs["region_name"] = q["region"]
+    endpoint = q.get("endpoint_override")
+    if endpoint:
+        if "://" not in endpoint:
+            endpoint = f"{q.get('scheme', 'https')}://{endpoint}"
+        kwargs["endpoint_url"] = endpoint
+    if parsed.username:
+        kwargs["aws_access_key_id"] = unquote(parsed.username)
+    if parsed.password:
+        kwargs["aws_secret_access_key"] = unquote(parsed.password)
+    client = boto3.client("s3", **kwargs)
 
     def put_if_absent(fs_path: str, data: bytes) -> bool:
         bucket, _, key = fs_path.partition("/")

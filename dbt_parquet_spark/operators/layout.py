@@ -137,7 +137,11 @@ def zorder_column(df: DataFrame, c1: str, c2: str):
     a = F.col(c1).cast("bigint")
     b = F.col(c2).cast("bigint")
     row = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
-    if row[0] is None:
+    if any(v is None for v in row):
+        # empty df, or EITHER column all-NULL (r13 advice: checking only
+        # row[0] let an all-NULL c2 raise TypeError inside optimize):
+        # no usable grid on both axes -> constant curve position, the
+        # rewrite degrades to a plain coalesce instead of crashing.
         return F.lit(0).cast("long")
     amin, amax = int(row[0]), max(int(row[1]), int(row[0]) + 1)
     bmin, bmax = int(row[2]), max(int(row[3]), int(row[2]) + 1)

@@ -263,6 +263,12 @@ def _snapshot_read(
             (out["_dv_file"] == dvdf["file"]) & (out["_dv_pos"] == dvdf["pos"]),
             "left_anti",
         )
+    if keep_pos and "_dv_file" not in out.columns:
+        # empty-names branches never ran _with_pos (r13 advice: selecting
+        # the helpers would raise); a zero-row frame gets typed NULLs.
+        out = out.withColumn("_dv_file", F.lit(None).cast("string")).withColumn(
+            "_dv_pos", F.lit(None).cast("bigint")
+        )
     return out.select(*(cols + (["_dv_file", "_dv_pos"] if keep_pos else [])))
 
 
@@ -1082,23 +1088,57 @@ def read_versioned_changes(
     shared = a_files & b_files
     ins_df = _snapshot_read(spark, io, root, sorted(b_files - a_files), b)
     del_df = _snapshot_read(spark, io, root, sorted(a_files - b_files), a)
-    # D: rows MoR-deleted in shared files between the two versions
+    # DV delta on SHARED files, at (file, pos) PAIR level — sidecar names
+    # are not stable identity (_dv_prune restages surviving pairs under
+    # new names), so the diff must be over the pairs themselves:
+    #   pairs in b not a → rows MoR-deleted in the range (emit 'delete');
+    #   pairs in a not b → rows RESURRECTED (rollback across a MoR delete,
+    #     DV compaction that rewrote nothing) — emit 'insert' (r13 advice
+    #     HIGH: the one-directional name-level diff silently dropped these).
     dv_a, dv_b = set(a.get("dv", [])), set(b.get("dv", []))
-    new_dv = sorted(dv_b - dv_a)
-    if new_dv and shared:
-        pairs = spark.read.parquet(
-            *[io.spark_url(io.join(root, f)) for f in new_dv]
-        ).select("file", "pos")
-        scan = _snapshot_read(
-            spark, io, root, sorted(shared), dict(a, dv=sorted(dv_a)),
-            keep_pos=True,
+    if dv_a != dv_b and shared:
+        def _pairs(names: set) -> DataFrame | None:
+            if not names:
+                return None
+            return spark.read.parquet(
+                *[io.spark_url(io.join(root, f)) for f in sorted(names)]
+            ).select("file", "pos")
+
+        shared_df = spark.createDataFrame(
+            [(f,) for f in sorted(shared)], "file string"
         )
-        killed = scan.join(
-            pairs,
-            (scan["_dv_file"] == pairs["file"]) & (scan["_dv_pos"] == pairs["pos"]),
-            "left_semi",
-        ).select(*a["columns"])
-        del_df = del_df.unionByName(killed)
+        pa = _pairs(dv_a)
+        pb = _pairs(dv_b)
+        if pa is not None:
+            pa = pa.join(F.broadcast(shared_df), "file", "left_semi")
+        if pb is not None:
+            pb = pb.join(F.broadcast(shared_df), "file", "left_semi")
+
+        def _dead_rows(delta: DataFrame, entry: dict) -> DataFrame:
+            """Rows of the shared files, read at `entry`'s DV state, whose
+            (file, pos) coordinates appear in `delta`."""
+            scan = _snapshot_read(
+                spark, io, root, sorted(shared), entry, keep_pos=True
+            )
+            return scan.join(
+                delta,
+                (scan["_dv_file"] == delta["file"])
+                & (scan["_dv_pos"] == delta["pos"]),
+                "left_semi",
+            ).select(*entry["columns"])
+
+        killed_pairs = (
+            pb if pa is None else pb.join(pa, ["file", "pos"], "left_anti")
+        ) if pb is not None else None
+        if killed_pairs is not None:
+            # read at a's DV state: these rows were alive at `from`
+            del_df = del_df.unionByName(_dead_rows(killed_pairs, a))
+        res_pairs = (
+            pa if pb is None else pa.join(pb, ["file", "pos"], "left_anti")
+        ) if pa is not None else None
+        if res_pairs is not None:
+            # read at b's DV state: these rows are alive again at `to`
+            ins_df = ins_df.unionByName(_dead_rows(res_pairs, b))
     inserted = ins_df.exceptAll(del_df).withColumn("_change_type", F.lit("insert"))
     deleted = del_df.exceptAll(ins_df).withColumn("_change_type", F.lit("delete"))
     return inserted.unionByName(deleted)

@@ -104,3 +104,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     mid_hi = datetime.datetime(1995, 7, 1, tzinfo=datetime.timezone.utc)
     z_date_hit = _overlap_count(zfiles, "o_orderdate", mid_lo, mid_hi)
     assert z_date_hit < len(zfiles)
+
+
+def test_zorder_column_all_null_axis(spark):
+    """zorder_column degrades to a constant curve (no crash) when EITHER
+    axis has no usable grid (r13 advice: only row[0] was None-checked, so
+    a non-empty df whose SECOND column is all NULL raised TypeError
+    inside optimize_versioned(zorder_by=...))."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.operators.layout import zorder_column
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.lit(None).cast("bigint").alias("b")
+    )
+    z = df.select(zorder_column(df, "a", "b").alias("z")).collect()
+    assert [r["z"] for r in z] == [0] * 10
+    # ...and symmetrically for the first column
+    df2 = spark.range(10).select(
+        F.lit(None).cast("bigint").alias("a"), F.col("id").alias("b")
+    )
+    z2 = df2.select(zorder_column(df2, "a", "b").alias("z")).collect()
+    assert [r["z"] for r in z2] == [0] * 10

@@ -1343,6 +1343,15 @@ def test_read_versioned_changes_append_rollback_mor(spark, vt):
     assert changes(2, v5) == [(i, "delete") for i in range(4)] + [
         (i, "delete") for i in range(20, 25)
     ]
+    # rollback ACROSS the MoR delete (r13 advice HIGH): v6 points back at
+    # v3's files with the DV dropped — the rows the DV killed are alive
+    # again and the feed must emit them as inserts, in BOTH the
+    # shared-file path (v4 -> v6: identical file sets, DV-only delta) and
+    # the full file-diff path (v5 -> v6: disjoint file sets).
+    rollback_versioned(catalog, rel, 3)                               # v6
+    assert changes(4, 6) == [(i, "insert") for i in range(4)]
+    assert changes(v5, 6) == [(i, "insert") for i in range(4)]
+    assert changes(3, 6) == []  # round trip: DV state identical, no changes
 
 
 def test_read_versioned_changes_requires_stable_schema(spark, vt):
@@ -1540,3 +1549,63 @@ def test_cow_rewrite_prunes_stale_dv_pairs(spark, vt):
     m = _load_manifest(catalog, rel)
     assert "dv" not in m["versions"]["5"]
     assert m["versions"]["5"]["rows"] == 0
+
+
+def test_s3_conditional_put_mirrors_url_connection_facts(monkeypatch):
+    """The boto3 OCC client targets the SAME store pyarrow's S3FileSystem
+    resolves off the database URL (r13 advice: ambient-config boto3
+    against a ?endpoint_override=... URL would commit to a different
+    endpoint than the data path): access_key:secret@ authority and
+    region / scheme / endpoint_override query params are mirrored onto
+    the client; a bare s3:// URL keeps ambient resolution."""
+    import boto3
+
+    from dbt_parquet_spark.fs import _s3_conditional_put
+
+    captured: dict = {}
+
+    def fake_client(service, **kwargs):
+        captured[service] = kwargs
+        return object()
+
+    monkeypatch.setattr(boto3, "client", fake_client)
+    hook = _s3_conditional_put(
+        "s3://AKID:sekret%2Fkey@bucket/db?region=eu-west-1"
+        "&scheme=http&endpoint_override=minio:9000"
+    )
+    assert hook is not None
+    assert captured["s3"] == {
+        "region_name": "eu-west-1",
+        "endpoint_url": "http://minio:9000",
+        "aws_access_key_id": "AKID",
+        "aws_secret_access_key": "sekret/key",
+    }
+    # an already-schemed endpoint_override passes through untouched
+    captured.clear()
+    _s3_conditional_put("s3://bucket/db?endpoint_override=https://gw.example:9443")
+    assert captured["s3"] == {"endpoint_url": "https://gw.example:9443"}
+    # bare URL: no overrides, boto3 resolves endpoint/region/creds itself
+    captured.clear()
+    _s3_conditional_put("s3://bucket/db")
+    assert captured["s3"] == {}
+
+
+def test_snapshot_read_keep_pos_with_empty_names(spark, vt):
+    """_snapshot_read(keep_pos=True, names=[]) returns a typed zero-row
+    frame INCLUDING the (_dv_file, _dv_pos) helper columns (r13 advice:
+    the empty-names branches skipped _with_pos, so selecting the helpers
+    raised AnalysisException — a trap for any future caller that prunes
+    to nothing before a positional join)."""
+    from dbt_parquet_spark.versioned import _load_manifest, _root, _snapshot_read
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(5))
+    m = _load_manifest(catalog, rel)
+    entry = m["versions"][str(m["current"])]
+    df = _snapshot_read(
+        spark, catalog.io, _root(catalog, rel), [], entry, keep_pos=True
+    )
+    assert df.columns == list(entry["columns"]) + ["_dv_file", "_dv_pos"]
+    assert dict(df.dtypes)["_dv_file"] == "string"
+    assert dict(df.dtypes)["_dv_pos"] == "bigint"
+    assert df.count() == 0
