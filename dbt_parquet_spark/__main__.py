@@ -14,7 +14,9 @@
     python -m dbt_parquet_spark snapshot --database DB --from SRC --table T --key K (--updated-col C | --check-cols C1,C2 --as-of TS)
     python -m dbt_parquet_spark versions --database DB --table T [--diff N M]
                                       [--rollback V] [--vacuum KEEP [--retention-s S]]
-                                      [--optimize [--cluster-by COLS]]
+                                      [--optimize [--cluster-by COLS]] [--clone DST]
+                                      [--as-of-ts TS] [--set-constraint NAME SQL]
+                                      [--apply-changes SRC KEY FROM_V]
 """
 
 from __future__ import annotations
@@ -246,6 +248,36 @@ def main(argv: list[str] | None = None) -> int:
         "row counts plus a row sample — computed from the manifests' "
         "file-set diff, the unchanged data is never scanned",
     )
+    vt_p.add_argument(
+        "--clone", default=None, metavar="DST",
+        help="shallow-clone the current snapshot into table DST (same "
+        "schema namespace): metadata-only, zero bytes copied; histories "
+        "independent from the clone point",
+    )
+    vt_p.add_argument(
+        "--as-of-ts", dest="as_of_ts", type=float, default=None,
+        metavar="POSIX_TS",
+        help="resolve + print which version was current at the given POSIX "
+        "timestamp (TIMESTAMP AS OF resolution, metadata-only)",
+    )
+    vt_p.add_argument(
+        "--set-constraint", dest="set_constraint", nargs=2, default=None,
+        metavar=("NAME", "CHECK_SQL"),
+        help="add a table CHECK constraint: validates the current snapshot "
+        "first, then gates every future write/merge/apply with "
+        "per-constraint violation counts",
+    )
+    vt_p.add_argument(
+        "--drop-constraint", dest="drop_constraint", default=None,
+        metavar="NAME", help="remove a CHECK constraint by name",
+    )
+    vt_p.add_argument(
+        "--apply-changes", dest="apply_changes", nargs=3, default=None,
+        metavar=("SRC", "KEY", "FROM_V"),
+        help="maintain this table as a replica of versioned table SRC: "
+        "consume SRC's change feed from version FROM_V to current, net per "
+        "KEY, one merge-on-read commit; exactly-once on replays",
+    )
 
     args = p.parse_args(argv)
 
@@ -300,6 +332,54 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in cdf.limit(5).collect():
                 print("  ", r.asDict())
+        if args.as_of_ts is not None:
+            from .versioned import version_at_timestamp
+
+            v = version_at_timestamp(catalog, rel, args.as_of_ts)
+            print(f"as-of {rel.view_name} ts={args.as_of_ts}: version {v}")
+        if args.clone is not None:
+            from .versioned import clone_versioned
+
+            dst = catalog.relation(args.clone, args.schema)
+            clone_versioned(catalog, rel, dst)
+            print(
+                f"OK clone {rel.view_name} -> {dst.view_name} "
+                "(shallow, zero bytes copied)"
+            )
+        if args.set_constraint is not None:
+            from .session import get_spark as _gs
+            from .versioned import set_check_constraint
+
+            name, check_sql = args.set_constraint
+            set_check_constraint(
+                _gs("dbt_parquet_spark_cli"), catalog, rel, name, check_sql
+            )
+            print(f"OK constraint {rel.view_name}.{name}: CHECK ({check_sql})")
+        if args.drop_constraint is not None:
+            from .versioned import drop_check_constraint
+
+            drop_check_constraint(catalog, rel, args.drop_constraint)
+            print(f"OK constraint {rel.view_name}.{args.drop_constraint} dropped")
+        if args.apply_changes is not None:
+            from .session import get_spark as _gs
+            from .versioned import apply_changes_versioned
+
+            src_name, key, from_v = args.apply_changes
+            src_rel = catalog.relation(src_name, args.schema)
+            v = apply_changes_versioned(
+                _gs("dbt_parquet_spark_cli"), catalog, src_rel, rel,
+                key, from_version=int(from_v),
+            )
+            if v is None:
+                print(
+                    f"OK apply-changes {rel.view_name}: already applied "
+                    "(exactly-once skip)"
+                )
+            else:
+                print(
+                    f"OK apply-changes {src_rel.view_name} -> "
+                    f"{rel.view_name} (version {v})"
+                )
         if args.optimize:
             from .session import get_spark as _gs
             from .versioned import optimize_versioned

@@ -268,14 +268,14 @@ class FilesystemCatalog:
                 if self.is_versioned(rel):
                     # manifest metadata is exact and already footer-derived;
                     # a directory walk would double-count retained versions
-                    from .versioned import _load_manifest
+                    from .versioned import _fpath, _load_manifest
 
                     m = _load_manifest(self, rel)
                     entry = m["versions"][str(m["current"])]
                     root = self.fs_path(rel)
                     n_rows = entry["rows"]
                     n_bytes = sum(
-                        self.io.getsize(self.io.join(root, f))
+                        self.io.getsize(_fpath(self.io, root, f))
                         for f in entry["files"]
                     )
                 else:

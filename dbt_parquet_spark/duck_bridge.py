@@ -63,12 +63,20 @@ def register_catalog_views(con, catalog: FilesystemCatalog) -> list[str]:
     for schema in catalog.list_schemas():
         for rel in catalog.list_relations(schema):
             if catalog.is_versioned(rel):
-                from .versioned import _load_manifest
+                from .versioned import EXTERNAL_PREFIX, _load_manifest
 
                 m = _load_manifest(catalog, rel)
                 entry = m["versions"].get(str(m["current"]), {"files": []})
-                files = [f"{rel.path}/{f}" for f in entry["files"]]
-                dv = [f"{rel.path}/{f}" for f in entry.get("dv", [])]
+
+                def _p(f: str) -> str:
+                    # shallow-clone external references resolve to their
+                    # recorded absolute path (versioned._fpath's rule)
+                    if f.startswith(EXTERNAL_PREFIX):
+                        return f[len(EXTERNAL_PREFIX):]
+                    return f"{rel.path}/{f}"
+
+                files = [_p(f) for f in entry["files"]]
+                dv = [_p(f) for f in entry.get("dv", [])]
                 if files and dv:
                     # merge-on-read snapshot: anti-join the deletion-vector
                     # sidecars' (file, pos) pairs, the same semantics

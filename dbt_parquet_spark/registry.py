@@ -94,47 +94,48 @@ _PRIORITY = (
     "q_window_rank",
     "q_seed_roundtrip",
     "q_schema_introspect",
-    # ---- r13 rotation (32 slots, none ever driver-checked before) ----
-    # versioned lake: time travel, history, skipping, merge, both delete
-    # paths (CoW + the new MoR deletion vectors), CDF, schema evolution
-    "q_time_travel",
-    "q_version_history",
-    "q_versioned_skipping",
-    "q_versioned_merge",
-    "q_versioned_delete",
-    "q_versioned_delete_mor",
-    "q_version_changes",
-    "q_schema_evolution",
-    # pipeline gates / audits
-    "q_expectations",
-    "q_dataset_diff",
-    "q_key_skew_profile",
-    "q_drop_reasons",
-    "q_kanon_release",
-    "q_source_drift",
-    # retrieval / serving
-    "q_bm25_topk",
-    "q_bm25_batch",
-    "q_hybrid_retrieval",
-    "q_retrieval_eval",
-    "q_context_pack",
-    # dedup beyond the r1 set: spans, substrings, incremental, evidence,
-    # cross-split decontamination
-    "q_span_dedup",
-    "q_cross_split_decontamination",
-    "q_incremental_dedup",
-    "q_substring_dedup",
-    "q_dedup_evidence",
-    # text / LM scoring
-    "q_winnowing",
-    "q_bigram_lm",
-    "q_perplexity_buckets",
-    "q_redact_pii",
-    # corpus selection / accounting
-    "q_temperature_sample",
-    "q_token_budget_sample",
-    "q_quality_prune",
-    "q_corpus_datasheet",
+    # ---- r14 rotation (32 slots, none ever driver-checked in r1-r13) ----
+    # versioned lake round-out: the r14 additions (timestamp travel,
+    # shallow clone, CDC apply, CHECK constraints), the r13 late-round
+    # queries that registered after the r13 window pinned, and Z-order
+    "q_time_travel_ts",
+    "q_versioned_clone",
+    "q_cdc_apply",
+    "q_constraint_audit",
+    "q_versioned_merge_mor",
+    "q_version_changes_feed",
+    "q_zorder_layout",
+    # materialization / sources
+    "q_materialize_roundtrip",
+    "q_cluster_roundtrip",
+    "q_bucketed_join",
+    "q_format_roundtrip",
+    "q_partitioned_scan",
+    # SQL edge semantics
+    "q_full_outer",
+    "q_recursive_cte",
+    "q_quantified",
+    "q_not_in_with_nulls",
+    "q_null_safe_eq",
+    "q_nulls_ordering",
+    "q_limit_offset",
+    "q_division_semantics",
+    # windows / analytics
+    "q_retention",
+    "q_event_transitions",
+    "q_pct_of_total",
+    "q_window_running",
+    "q_interpolate",
+    # temporal / snapshots
+    "q_asof_forward",
+    "q_scd2_history",
+    "q_pit_join",
+    # text analysis
+    "q_fingerprint",
+    "q_repetition_score",
+    # sketches
+    "q_kmv_intersection",
+    "q_bloom_semi_join",
 )
 
 

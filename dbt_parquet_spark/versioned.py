@@ -73,6 +73,36 @@ def _commit_path(io, root: str, gen: int) -> str:
     return io.join(root, COMMITS_DIR, f"{gen:012d}.json")
 
 
+# Shallow clones (clone_versioned) reference the SOURCE table's data/DV
+# files without copying a byte. Such entries are stored in the manifest as
+# "ref://<absolute fs path>" — the marker is unambiguous on every backend
+# (an S3 fs path like "bucket/db/t/v1.parquet" carries no leading slash,
+# so a bare-path heuristic would misclassify it). Every reader resolves
+# names through _fpath; vacuum reaps from the table's own DIRECTORY
+# listing, which never contains ref:// names, so external bytes are never
+# deleted by the referencing table.
+EXTERNAL_PREFIX = "ref://"
+
+
+def _fpath(io, root: str, name: str) -> str:
+    """Resolve a manifest file name to its fs path: table-local names join
+    the table root; ref:// external references resolve to their recorded
+    absolute path."""
+    if name.startswith(EXTERNAL_PREFIX):
+        return name[len(EXTERNAL_PREFIX):]
+    return io.join(root, name)
+
+
+def _basename(name: str) -> str:
+    """The file's base name — the coordinate deletion vectors address
+    (``_with_pos`` derives it from _metadata.file_path, so it is root-
+    and marker-free). Staged names are uuid-unique, so base names never
+    collide between a clone's own files and its source's."""
+    if name.startswith(EXTERNAL_PREFIX):
+        name = name[len(EXTERNAL_PREFIX):]
+    return name.rsplit("/", 1)[-1]
+
+
 def _load_manifest(catalog: FilesystemCatalog, rel: Relation) -> dict:
     """Resolve the table's committed state: the HIGHEST generation in the
     ``_commits/`` log is authoritative (each commit file is a full manifest
@@ -235,7 +265,7 @@ def _snapshot_read(
             need_pos = False
         else:
             out = spark.read.schema(ddl).parquet(
-                *[io.spark_url(io.join(root, f)) for f in names]
+                *[io.spark_url(_fpath(io, root, f)) for f in names]
             )
             if need_pos:
                 out = _with_pos(out)
@@ -244,11 +274,11 @@ def _snapshot_read(
         if entry.get("evolved"):
             reader = reader.option("mergeSchema", "true")
         if not names:
-            all_files = [io.spark_url(io.join(root, f)) for f in entry["files"]]
+            all_files = [io.spark_url(_fpath(io, root, f)) for f in entry["files"]]
             out = reader.parquet(*all_files).limit(0)
             need_pos = False
         else:
-            out = reader.parquet(*[io.spark_url(io.join(root, f)) for f in names])
+            out = reader.parquet(*[io.spark_url(_fpath(io, root, f)) for f in names])
             if need_pos:
                 out = _with_pos(out)
         for c in cols:
@@ -256,7 +286,7 @@ def _snapshot_read(
                 out = out.withColumn(c, F.lit(None).cast("string"))
     if dv and names:
         dvdf = spark.read.parquet(
-            *[io.spark_url(io.join(root, f)) for f in dv]
+            *[io.spark_url(_fpath(io, root, f)) for f in dv]
         ).select("file", "pos")
         out = out.join(
             dvdf,
@@ -340,6 +370,106 @@ def _stage_files(
         names.append(name)
     io.rmtree(staging)
     return sorted(names), rows, file_stats
+
+
+class ConstraintViolationError(ValueError):
+    """A committed-write gate refused data violating a table CHECK
+    constraint (nothing was committed)."""
+
+
+def _violation_counts(df: DataFrame, constraints: dict[str, str]) -> dict:
+    """Per-constraint violation counts over df in ONE aggregation pass.
+    SQL CHECK semantics: a row violates only when the predicate is FALSE —
+    NULL (unknown) passes, matching ANSI and Delta CHECK behavior."""
+    if not constraints:
+        return {}
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, sql in constraints.items()
+        ]
+    ).first()
+    return {name: int(row[name] or 0) for name in constraints}
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], context: str
+) -> None:
+    bad = {k: v for k, v in _violation_counts(df, constraints).items() if v}
+    if bad:
+        detail = ", ".join(
+            f"{k!r} ({v} rows; CHECK {constraints[k]})" for k, v in sorted(bad.items())
+        )
+        raise ConstraintViolationError(
+            f"{context}: incoming data violates table constraint(s) {detail}; "
+            "nothing committed"
+        )
+
+
+def set_check_constraint(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    name: str,
+    check_sql: str,
+) -> None:
+    """Add a table-level CHECK constraint (the Delta ``ALTER TABLE ... ADD
+    CONSTRAINT`` shape): ``check_sql`` is a boolean SQL expression over
+    the table's columns. The CURRENT snapshot is validated first — one
+    aggregation pass; a table already violating the check refuses the add
+    with per-constraint counts — then the constraint commits into the
+    manifest (OCC-protected, its own generation) and every subsequent
+    write gate (replace/append, merge updates, CDC apply upserts)
+    validates incoming rows before any commit, failing loudly with
+    ConstraintViolationError. NULL predicate results pass (ANSI CHECK).
+    Constraints ride clones and survive schema evolution; DELETEs are
+    never gated (they add no rows)."""
+    m = _load_manifest(catalog, rel)
+    cons = dict(m.get("constraints", {}))
+    cons[name] = check_sql
+    if m["current"]:
+        _enforce_constraints(
+            read_versioned(spark, catalog, rel),
+            {name: check_sql},
+            f"{rel.view_name} ADD CONSTRAINT {name}",
+        )
+    m["constraints"] = cons
+    _commit_manifest(catalog, rel, m)
+
+
+def drop_check_constraint(
+    catalog: FilesystemCatalog, rel: Relation, name: str
+) -> None:
+    """Remove a CHECK constraint by name (missing name raises KeyError —
+    a typo'd drop silently succeeding would leave the caller believing a
+    real constraint is gone)."""
+    m = _load_manifest(catalog, rel)
+    cons = dict(m.get("constraints", {}))
+    del cons[name]
+    m["constraints"] = cons
+    _commit_manifest(catalog, rel, m)
+
+
+def constraint_audit(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    candidate: DataFrame | None = None,
+) -> DataFrame:
+    """Pre-flight gate report: (constraint_name, check_sql, n_violations)
+    for each table constraint evaluated over ``candidate`` (default: the
+    current snapshot) — the dry-run a pipeline runs on a staging batch
+    BEFORE attempting the committing write. One aggregation pass total."""
+    m = _load_manifest(catalog, rel)
+    cons = dict(m.get("constraints", {}))
+    df = candidate if candidate is not None else read_versioned(spark, catalog, rel)
+    counts = _violation_counts(df, cons)
+    return spark.createDataFrame(
+        [(k, cons[k], counts[k]) for k in sorted(cons)],
+        "constraint_name string, check_sql string, n_violations bigint",
+    )
 
 
 def write_versioned(
@@ -459,6 +589,9 @@ def write_versioned(
         if last is not None and bid <= last:
             return None  # replay of a committed batch: the txn record skips it
     columns, dtypes, evolved = gate(m)
+    _enforce_constraints(
+        df, m.get("constraints", {}), f"{rel.view_name} {mode}"
+    )
     names, rows_staged, file_stats = _stage_files(
         spark, catalog, rel, df, m["current"] + 1, effective_stats_cols
     )
@@ -577,12 +710,118 @@ def rollback_versioned(
     return new_version
 
 
+def clone_versioned(
+    catalog: FilesystemCatalog,
+    src: Relation,
+    dst: Relation,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: commit ``dst`` as a new versioned table whose v1
+    references ``src``'s data (and deletion-vector) files at ``version``
+    (default: current) WITHOUT copying a byte — a metadata-only commit,
+    the Delta ``CREATE TABLE ... SHALLOW CLONE`` shape. File references
+    are recorded as ``ref://<fs path>`` entries; every reader resolves
+    them through ``_fpath``, and per-file skipping stats, stats_cols,
+    dtypes and CHECK constraints all carry over, so the clone scans,
+    prunes and gates exactly like the source.
+
+    The histories are INDEPENDENT from the moment of the clone: writes to
+    either side never appear in the other (a clone's append stages files
+    under the clone's own root; a CoW rewrite on the clone simply drops
+    the ref:// entries from its manifest — external bytes are never
+    deleted by the referencing table, and the clone's vacuum reaps from
+    its own directory listing, which cannot contain them).
+
+    CAVEAT (Delta parity): the clone borrows the source's bytes, so
+    ``vacuum_versions`` on the SOURCE can reap files the clone still
+    references — run ``optimize_versioned`` on the clone first to
+    materialize it into self-contained files (pinned in tests).
+
+    Cloning a clone re-uses the original absolute references (no chains
+    of indirection). Raises if dst already exists as a versioned table."""
+    io = catalog.io
+    src_m = _load_manifest(catalog, src)
+    if not src_m["current"]:
+        raise ValueError(f"{src.view_name}: nothing committed to clone")
+    dst_m = _load_manifest(catalog, dst)
+    if dst_m["current"]:
+        raise ValueError(
+            f"{dst.view_name}: already a versioned table (v{dst_m['current']});"
+            " clone targets must be fresh"
+        )
+    v = src_m["current"] if version is None else version
+    entry = src_m["versions"][str(v)]
+    src_root = _root(catalog, src)
+
+    def _ref(name: str) -> str:
+        if name.startswith(EXTERNAL_PREFIX):
+            return name  # clone of a clone: keep the original reference
+        return EXTERNAL_PREFIX + io.join(src_root, name)
+
+    files = [_ref(f) for f in entry["files"]]
+    import time
+
+    new = {
+        "files": files,
+        "op": "clone",
+        "parent": None,
+        "clone_of": {"table": src.view_name, "version": v},
+        "rows": entry["rows"],
+        "columns": list(entry["columns"]),
+        "dtypes": dict(entry.get("dtypes", {})),
+        "evolved": bool(entry.get("evolved")),
+        "ts": time.time(),
+    }
+    if entry.get("dv"):
+        new["dv"] = [_ref(f) for f in entry["dv"]]
+    m = {"current": 1, "versions": {"1": new}, "gen": dst_m.get("gen", 0)}
+    if src_m.get("stats_cols"):
+        m["stats_cols"] = list(src_m["stats_cols"])
+    src_stats = src_m.get("stats", {})
+    stats = {_ref(f): src_stats[f] for f in entry["files"] if f in src_stats}
+    if stats:
+        m["stats"] = stats
+    if src_m.get("constraints"):
+        m["constraints"] = dict(src_m["constraints"])
+    io.makedirs(_root(catalog, dst))
+    _commit_manifest(catalog, dst, m)
+    return 1
+
+
+def version_at_timestamp(
+    catalog: FilesystemCatalog, rel: Relation, ts: float
+) -> int:
+    """The version that was CURRENT at POSIX time ``ts`` — the newest
+    version whose commit timestamp is <= ts (the Delta ``TIMESTAMP AS OF``
+    resolution rule). Pure manifest metadata, no data IO. Raises
+    ValueError when ts predates the first commit (there was no table
+    then — resolving to v1 would silently misdate an audit query)."""
+    m = _load_manifest(catalog, rel)
+    best: int | None = None
+    for k in sorted(m["versions"], key=int):
+        if float(m["versions"][k].get("ts", float("inf"))) <= ts:
+            best = int(k)
+    if best is None:
+        import datetime
+
+        first = min(
+            float(e.get("ts", float("inf"))) for e in m["versions"].values()
+        )
+        raise ValueError(
+            f"{rel.view_name}: timestamp {ts} predates the first commit "
+            f"({datetime.datetime.fromtimestamp(first).isoformat()}); "
+            "no snapshot existed then"
+        )
+    return best
+
+
 def read_versioned(
     spark: SparkSession,
     catalog: FilesystemCatalog,
     rel: Relation,
     version: int | None = None,
     where: dict | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Scan one committed snapshot (default: current): explicit file list
     from the manifest — never a directory listing, so staged/orphaned/
@@ -596,7 +835,15 @@ def read_versioned(
     difference between touching every file's footer and touching only the
     matching fraction). Skipping is CONSERVATIVE: files without recorded
     stats always survive, and the scan is pruned-not-filtered — callers
-    still apply the exact predicate (None bounds are open-ended)."""
+    still apply the exact predicate (None bounds are open-ended).
+
+    ``as_of_ts`` time-travels by POSIX timestamp instead of version id
+    (``TIMESTAMP AS OF``): the snapshot that was current at that instant,
+    via version_at_timestamp. Mutually exclusive with ``version``."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_at_timestamp(catalog, rel, as_of_ts)
     io = catalog.io
     m = _load_manifest(catalog, rel)
     v = m["current"] if version is None else version
@@ -643,8 +890,8 @@ def _dv_prune(
     if not dv or not untouched:
         return []
     pairs = spark.read.parquet(
-        *[io.spark_url(io.join(root, f)) for f in dv]
-    ).filter(F.col("file").isin(untouched))
+        *[io.spark_url(_fpath(io, root, f)) for f in dv]
+    ).filter(F.col("file").isin([_basename(f) for f in untouched]))
     names, n_pairs, _ = _stage_files(
         spark, catalog, rel, pairs, version, (), prefix="dv"
     )
@@ -665,8 +912,8 @@ def _dv_dead_rows(
     dv = entry.get("dv") or []
     if not dv or not files:
         return 0
-    dvdf = spark.read.parquet(*[io.spark_url(io.join(root, f)) for f in dv])
-    return dvdf.filter(F.col("file").isin(files)).count()
+    dvdf = spark.read.parquet(*[io.spark_url(_fpath(io, root, f)) for f in dv])
+    return dvdf.filter(F.col("file").isin([_basename(f) for f in files])).count()
 
 
 def merge_versioned(
@@ -732,6 +979,9 @@ def merge_versioned(
     stats = m.get("stats", {})
     if updates.limit(1).count() == 0:  # empty update set: no version churn
         return m["current"]
+    _enforce_constraints(
+        updates, m.get("constraints", {}), f"{rel.view_name} merge"
+    )
     # Exact file-granular candidate selection: one pass of the update keys
     # against a BROADCAST |files|-row interval table built from the
     # manifest stats — a file is a candidate iff some update key falls
@@ -812,7 +1062,7 @@ def merge_versioned(
             updates
         )
         cand_rows = sum(
-            _footer_meta(io, io.join(root, f))[0] for f in candidates
+            _footer_meta(io, _fpath(io, root, f))[0] for f in candidates
         ) - _dv_dead_rows(spark, io, root, cur, candidates)
     else:
         merged = updates
@@ -938,7 +1188,7 @@ def delete_versioned(
         cand = _snapshot_read(spark, io, root, candidates, cur)
         remaining = cand.filter(~condition)
         cand_rows = sum(
-            _footer_meta(io, io.join(root, f))[0] for f in candidates
+            _footer_meta(io, _fpath(io, root, f))[0] for f in candidates
         ) - _dv_dead_rows(spark, io, root, cur, candidates)
         names, rows_new, file_stats = _stage_files(
             spark, catalog, rel, remaining, version, tuple(m.get("stats_cols", ()))
@@ -1004,7 +1254,7 @@ def optimize_versioned(
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]
     root = _root(catalog, rel)
-    total = sum(io.getsize(io.join(root, f)) for f in cur["files"])
+    total = sum(io.getsize(_fpath(io, root, f)) for f in cur["files"])
     n_out = max(1, -(-total // target_bytes))
     df = read_versioned(spark, catalog, rel)
     if cluster_by:
@@ -1101,11 +1351,11 @@ def read_versioned_changes(
             if not names:
                 return None
             return spark.read.parquet(
-                *[io.spark_url(io.join(root, f)) for f in sorted(names)]
+                *[io.spark_url(_fpath(io, root, f)) for f in sorted(names)]
             ).select("file", "pos")
 
         shared_df = spark.createDataFrame(
-            [(f,) for f in sorted(shared)], "file string"
+            [(_basename(f),) for f in sorted(shared)], "file string"
         )
         pa = _pairs(dv_a)
         pb = _pairs(dv_b)
@@ -1178,6 +1428,140 @@ def read_versioned_changes_feed(
             "_commit_version", F.lit(0).cast("bigint")
         ).limit(0)
     return out
+
+
+def apply_changes_versioned(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    src: Relation,
+    dst: Relation,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> int | None:
+    """Maintain ``dst`` as a REPLICA of versioned table ``src`` by
+    consuming the change-data feed — the Delta ``APPLY CHANGES INTO``
+    loop, closing the producer→CDF→consumer circle: follow a 100 TB table
+    at O(changed bytes), never O(table).
+
+    Semantics: the feed over (from_version, to_version] is reduced to the
+    NET action per ``key`` (latest ``_commit_version`` wins; within one
+    commit an update surfaces as delete+insert, so insert wins the tie) —
+    a key whose final action is 'insert' upserts its final row, a key
+    whose final action is 'delete' is removed. The apply is ONE
+    merge-on-read commit on dst: every net-affected key's current rows DV
+    out (skipping-stats candidate selection, zero file rewrites) and the
+    upsert rows append as new files. Source rows must be key-unique.
+
+    EXACTLY-ONCE: the replica manifest records the last applied source
+    version per source table (``cdc`` — the streaming ``txn`` discipline);
+    a replayed apply with ``to_version <= recorded`` returns None without
+    moving a byte, so at-least-once schedulers compose safely. Requires
+    every source version in the range to still be retained and dst's
+    schema to equal the feed's row schema."""
+    src_m = _load_manifest(catalog, src)
+    to_v = src_m["current"] if to_version is None else to_version
+    io = catalog.io
+    m = _load_manifest(catalog, dst)
+    if not m["current"]:
+        raise ValueError(
+            f"{dst.view_name}: replica must be initialized (write_versioned "
+            "a base snapshot) before applying changes"
+        )
+    marker = m.get("cdc", {}).get(src.view_name)
+    if marker is not None and to_v <= int(marker):
+        return None  # replay of an applied range: exactly-once skip
+    cur = m["versions"][str(m["current"])]
+    cols = list(cur["columns"])
+    feed = read_versioned_changes_feed(spark, catalog, src, from_version, to_v)
+    if [c for c in feed.columns if not c.startswith("_")] != cols:
+        raise ValueError(
+            f"{dst.view_name}: replica schema {cols} != source feed schema "
+            f"{[c for c in feed.columns if not c.startswith('_')]}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+    )
+    net = feed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    upserts = net.filter(F.col("_change_type") == "insert").select(*cols)
+    affected = net.select(F.col(key).alias("_k")).distinct()
+    _enforce_constraints(
+        upserts, m.get("constraints", {}), f"{dst.view_name} apply-changes"
+    )
+    root = _root(catalog, dst)
+    stats = m.get("stats", {})
+    # candidate files: skipping-stats interval join against the affected
+    # keys (merge_versioned's exact file-granular selection)
+    intervals = [
+        (name, rng[0], rng[1])
+        for name in cur["files"]
+        if (rng := stats.get(name, {}).get(key)) is not None
+    ]
+    no_stats = [f for f in cur["files"] if key not in stats.get(f, {})]
+    touched: set[str] = set()
+    if intervals:
+        ivdf = spark.createDataFrame(intervals, ["_file", "_lo", "_hi"])
+        touched = {
+            r["_file"]
+            for r in affected.join(
+                F.broadcast(ivdf),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+    candidates = sorted(touched | set(no_stats))
+    version = m["current"] + 1
+    import time
+
+    if candidates:
+        cand = _snapshot_read(spark, io, root, candidates, cur, keep_pos=True)
+        matches = cand.join(
+            affected, cand[key] == affected["_k"], "left_semi"
+        ).select(F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos"))
+        dv_names, n_matched, _ = _stage_files(
+            spark, catalog, dst, matches, version, (), prefix="dv"
+        )
+        if n_matched == 0:
+            for f in dv_names:
+                io.remove_any(io.join(root, f))
+            dv_names = []
+    else:
+        dv_names, n_matched = [], 0
+    upd_names, n_upd, upd_stats = _stage_files(
+        spark, catalog, dst, upserts, version, tuple(m.get("stats_cols", ()))
+    )
+    if n_matched == 0 and n_upd == 0:
+        # empty net change (e.g. append+rollback cancel): metadata-only
+        # commit advancing the exactly-once marker
+        for f in upd_names:
+            io.remove_any(io.join(root, f))
+        m.setdefault("cdc", {})[src.view_name] = to_v
+        _commit_manifest(catalog, dst, m)
+        return m["current"]
+    m["versions"][str(version)] = {
+        "files": list(cur["files"]) + upd_names,  # zero rewrites (MoR)
+        "op": "apply-changes",
+        "evolved": bool(cur.get("evolved")),
+        "parent": m["current"],
+        "rows": cur["rows"] - n_matched + n_upd,
+        "columns": cols,
+        "dtypes": dict(cur.get("dtypes", {})),
+        "ts": time.time(),
+    }
+    dv_all = list(cur.get("dv", [])) + dv_names
+    if dv_all:
+        m["versions"][str(version)]["dv"] = dv_all
+    m["current"] = version
+    if upd_stats:
+        m.setdefault("stats", {}).update(upd_stats)
+    m.setdefault("cdc", {})[src.view_name] = to_v
+    _commit_manifest(catalog, dst, m)
+    return version
 
 
 def version_history(catalog: FilesystemCatalog, rel: Relation) -> list[dict]:
@@ -1770,3 +2154,216 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_versioned.py's widening test."""
     catalog, rel = _evolution_table(spark, sf_dir)
     return read_versioned(spark, catalog, rel).select("doc_id", "n_chars", "lang")
+
+
+@register(
+    "q_time_travel_ts",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=("versioned", "time-travel", "timestamp", "catalog"),
+)
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel, driver-checked: resolve the lifecycle
+    table at an instant strictly between v1's and v2's commit timestamps
+    (their midpoint — commits are >ms apart, so the open interval is
+    real) and read the snapshot that was current THEN: v1, bit-identical
+    to the source table even though an append and a rollback committed
+    later. Resolution is manifest metadata only (version_at_timestamp);
+    the read is the same explicit-file-list scan as version-id travel."""
+    catalog, rel = _lifecycle_table(spark, sf_dir)
+    m = _load_manifest(catalog, rel)
+    t1, t2 = (float(m["versions"][k]["ts"]) for k in ("1", "2"))
+    return read_versioned(
+        spark, catalog, rel, as_of_ts=(t1 + t2) / 2.0
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# Shallow-clone scaffold: clone the lifecycle table's current snapshot
+# (v3 = the rollback, i.e. the full corpus) into a fresh relation in the
+# SAME catalog — a metadata-only commit referencing the source's files —
+# then give the clone its own history with an append the source never
+# sees. Zero-copy + divergence are pinned in tests/test_versioned.py.
+_CLONE_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+
+def _clone_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLONE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog, src = _lifecycle_table(spark, sf_dir)
+    dst = catalog.relation("docs_clone", "vt")
+    clone_versioned(catalog, src, dst)
+    docs = load_table(spark, sf_dir, "documents")
+    write_versioned(
+        spark, catalog, dst, docs.filter(F.col("doc_id") % 11 == 0),
+        mode="append",
+    )
+    _CLONE_CACHE[key] = (catalog, dst)
+    return catalog, dst
+
+
+@register(
+    "q_versioned_clone",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+    tags=("versioned", "clone", "zero-copy", "catalog"),
+)
+def q_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, driver-checked end-to-end: clone the lifecycle
+    table (metadata-only — the clone's v1 references the source's data
+    files, zero bytes copied), append the doc_id % 11 slice to the CLONE
+    only, and read the result: source corpus + slice, while the source
+    table itself is untouched (independence pinned in tests). At 100 TB a
+    clone is how you branch a table for an experiment without paying for
+    a copy; optimize_versioned materializes it when it must outlive the
+    source's vacuum."""
+    catalog, dst = _clone_table(spark, sf_dir)
+    return read_versioned(spark, catalog, dst).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# CDC-apply scaffold: a source table with a three-commit history (base,
+# merge-on-read DELETE, merge-on-read upsert) and a REPLICA initialized
+# from v1 and maintained purely by apply_changes_versioned over the
+# change feed — the full producer -> CDF -> consumer circle in one
+# driver-checked query.
+_CDC_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+
+def _cdc_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CDC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_cdc_db_"))
+    catalog.create_schema("vt")
+    src = catalog.relation("docs_src", "vt")
+    dst = catalog.relation("docs_replica", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    write_versioned(
+        spark, catalog, src, docs.repartitionByRange(8, "doc_id"),
+        mode="replace", stats_cols=("doc_id",),
+    )  # v1
+    delete_versioned(
+        spark, catalog, src, F.col("doc_id") % 7 == 3, mode="mor"
+    )  # v2: MoR delete, zero rewrites
+    updates = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", (F.col("n_chars") * 2 + 1).alias("n_chars")
+    )
+    merge_versioned(spark, catalog, src, updates, key="doc_id", mode="mor")  # v3
+    # replica: base snapshot, then follow the feed 1 -> current
+    write_versioned(
+        spark, catalog, dst,
+        read_versioned(spark, catalog, src, version=1),
+        mode="replace", stats_cols=("doc_id",),
+    )
+    apply_changes_versioned(spark, catalog, src, dst, "doc_id", from_version=1)
+    _CDC_CACHE[key] = (catalog, dst)
+    return catalog, dst
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 5 = 0 THEN 2 * n_chars + 1 ELSE n_chars END
+             AS n_chars
+    FROM documents
+    WHERE doc_id % 5 = 0 OR doc_id % 7 <> 3
+    """,
+    tags=("versioned", "cdc", "apply-changes", "replica", "catalog"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO, driver-checked: a replica initialized from the
+    source's v1 is brought to the source's CURRENT state purely by
+    consuming the change-data feed (v2's merge-on-read delete of the
+    doc_id % 7 == 3 slice, v3's merge-on-read upsert doubling n_chars for
+    doc_id % 5 == 0 — including re-inserting upserted keys the delete had
+    removed). The apply is ONE merge-on-read commit on the replica (net
+    action per key, DV out affected keys, append final rows — zero file
+    rewrites), and the exactly-once marker makes replays free. Oracle =
+    the source's final state recomputed in plain SQL."""
+    catalog, dst = _cdc_tables(spark, sf_dir)
+    return read_versioned(spark, catalog, dst).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# Constraint scaffold: a versioned table committed under three CHECK
+# constraints; the registered query audits a CANDIDATE batch (the raw
+# documents table) against them — the pre-flight gate a pipeline runs
+# before the committing write. Enforcement (violating writes refused
+# with counts) is pinned in tests/test_versioned.py.
+_CONSTRAINT_CACHE: dict[tuple[str, str], tuple[FilesystemCatalog, Relation]] = {}
+
+_CONSTRAINTS = {
+    "chars_min": "n_chars >= 100",
+    "chars_nonneg": "n_chars >= 0",
+    "lang_code": "length(lang) = 2",
+}
+
+
+def _constraint_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[FilesystemCatalog, Relation]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CONSTRAINT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    catalog = FilesystemCatalog(tempfile.mkdtemp(prefix="versioned_ck_db_"))
+    catalog.create_schema("vt")
+    rel = catalog.relation("docs_checked", "vt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_versioned(spark, catalog, rel, docs.filter(F.col("n_chars") >= 100))
+    for name, sql in _CONSTRAINTS.items():
+        set_check_constraint(spark, catalog, rel, name, sql)
+    _CONSTRAINT_CACHE[key] = (catalog, rel)
+    return catalog, rel
+
+
+@register(
+    "q_constraint_audit",
+    oracle="""
+    SELECT 'chars_min' AS constraint_name, 'n_chars >= 100' AS check_sql,
+           CAST(SUM(CASE WHEN NOT (n_chars >= 100) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'chars_nonneg', 'n_chars >= 0',
+           CAST(SUM(CASE WHEN NOT (n_chars >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lang_code', 'length(lang) = 2',
+           CAST(SUM(CASE WHEN NOT (length(lang) = 2) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM documents
+    """,
+    tags=("versioned", "constraints", "gate", "audit", "catalog"),
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints as a pre-flight audit, driver-checked: the
+    scaffold table commits under three constraints (ADD CONSTRAINT
+    validates the existing snapshot first, Delta-style; violating writes
+    are refused with per-constraint counts — both pinned in tests), and
+    the query dry-runs the RAW documents table as a candidate batch
+    against them: one aggregation pass, (constraint, check_sql,
+    n_violations) per constraint. chars_min catches every short doc;
+    the other two count zero."""
+    catalog, rel = _constraint_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return constraint_audit(spark, catalog, rel, candidate=docs)

@@ -110,3 +110,28 @@ def test_duckdb_view_applies_deletion_vectors(spark, tmp_path):
     row = out.first()
     want = [i for i in range(30) if not 10 <= i <= 14]
     assert (row.n, row.s) == (len(want), sum(want))
+
+
+def test_duckdb_view_over_shallow_clone(spark, tmp_path):
+    """A shallow clone's DuckDB view resolves ref:// external references
+    to their absolute source paths (and still applies the clone's own
+    deletion vectors) — same rule as versioned._fpath."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import (
+        clone_versioned,
+        delete_versioned,
+        write_versioned,
+    )
+
+    db = FilesystemCatalog(str(tmp_path))
+    src = db.relation("vt_src")
+    write_versioned(spark, db, src, spark.range(20))
+    dst = db.relation("vt_cl")
+    clone_versioned(db, src, dst)
+    delete_versioned(spark, db, dst, F.col("id") < 5, mode="mor")
+    write_versioned(spark, db, dst, spark.range(100, 103), mode="append")
+    out = duckdb_query(spark, "SELECT COUNT(*) AS n, SUM(id) AS s FROM vt_cl", db)
+    row = out.first()
+    want = list(range(5, 20)) + [100, 101, 102]
+    assert (row.n, row.s) == (len(want), sum(want))

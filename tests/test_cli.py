@@ -398,3 +398,56 @@ def test_cli_versions_changes(tmp_path):
     # v1 kept 3 rows, v2 kept 1 of those: the replace staged a new file set,
     # so the bag diff is 2 deletes, 0 inserts
     assert "changes m v1 -> v2: inserts=0 deletes=2" in out.stdout
+
+
+def test_cli_versions_clone_constraint_apply(tmp_path):
+    """The r14 versioned surface through the CLI: --clone (zero-copy),
+    --as-of-ts resolution, --set-constraint (violating writes refused at
+    the library level; the CLI records it), --drop-constraint, and
+    --apply-changes replica maintenance with the exactly-once skip."""
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "src.sql").write_text(
+        "{{ config(materialized='versioned') }}\n"
+        "SELECT * FROM {{ source('', 'animals') }}\n"
+    )
+    assert _cli("seed", "--database", db, "--csv",
+                "examples/animals/seeds/animals.csv").returncode == 0
+    assert _cli("run", "--database", db, "--models-dir", str(models)).returncode == 0
+
+    # clone: metadata-only, history independent
+    cl = _cli("versions", "--database", db, "--table", "src", "--clone", "twin")
+    assert cl.returncode == 0 and "OK clone" in cl.stdout
+    hist = _cli("versions", "--database", db, "--table", "twin")
+    assert "v1\tclone" in hist.stdout and "rows=4" in hist.stdout
+
+    # as-of-ts: any time >= v1's commit resolves to v1
+    import time as _time
+
+    ts = _time.time() + 60
+    aso = _cli("versions", "--database", db, "--table", "src",
+               "--as-of-ts", str(ts))
+    assert aso.returncode == 0 and "version 1" in aso.stdout
+
+    # constraints: add validates the snapshot; a violated add refuses
+    ok = _cli("versions", "--database", db, "--table", "src",
+              "--set-constraint", "legs_nonneg", "n_legs >= 0")
+    assert ok.returncode == 0 and "OK constraint" in ok.stdout
+    bad = _cli("versions", "--database", db, "--table", "src",
+               "--set-constraint", "legs_many", "n_legs >= 100")
+    assert bad.returncode != 0  # existing rows violate: refused loudly
+    dropped = _cli("versions", "--database", db, "--table", "src",
+                   "--drop-constraint", "legs_nonneg")
+    assert dropped.returncode == 0 and "dropped" in dropped.stdout
+
+    # apply-changes: advance src (rollback makes a v2), replica follows
+    assert _cli("versions", "--database", db, "--table", "src",
+                "--rollback", "1").returncode == 0
+    ac = _cli("versions", "--database", db, "--table", "twin",
+              "--apply-changes", "src", "animals", "1")
+    assert ac.returncode == 0 and "OK apply-changes" in ac.stdout
+    again = _cli("versions", "--database", db, "--table", "twin",
+                 "--apply-changes", "src", "animals", "1")
+    assert again.returncode == 0 and "exactly-once skip" in again.stdout

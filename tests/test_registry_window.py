@@ -31,51 +31,52 @@ CONTRACT_QUERIES = {
     "q_schema_introspect",
 }
 
-# r13 ROTATION (r12 verdict next-round #4): the permanent 18 contract slots
-# plus 32 oracle-backed queries the driver never value-hash-checked in
-# rounds 1-12. Rotated-out queries (streaming, dedup r1 set, python
-# extension points, ...) remain registered and remain bit-exact-checked
-# locally by tests/test_oracle_parity.py — rotation widens the driver's
-# CUMULATIVE coverage.
+# r14 ROTATION (the r12 verdict's standing policy): the permanent 18
+# contract slots plus 32 oracle-backed queries the driver never
+# value-hash-checked in rounds 1-13. Rotated-out queries (the r13 window's
+# versioned/gates/retrieval set, streaming, dedup, ...) remain registered
+# and remain bit-exact-checked locally by tests/test_oracle_parity.py —
+# rotation widens the driver's CUMULATIVE coverage.
 ROTATION_IN_WINDOW = {
-    # versioned lake (incl. the r13 MoR deletion vectors + CDF)
-    "q_time_travel",
-    "q_version_history",
-    "q_versioned_skipping",
-    "q_versioned_merge",
-    "q_versioned_delete",
-    "q_versioned_delete_mor",
-    "q_version_changes",
-    "q_schema_evolution",
-    # gates / audits
-    "q_expectations",
-    "q_dataset_diff",
-    "q_key_skew_profile",
-    "q_drop_reasons",
-    "q_kanon_release",
-    "q_source_drift",
-    # retrieval / serving
-    "q_bm25_topk",
-    "q_bm25_batch",
-    "q_hybrid_retrieval",
-    "q_retrieval_eval",
-    "q_context_pack",
-    # dedup beyond the r1 set
-    "q_span_dedup",
-    "q_cross_split_decontamination",
-    "q_incremental_dedup",
-    "q_substring_dedup",
-    "q_dedup_evidence",
-    # text / LM scoring
-    "q_winnowing",
-    "q_bigram_lm",
-    "q_perplexity_buckets",
-    "q_redact_pii",
-    # corpus selection / accounting
-    "q_temperature_sample",
-    "q_token_budget_sample",
-    "q_quality_prune",
-    "q_corpus_datasheet",
+    # versioned lake round-out (r14 additions + r13 late registrations)
+    "q_time_travel_ts",
+    "q_versioned_clone",
+    "q_cdc_apply",
+    "q_constraint_audit",
+    "q_versioned_merge_mor",
+    "q_version_changes_feed",
+    "q_zorder_layout",
+    # materialization / sources
+    "q_materialize_roundtrip",
+    "q_cluster_roundtrip",
+    "q_bucketed_join",
+    "q_format_roundtrip",
+    "q_partitioned_scan",
+    # SQL edge semantics
+    "q_full_outer",
+    "q_recursive_cte",
+    "q_quantified",
+    "q_not_in_with_nulls",
+    "q_null_safe_eq",
+    "q_nulls_ordering",
+    "q_limit_offset",
+    "q_division_semantics",
+    # windows / analytics
+    "q_retention",
+    "q_event_transitions",
+    "q_pct_of_total",
+    "q_window_running",
+    "q_interpolate",
+    # temporal / snapshots
+    "q_asof_forward",
+    "q_scd2_history",
+    "q_pit_join",
+    # text analysis
+    "q_fingerprint",
+    "q_repetition_score",
+    # sketches
+    "q_kmv_intersection",
+    "q_bloom_semi_join",
 }
 
 
@@ -234,7 +235,14 @@ def test_registry_exposes_all_queries():
     # oracle to the CoW merge so both upsert paths value-hash equal),
     # +q_version_changes_feed (versioned.py — per-commit CDF feed with
     # _commit_version attribution, the Delta CDF shape, oracle-checked)
-    assert len(specs) == 224
+    # r14: +q_time_travel_ts (versioned.py — TIMESTAMP AS OF resolution,
+    # oracle-checked), +q_versioned_clone (versioned.py — zero-copy shallow
+    # clone with independent histories, oracle-checked), +q_cdc_apply
+    # (versioned.py — APPLY CHANGES replica maintenance off the CDF feed,
+    # one merge-on-read commit, exactly-once marker, oracle-checked),
+    # +q_constraint_audit (versioned.py — table CHECK constraints:
+    # enforced write gates + candidate-batch dry-run audit, oracle-checked)
+    assert len(specs) == 228
     # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
     # local parity gate holds them); pinned so the rotation never silently
     # drops an oracle

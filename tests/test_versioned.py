@@ -1609,3 +1609,225 @@ def test_snapshot_read_keep_pos_with_empty_names(spark, vt):
     assert dict(df.dtypes)["_dv_file"] == "string"
     assert dict(df.dtypes)["_dv_pos"] == "bigint"
     assert df.count() == 0
+
+
+def test_version_at_timestamp_resolution(spark, vt):
+    """TIMESTAMP AS OF resolution: newest version with ts <= the asked
+    instant; before-first-commit raises; version+as_of_ts together raise."""
+    from dbt_parquet_spark.versioned import (
+        _load_manifest,
+        read_versioned,
+        version_at_timestamp,
+    )
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))            # v1
+    write_versioned(spark, catalog, rel, spark.range(10, 15), mode="append")  # v2
+    m = _load_manifest(catalog, rel)
+    t1 = float(m["versions"]["1"]["ts"])
+    t2 = float(m["versions"]["2"]["ts"])
+    assert t1 < t2  # staging takes >ms; the open interval is real
+    assert version_at_timestamp(catalog, rel, t1) == 1
+    assert version_at_timestamp(catalog, rel, (t1 + t2) / 2) == 1
+    assert version_at_timestamp(catalog, rel, t2) == 2
+    assert version_at_timestamp(catalog, rel, t2 + 3600) == 2
+    assert _ids(read_versioned(spark, catalog, rel, as_of_ts=(t1 + t2) / 2)) == list(
+        range(10)
+    )
+    with pytest.raises(ValueError, match="predates the first commit"):
+        version_at_timestamp(catalog, rel, t1 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        read_versioned(spark, catalog, rel, version=1, as_of_ts=t1)
+
+
+def test_clone_zero_copy_and_divergence(spark, vt, tmp_path):
+    """Shallow clone: metadata-only commit (zero data files under the
+    clone's root), reads identical to the source snapshot, histories
+    independent in BOTH directions, skipping stats carried, MoR deletes
+    work against external files, and optimize materializes the clone
+    into self-contained local files that survive a source vacuum."""
+    from dbt_parquet_spark.versioned import (
+        EXTERNAL_PREFIX,
+        _load_manifest,
+        clone_versioned,
+        delete_versioned,
+        optimize_versioned,
+        read_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    catalog, src = vt
+    write_versioned(
+        spark, catalog, src,
+        spark.range(100).repartitionByRange(4, "id"), stats_cols=("id",),
+    )
+    dst = catalog.relation("t_clone", "vt")
+    assert clone_versioned(catalog, src, dst) == 1
+    io = catalog.io
+    dst_root = catalog.fs_path(dst)
+    data_files = [
+        e for e in io.listdir(dst_root) if e.endswith(".parquet")
+    ]
+    assert data_files == []  # zero bytes copied
+    m = _load_manifest(catalog, dst)
+    e1 = m["versions"]["1"]
+    assert all(f.startswith(EXTERNAL_PREFIX) for f in e1["files"])
+    assert e1["clone_of"]["version"] == 1
+    assert _ids(read_versioned(spark, catalog, dst)) == list(range(100))
+    # skipping stats carried over: a narrow range reads correctly
+    pruned = read_versioned(spark, catalog, dst, where={"id": (10, 19)})
+    assert sorted(
+        r["id"] for r in pruned.filter(F.col("id").between(10, 19)).collect()
+    ) == list(range(10, 20))
+    # clone-side append: source untouched
+    write_versioned(spark, catalog, dst, spark.range(100, 110), mode="append")
+    assert _ids(read_versioned(spark, catalog, src)) == list(range(100))
+    # source-side CoW delete: clone untouched (it references the OLD files,
+    # which the delete does not remove — only a vacuum would)
+    delete_versioned(spark, catalog, src, F.col("id") < 50)
+    assert _ids(read_versioned(spark, catalog, dst)) == list(range(110))
+    # MoR delete on the clone: DV coordinates address external files
+    delete_versioned(spark, catalog, dst, F.col("id") % 10 == 0, mode="mor")
+    got = _ids(read_versioned(spark, catalog, dst))
+    assert got == [i for i in range(110) if i % 10 != 0]
+    # clone-of-clone keeps ORIGINAL references (no ref://ref:// chains)
+    dst2 = catalog.relation("t_clone2", "vt")
+    clone_versioned(catalog, dst, dst2)
+    m2 = _load_manifest(catalog, dst2)
+    assert all(
+        not f[len(EXTERNAL_PREFIX):].startswith(EXTERNAL_PREFIX)
+        for f in m2["versions"]["1"]["files"]
+    )
+    assert _ids(read_versioned(spark, catalog, dst2)) == got
+    # clone onto an existing versioned table refused
+    with pytest.raises(ValueError, match="fresh"):
+        clone_versioned(catalog, src, dst)
+    # optimize materializes: self-contained files, survives source vacuum
+    optimize_versioned(spark, catalog, dst)
+    m = _load_manifest(catalog, dst)
+    cur = m["versions"][str(m["current"])]
+    assert not any(f.startswith(EXTERNAL_PREFIX) for f in cur["files"])
+    vacuum_versions(catalog, src, keep_last=1, orphan_grace_s=0.0)
+    assert _ids(read_versioned(spark, catalog, dst)) == got
+
+
+def test_check_constraints_enforced(spark, vt):
+    """CHECK constraints: ADD validates the existing snapshot (violating
+    add refused, constraint not recorded); violating writes/merges refuse
+    with per-constraint counts and commit nothing; drop re-opens the
+    gate; dropping an unknown name raises."""
+    from dbt_parquet_spark.versioned import (
+        ConstraintViolationError,
+        _load_manifest,
+        drop_check_constraint,
+        merge_versioned,
+        read_versioned,
+        set_check_constraint,
+    )
+    from pyspark.sql import functions as F
+
+    catalog, rel = vt
+    df = spark.range(50).select("id", (F.col("id") * 2).alias("val"))
+    write_versioned(spark, catalog, rel, df)
+    # an add the current data violates is refused and NOT recorded
+    with pytest.raises(ConstraintViolationError, match="ADD CONSTRAINT"):
+        set_check_constraint(spark, catalog, rel, "val_small", "val < 10")
+    assert "constraints" not in _load_manifest(catalog, rel) or (
+        "val_small" not in _load_manifest(catalog, rel).get("constraints", {})
+    )
+    set_check_constraint(spark, catalog, rel, "val_even", "val % 2 = 0")
+    set_check_constraint(spark, catalog, rel, "id_nonneg", "id >= 0")
+    # violating append: refused, with the name and count in the message
+    bad = spark.range(50, 55).select("id", (F.col("id") * 2 + 1).alias("val"))
+    with pytest.raises(ConstraintViolationError, match=r"val_even.*5 rows"):
+        write_versioned(spark, catalog, rel, bad, mode="append")
+    m = _load_manifest(catalog, rel)
+    assert m["current"] == 1  # nothing committed
+    # conforming append passes
+    ok = spark.range(50, 55).select("id", (F.col("id") * 4).alias("val"))
+    write_versioned(spark, catalog, rel, ok, mode="append")
+    assert _load_manifest(catalog, rel)["current"] == 2
+    # merge updates are gated too
+    upd = spark.range(3).select("id", (F.col("id") * 2 + 1).alias("val"))
+    with pytest.raises(ConstraintViolationError, match="merge"):
+        merge_versioned(spark, catalog, rel, upd, key="id")
+    # NULL predicate result passes (ANSI CHECK: unknown is not a violation)
+    nullish = spark.createDataFrame([(1000, None)], "id bigint, val bigint")
+    write_versioned(spark, catalog, rel, nullish, mode="append")
+    # drop re-opens the gate
+    drop_check_constraint(catalog, rel, "val_even")
+    write_versioned(spark, catalog, rel, bad, mode="append")
+    assert 101 in set(
+        r["val"] for r in read_versioned(spark, catalog, rel).collect()
+    )
+    with pytest.raises(KeyError):
+        drop_check_constraint(catalog, rel, "no_such_constraint")
+
+
+def test_apply_changes_replica_exactly_once(spark, vt):
+    """CDC apply: the replica tracks the source through delete/upsert/
+    append commits with ONE MoR commit per apply (zero file rewrites),
+    replays are exactly-once no-ops, and a net-zero range (append then
+    rollback) advances the marker without version churn."""
+    from dbt_parquet_spark.versioned import (
+        _load_manifest,
+        apply_changes_versioned,
+        delete_versioned,
+        merge_versioned,
+        read_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    catalog, src = vt
+    dst = catalog.relation("t_replica", "vt")
+    base = spark.range(40).select("id", (F.col("id") % 7).alias("grp"))
+    write_versioned(
+        spark, catalog, src, base.repartitionByRange(4, "id"),
+        stats_cols=("id",),
+    )  # v1
+    write_versioned(
+        spark, catalog, dst,
+        read_versioned(spark, catalog, src, version=1),
+        mode="replace", stats_cols=("id",),
+    )
+    delete_versioned(spark, catalog, src, F.col("id") < 5, mode="mor")  # v2
+    upd = spark.range(3).select(
+        (F.col("id") + 2).alias("id"), F.lit(99).cast("bigint").alias("grp")
+    )  # updates ids 2,3,4 (2 of them MoR-deleted: re-inserted), key-unique
+    merge_versioned(spark, catalog, src, upd, key="id", mode="mor")  # v3
+    pre_files = set(
+        _load_manifest(catalog, dst)["versions"]["1"]["files"]
+    )
+    v = apply_changes_versioned(spark, catalog, src, dst, "id", from_version=1)
+    assert v == 2
+    m = _load_manifest(catalog, dst)
+    assert m["versions"]["2"]["op"] == "apply-changes"
+    assert pre_files <= set(m["versions"]["2"]["files"])  # zero rewrites
+    def state(rel):
+        return sorted(
+            (r["id"], r["grp"])
+            for r in read_versioned(spark, catalog, rel).collect()
+        )
+    assert state(dst) == state(src)
+    # replay: exactly-once skip, no commit
+    assert apply_changes_versioned(
+        spark, catalog, src, dst, "id", from_version=1
+    ) is None
+    assert _load_manifest(catalog, dst)["current"] == 2
+    # net-zero range: append then rollback cancels; marker advances,
+    # version does not
+    write_versioned(spark, catalog, src, spark.range(100, 105).select(
+        "id", F.lit(0).cast("bigint").alias("grp")), mode="append")  # v4
+    rollback_versioned(catalog, src, 3)  # v5
+    assert apply_changes_versioned(
+        spark, catalog, src, dst, "id", from_version=3
+    ) == 2  # current unchanged
+    m = _load_manifest(catalog, dst)
+    assert m["current"] == 2 and m["cdc"][src.view_name] == 5
+    assert state(dst) == state(src)
+    # fresh changes after the marker still apply
+    delete_versioned(spark, catalog, src, F.col("id") >= 35, mode="mor")  # v6
+    assert apply_changes_versioned(
+        spark, catalog, src, dst, "id", from_version=5
+    ) == 3
+    assert state(dst) == state(src)
