@@ -467,3 +467,91 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
     )
     return est.select("tok", "n", (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"))
+
+
+# --- Physical sampling variants + sampled join-size estimation ---------------
+# The carried ROADMAP gap ("TABLESAMPLE physical variants / approximate
+# sketch joins"), closed with DETERMINISTIC hash-domain sampling so both
+# engines select the same rows and the estimators are oracle-exact: a
+# cluster sample keeps WHOLE groups (the physical TABLESAMPLE shape — at
+# 100 TB you sample coherent blocks, preserving intra-group structure the
+# Bernoulli q_sample destroys), and the join-size estimator prices a
+# quadratic join from a 1/16 key-domain sample without executing it.
+
+CLUSTER_SAMPLE_HEX = "0"  # first md5 hex digit => exactly 1/16 of key space
+
+
+@register(
+    "q_cluster_sample",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)
+          = '{CLUSTER_SAMPLE_HEX}'
+    GROUP BY l_orderkey
+    """,
+    tags=("sample", "cluster", "tablesample"),
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster (block) sampling — the TABLESAMPLE SYSTEM semantics made
+    deterministic: pick exactly the orders whose md5(l_orderkey) starts
+    with one fixed hex digit (a 1/16 slice of the key space) and keep
+    EVERY lineitem of a picked order, so intra-order structure survives
+    intact (per-cluster item counts and quantity sums are exact, which a
+    row-Bernoulli sample cannot give). Horvitz-Thompson scale-up is the
+    constant 16 — unbiased because every cluster lands in exactly one hex
+    bucket (the 16-bucket identity is pinned in tests).
+
+    Scale: a scan-side filter on a hash of the cluster key — no shuffle
+    before the per-cluster aggregate, and on data range-clustered by the
+    key the selected clusters are physically contiguous, so the sample
+    reads ~1/16 of the blocks: the physical TABLESAMPLE this models."""
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    return (
+        li.filter(picked == CLUSTER_SAMPLE_HEX)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         s AS (SELECT n FROM g
+               WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                     = '{CLUSTER_SAMPLE_HEX}')
+    SELECT CAST((SELECT SUM(n * n) FROM g) AS BIGINT) AS exact_join_rows,
+           CAST(16 * (SELECT SUM(n * n) FROM s) AS BIGINT) AS est_join_rows,
+           (SELECT COUNT(*) FROM s) AS n_sampled_keys
+    """,
+    tags=("sketch", "sample", "join", "cardinality"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from a key-domain sample — price a quadratic
+    join BEFORE running it (the optimizer question every 100 TB self-join
+    raises): |events ⋈ events on user_id| = Σ_u n(u)², estimated as
+    16 · Σ over the 1/16 md5-sampled keys. Both the exact size and the
+    estimate are deterministic (hash-domain sampling, integer sums), so
+    the oracle carries BOTH values bit-exact; the estimator's
+    unbiasedness-across-buckets identity and its accuracy band live in
+    tests. One groupBy produces the per-key counts; the sampled term is a
+    filter over that aggregate — the whole estimate costs one pass, the
+    real join would cost Σ n(u)² rows of shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    picked = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    exact = g.agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_join_rows"))
+    sampled = g.filter(picked == CLUSTER_SAMPLE_HEX).agg(
+        (F.lit(16) * F.sum(F.col("n") * F.col("n"))).cast("bigint").alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+    )
+    return exact.crossJoin(F.broadcast(sampled)).select(
+        "exact_join_rows", "est_join_rows", "n_sampled_keys"
+    )

@@ -2367,3 +2367,75 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return constraint_audit(spark, catalog, rel, candidate=docs)
+
+
+def sample_versioned_files(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    hex_digits: str = "01234567",
+    version: int | None = None,
+) -> DataFrame:
+    """Physical TABLESAMPLE SYSTEM over a versioned snapshot: pick whole
+    FILES — the unit object storage actually serves — by the first hex
+    digit of md5(file basename) (``len(hex_digits)/16`` of the file
+    population, deterministic across runs and engines), scan ONLY those,
+    and attach ``_sample_weight`` = 16/len(hex_digits), the
+    Horvitz-Thompson scale-up (every file lands in exactly one hex
+    bucket, so bucket estimates average to the exact total — pinned in
+    tests). At 100 TB this is the only sample whose COST is proportional
+    to the fraction: a Bernoulli row sample still reads every block; a
+    file sample reads len(hex_digits)/16 of them and nothing else. The
+    trade is estimator variance driven by between-file variance — on
+    range-clustered tables stratify (sample within cluster ranges) or
+    widen the digit set."""
+    import hashlib
+
+    m = _load_manifest(catalog, rel)
+    v = m["current"] if version is None else version
+    entry = m["versions"][str(v)]
+    digits = set(hex_digits.lower())
+    picked = [
+        f
+        for f in entry["files"]
+        if hashlib.md5(_basename(f).encode()).hexdigest()[0] in digits
+    ]
+    w = 16.0 / len(digits)
+    df = _snapshot_read(spark, catalog.io, _root(catalog, rel), picked, entry)
+    return df.withColumn("_sample_weight", F.lit(w).cast("double"))
+
+
+@register(
+    "q_versioned_file_sample",
+    tags=("versioned", "sample", "tablesample", "files"),
+)
+def q_versioned_file_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular TABLESAMPLE over the versioned lifecycle table: scan
+    the ~half of the snapshot's files whose name-hash falls in the low
+    hex range, and report (n_files_total, n_files_sampled, n_rows_sampled,
+    est_total_rows = weighted row count). Rows-only by necessity — which
+    rows land in which staged file is Spark's partitioning, not SQL — so
+    the estimator identities (HT unbiasedness across all 16 hex buckets,
+    whole-file granularity) are pinned in tests/test_versioned.py
+    instead."""
+    catalog, rel = _lifecycle_table(spark, sf_dir)
+    m = _load_manifest(catalog, rel)
+    entry = m["versions"][str(m["current"])]
+    sampled = sample_versioned_files(spark, catalog, rel)
+    agg = sampled.agg(
+        F.count(F.lit(1)).alias("n_rows_sampled"),
+        F.sum("_sample_weight").cast("bigint").alias("est_total_rows"),
+    )
+    import hashlib
+
+    n_picked = sum(
+        1
+        for f in entry["files"]
+        if hashlib.md5(_basename(f).encode()).hexdigest()[0] in set("01234567")
+    )
+    return agg.select(
+        F.lit(len(entry["files"])).cast("bigint").alias("n_files_total"),
+        F.lit(n_picked).cast("bigint").alias("n_files_sampled"),
+        "n_rows_sampled",
+        "est_total_rows",
+    )

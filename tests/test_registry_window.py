@@ -241,8 +241,15 @@ def test_registry_exposes_all_queries():
     # (versioned.py — APPLY CHANGES replica maintenance off the CDF feed,
     # one merge-on-read commit, exactly-once marker, oracle-checked),
     # +q_constraint_audit (versioned.py — table CHECK constraints:
-    # enforced write gates + candidate-batch dry-run audit, oracle-checked)
-    assert len(specs) == 228
+    # enforced write gates + candidate-batch dry-run audit, oracle-checked),
+    # +q_cluster_sample (operators/sketches.py — deterministic whole-group
+    # TABLESAMPLE via md5 hex bucket, HT scale-up pinned, oracle-checked),
+    # +q_join_size_estimate (sketches.py — join cardinality priced from a
+    # 1/16 key-domain sample, exact + estimate both deterministic,
+    # oracle-checked), +q_versioned_file_sample (versioned.py — physical
+    # file-granular TABLESAMPLE SYSTEM with HT weights; rows-only, the
+    # 16-bucket unbiasedness identity pinned in tests)
+    assert len(specs) == 231
     # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
     # local parity gate holds them); pinned so the rotation never silently
     # drops an oracle

@@ -55,3 +55,50 @@ def test_hll_sketch_error_bound(spark):
     )
     for r in checks.collect():
         assert abs(r.approx - r.exact) / r.exact < 0.05, r.event_type
+
+
+def test_cluster_sample_whole_groups_and_ht_identity(spark):
+    """Cluster sampling keeps WHOLE orders (every sampled cluster's item
+    count equals the full table's count for that order), and the 16
+    single-hex-digit bucket estimates of total rows average to the exact
+    total — the Horvitz-Thompson unbiasedness identity (each cluster lands
+    in exactly one bucket)."""
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    full = {
+        r["l_orderkey"]: r["n"]
+        for r in li.groupBy("l_orderkey").agg(F.count("*").alias("n")).collect()
+    }
+    sample = SPECS["q_cluster_sample"].builder(spark, SF_ORACLE).collect()
+    assert sample
+    for r in sample:
+        assert r["n_items"] == full[r["l_orderkey"]]  # whole cluster, intact
+    # HT identity over all 16 buckets
+    digit = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    per_bucket = {
+        r["d"]: r["n"]
+        for r in li.groupBy(digit.alias("d")).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(full.values())
+    assert sum(16 * per_bucket.get(d, 0) for d in "0123456789abcdef") / 16 == total
+
+
+def test_join_size_estimate_accuracy_and_identity(spark):
+    """The sampled join-size estimator: exact column really is Σ n(u)²,
+    the 16-bucket estimates average to it exactly, and the committed
+    single-bucket estimate lands within 25% on this draw."""
+    row = SPECS["q_join_size_estimate"].builder(spark, SF_ORACLE).first()
+    ev = load_table(spark, SF_ORACLE, "events")
+    g = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    exact = g.agg(F.sum(F.col("n") * F.col("n"))).first()[0]
+    assert row["exact_join_rows"] == exact
+    digit = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    per_bucket = {
+        r["d"]: r["s"]
+        for r in g.groupBy(digit.alias("d"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("s"))
+        .collect()
+    }
+    assert (
+        sum(16 * per_bucket.get(d, 0) for d in "0123456789abcdef") / 16 == exact
+    )
+    assert abs(row["est_join_rows"] - exact) <= 0.25 * exact

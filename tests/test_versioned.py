@@ -1831,3 +1831,46 @@ def test_apply_changes_replica_exactly_once(spark, vt):
         spark, catalog, src, dst, "id", from_version=5
     ) == 3
     assert state(dst) == state(src)
+
+
+def test_sample_versioned_files_ht_identity(spark, vt):
+    """File-granular TABLESAMPLE: whole-file granularity (sampled rows =
+    exactly the selected files' footer rows) and Horvitz-Thompson
+    unbiasedness — every file lands in exactly one md5 hex bucket, so the
+    16 single-digit bucket estimates average to the exact total."""
+    import hashlib
+
+    from dbt_parquet_spark.versioned import (
+        _basename,
+        _footer_meta,
+        _fpath,
+        _load_manifest,
+        _root,
+        sample_versioned_files,
+    )
+
+    catalog, rel = vt
+    write_versioned(
+        spark, catalog, rel, spark.range(200).repartitionByRange(8, "id")
+    )
+    m = _load_manifest(catalog, rel)
+    entry = m["versions"]["1"]
+    io, root = catalog.io, _root(catalog, rel)
+    rows_by_file = {
+        f: _footer_meta(io, _fpath(io, root, f))[0] for f in entry["files"]
+    }
+    total = sum(rows_by_file.values())
+    assert total == 200
+    est_sum = 0.0
+    for d in "0123456789abcdef":
+        s = sample_versioned_files(spark, catalog, rel, hex_digits=d)
+        got = s.agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*")
+        ).first()[0]
+        picked = [
+            f for f in entry["files"]
+            if hashlib.md5(_basename(f).encode()).hexdigest()[0] == d
+        ]
+        assert got == sum(rows_by_file[f] for f in picked)  # whole files
+        est_sum += 16.0 * got
+    assert est_sum / 16.0 == total  # HT identity: bucket estimates average exact
