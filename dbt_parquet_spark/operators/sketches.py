@@ -547,11 +547,14 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     picked = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
-    exact = g.agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_join_rows"))
-    sampled = g.filter(picked == CLUSTER_SAMPLE_HEX).agg(
-        (F.lit(16) * F.sum(F.col("n") * F.col("n"))).cast("bigint").alias("est_join_rows"),
-        F.count(F.lit(1)).alias("n_sampled_keys"),
-    )
-    return exact.crossJoin(F.broadcast(sampled)).select(
-        "exact_join_rows", "est_join_rows", "n_sampled_keys"
+    nn = F.col("n") * F.col("n")
+    in_sample = picked == CLUSTER_SAMPLE_HEX
+    # ONE aggregate over the per-key counts (conditional aggregation) —
+    # exact and sampled terms share the single scan + single groupBy
+    return g.agg(
+        F.sum(nn).cast("bigint").alias("exact_join_rows"),
+        (F.lit(16) * F.coalesce(F.sum(F.when(in_sample, nn)), F.lit(0)))
+        .cast("bigint")
+        .alias("est_join_rows"),
+        F.count(F.when(in_sample, F.lit(1))).alias("n_sampled_keys"),
     )

@@ -45,13 +45,18 @@ def main() -> int:
     from dbt_parquet_spark.catalog import FilesystemCatalog
     from dbt_parquet_spark.sources.readers import load_table
     from dbt_parquet_spark.versioned import (
+        ConstraintViolationError,
+        apply_changes_versioned,
+        clone_versioned,
         delete_versioned,
         merge_versioned,
         optimize_versioned,
         read_versioned,
         read_versioned_changes,
         rollback_versioned,
+        set_check_constraint,
         vacuum_versions,
+        version_at_timestamp,
         version_history,
         write_versioned,
     )
@@ -149,6 +154,77 @@ def main() -> int:
     assert edited == 20 and n == version_history(catalog, rel)[-1]["rows"]
     assert final.filter(F.col("doc_id").between(210, 214)).count() == 0
     print(f"OK versioned lake lifecycle complete: {n} rows, {edited} edited")
+
+    # 9. CHECK constraints: the add validates the snapshot; violating
+    # writes refuse with per-constraint counts and commit nothing
+    set_check_constraint(spark, catalog, rel, "chars_nonneg", "n_chars >= 0")
+    try:
+        write_versioned(
+            spark, catalog, rel,
+            spark.createDataFrame([(10**9, "bad", -1)],
+                                  "doc_id bigint, source string, n_chars bigint"),
+            mode="append",
+        )
+        raise AssertionError("violating append must refuse")
+    except ConstraintViolationError as exc:
+        print(f"constraint gate held: {str(exc)[:72]}...")
+
+    # 10. timestamp time travel over the RETAINED tail (vacuum pruned the
+    # early history): the oldest kept commit's instant resolves to it
+    kept_versions = [h["version"] for h in version_history(catalog, rel)]
+    from dbt_parquet_spark.versioned import _load_manifest
+
+    m_now = _load_manifest(catalog, rel)
+    oldest_kept = kept_versions[0]
+    ts_then = float(m_now["versions"][str(oldest_kept)]["ts"])
+    v_then = version_at_timestamp(catalog, rel, ts_then)
+    assert v_then == oldest_kept
+    print(f"TIMESTAMP AS OF v{oldest_kept}'s commit instant resolves to v{v_then}")
+
+    # 11. shallow clone: zero-copy branch with independent history
+    twin = catalog.relation("docs_twin", "lake")
+    clone_versioned(catalog, rel, twin)
+    write_versioned(
+        spark, catalog, twin,
+        docs.filter(F.col("doc_id").between(400, 409)), mode="append",
+    )
+    n_src = read_versioned(spark, catalog, rel).count()
+    n_twin = read_versioned(spark, catalog, twin).count()
+    assert n_twin == n_src + 10  # twin diverged; source untouched
+    print(f"shallow clone: twin {n_twin} rows vs source {n_src} (0 bytes copied)")
+
+    # 12. CDC apply: a replica initialized at the oldest retained version
+    # follows the source to current purely via the change feed (here the
+    # optimize -> rollback hop nets to zero changes: bag-exact cancel,
+    # metadata-only marker commit), then picks up a fresh MoR delete
+    replica = catalog.relation("docs_replica", "lake")
+    write_versioned(
+        spark, catalog, replica,
+        read_versioned(spark, catalog, rel, version=oldest_kept),
+        stats_cols=("doc_id",),
+    )
+    apply_changes_versioned(
+        spark, catalog, rel, replica, "doc_id", from_version=oldest_kept
+    )
+    assert read_versioned(spark, catalog, replica).count() == n_src
+    marker_v = version_history(catalog, rel)[-1]["version"]
+    delete_versioned(
+        spark, catalog, rel, F.col("doc_id").between(0, 4),
+        prune={"doc_id": (0, 4)}, mode="mor",
+    )
+    applied = apply_changes_versioned(
+        spark, catalog, rel, replica, "doc_id", from_version=marker_v
+    )
+    n_rep = read_versioned(spark, catalog, replica).count()
+    n_src2 = read_versioned(spark, catalog, rel).count()
+    assert n_rep == n_src2
+    assert apply_changes_versioned(
+        spark, catalog, rel, replica, "doc_id", from_version=marker_v
+    ) is None  # exactly-once replay skip
+    print(
+        f"CDC apply: replica follows the source ({n_rep} rows, commit "
+        f"{applied}); replay skipped exactly-once"
+    )
     return 0
 
 

@@ -619,3 +619,25 @@ def test_ann_filtered_prefilter_pushed_and_shaped(spark):
         for r in SPECS["q_ann_topk"].builder(spark, SF_ORACLE).collect()
     }
     assert filtered != base and len(filtered) == len(base)
+
+
+def test_cluster_sample_single_shuffle_pruned_scan(spark):
+    # r14: the deterministic cluster sample is a scan-side hash filter +
+    # ONE per-cluster aggregate exchange — no join, no cartesian, and the
+    # scan reads only the two referenced columns
+    plan = _plan(spark, "q_cluster_sample")
+    assert plan.count("Exchange") == 1
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read
+
+
+def test_join_size_estimate_one_pass(spark):
+    # r14: exact + sampled terms share ONE events scan and ONE per-key
+    # groupBy (conditional aggregation) — two exchanges total (key shuffle
+    # + single-partition final), never a second scan or a join
+    plan = _plan(spark, "q_join_size_estimate")
+    assert plan.count("Exchange") == 2
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # one logical scan
+    assert "Join" not in plan
