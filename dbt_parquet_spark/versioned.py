@@ -2439,3 +2439,68 @@ def q_versioned_file_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_sampled",
         "est_total_rows",
     )
+
+
+def read_versioned_lineage(
+    spark: SparkSession,
+    catalog: FilesystemCatalog,
+    rel: Relation,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with ROW-LEVEL COMMIT ATTRIBUTION: the table's
+    columns plus ``_file_version`` — the version whose commit FIRST
+    referenced the row's data file, i.e. the commit that wrote the row
+    (the Delta row-tracking question "when did this row enter the
+    table?"). Derived purely from manifest metadata: files are immutable,
+    so first-reference over the ascending version history is exact — a
+    rollback re-referencing v1's files correctly attributes their rows to
+    v1, and merge-on-read updates attribute to the merge commit that
+    staged them while untouched rows keep their original version. The
+    attribution join is a BROADCAST of a (basename, version) map with one
+    entry per live file — metadata-sized at any table size."""
+    io = catalog.io
+    m = _load_manifest(catalog, rel)
+    v = m["current"] if version is None else version
+    entry = m["versions"][str(v)]
+    first_ref: dict[str, int] = {}
+    for k in sorted(m["versions"], key=int):
+        for f in m["versions"][k]["files"]:
+            first_ref.setdefault(_basename(f), int(k))
+    root = _root(catalog, rel)
+    scan = _snapshot_read(spark, io, root, entry["files"], entry, keep_pos=True)
+    lineage = spark.createDataFrame(
+        [(b, first_ref[b]) for b in sorted(
+            {_basename(f) for f in entry["files"]}
+        )],
+        "_lf string, _file_version bigint",
+    )
+    return scan.join(
+        F.broadcast(lineage), scan["_dv_file"] == lineage["_lf"], "left"
+    ).select(*(list(entry["columns"]) + ["_file_version"]))
+
+
+@register(
+    "q_row_lineage",
+    oracle=f"""
+    SELECT doc_id, source, CAST(1 AS BIGINT) AS _file_version
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, 'merged', 2 FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + {MERGE_INSERT_OFFSET}, 'inserted', 2
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+    tags=("versioned", "lineage", "row-tracking", "catalog"),
+)
+def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level commit attribution over the merge-on-read scaffold,
+    driver-checked: after the MoR upsert, untouched base rows attribute
+    to v1 (their files were first referenced by the base commit), every
+    upserted/inserted row to v2 (the merge staged them as new files), and
+    the DV-killed pre-merge rows never surface. Answered from manifest
+    metadata + one broadcast join — no audit columns were ever stored in
+    the data."""
+    catalog, rel = _merge_mor_table(spark, sf_dir)
+    return read_versioned_lineage(spark, catalog, rel).select(
+        "doc_id", "source", "_file_version"
+    )

@@ -248,8 +248,11 @@ def test_registry_exposes_all_queries():
     # 1/16 key-domain sample, exact + estimate both deterministic,
     # oracle-checked), +q_versioned_file_sample (versioned.py — physical
     # file-granular TABLESAMPLE SYSTEM with HT weights; rows-only, the
-    # 16-bucket unbiasedness identity pinned in tests)
-    assert len(specs) == 231
+    # 16-bucket unbiasedness identity pinned in tests),
+    # +q_row_lineage (versioned.py — row-level commit attribution from
+    # manifest first-reference metadata + one broadcast join,
+    # oracle-checked over the MoR merge scaffold)
+    assert len(specs) == 232
     # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
     # local parity gate holds them); pinned so the rotation never silently
     # drops an oracle

@@ -1874,3 +1874,83 @@ def test_sample_versioned_files_ht_identity(spark, vt):
         assert got == sum(rows_by_file[f] for f in picked)  # whole files
         est_sum += 16.0 * got
     assert est_sum / 16.0 == total  # HT identity: bucket estimates average exact
+
+
+def test_apply_changes_candidate_pruning(spark, vt):
+    """The CDC apply's DV pass touches only files whose skipping stats
+    intersect the affected keys — a 1-file change in the source costs a
+    1-file candidate scan on the replica, never a table scan (the O(changed
+    bytes) claim). Pinned by counting the DV sidecar's distinct file
+    coordinates after a delete confined to one range-clustered file."""
+    from dbt_parquet_spark.versioned import (
+        _fpath,
+        _load_manifest,
+        _root,
+        apply_changes_versioned,
+        delete_versioned,
+        read_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    catalog, src = vt
+    dst = catalog.relation("t_rep2", "vt")
+    base = spark.range(400).select("id")
+    write_versioned(
+        spark, catalog, src, base.repartitionByRange(8, "id"),
+        stats_cols=("id",),
+    )
+    write_versioned(
+        spark, catalog, dst, base.repartitionByRange(8, "id"),
+        stats_cols=("id",),
+    )
+    # source change confined to the first file's range
+    delete_versioned(
+        spark, catalog, src, F.col("id") < 10, prune={"id": (0, 9)}, mode="mor"
+    )
+    apply_changes_versioned(spark, catalog, src, dst, "id", from_version=1)
+    m = _load_manifest(catalog, dst)
+    cur = m["versions"][str(m["current"])]
+    assert cur["op"] == "apply-changes"
+    io, root = catalog.io, _root(catalog, dst)
+    pairs = spark.read.parquet(
+        *[io.spark_url(_fpath(io, root, f)) for f in cur["dv"]]
+    )
+    # DV coordinates land in exactly ONE of the replica's 8 files
+    assert pairs.select("file").distinct().count() == 1
+    assert pairs.count() == 10
+    assert sorted(
+        r["id"] for r in read_versioned(spark, catalog, dst).collect()
+    ) == list(range(10, 400))
+
+
+def test_row_lineage_across_rollback_and_clone(spark, vt):
+    """read_versioned_lineage attributes rows to the commit that FIRST
+    referenced their file: a rollback re-referencing v1's files keeps
+    their rows attributed to v1, an append's rows attribute to the append,
+    and a shallow clone's inherited rows attribute to the clone's v1."""
+    from dbt_parquet_spark.versioned import (
+        clone_versioned,
+        read_versioned_lineage,
+        rollback_versioned,
+    )
+
+    catalog, rel = vt
+    write_versioned(spark, catalog, rel, spark.range(10))            # v1
+    write_versioned(spark, catalog, rel, spark.range(10, 15), mode="append")  # v2
+    rollback_versioned(catalog, rel, 1)                               # v3
+    write_versioned(spark, catalog, rel, spark.range(20, 25), mode="append")  # v4
+    got = {
+        r["id"]: r["_file_version"]
+        for r in read_versioned_lineage(spark, catalog, rel).collect()
+    }
+    assert all(got[i] == 1 for i in range(10))       # v1 files, via rollback
+    assert all(got[i] == 4 for i in range(20, 25))   # the fresh append
+    assert not any(i in got for i in range(10, 15))  # rolled-back rows gone
+    # clone: inherited files were first referenced by the clone's own v1
+    dst = catalog.relation("t_lin_clone", "vt")
+    clone_versioned(catalog, rel, dst)
+    got_c = {
+        r["id"]: r["_file_version"]
+        for r in read_versioned_lineage(spark, catalog, dst).collect()
+    }
+    assert set(got_c.values()) == {1}
