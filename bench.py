@@ -139,6 +139,10 @@ EXTENSION_HEADLINE = [
     "q_bm25_batch",
     "q_ann_filtered",
     "q_ann_ivf_pq_filtered",
+    # r14: the sampling/estimation pair — pure scan-side compute (no
+    # scaffold), the shapes a planner runs before sizing real work.
+    "q_cluster_sample",
+    "q_join_size_estimate",
 ]
 
 
