@@ -261,7 +261,21 @@ def main() -> None:
         except (AttributeError, OSError):
             return None
 
+    def _spin_s() -> float:
+        """Absolute single-thread CPU canary (r14): seconds to run a fixed
+        pure-Python loop. Loadavg catches COMPETING work; this catches the
+        box itself being slow (host frequency/co-tenancy epochs) — the r14
+        draws measured a stable +35% floor on an idle box that loadavg
+        could not see. A draw whose spin_s is far off the round-to-round
+        norm is environment, whatever its other flags say."""
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        return round(time.perf_counter() - t0, 3)
+
     n_cpus = os.cpu_count() or 8
+    spin_pre = _spin_s()
     load_pre = _loadavg()
     contended = load_pre is not None and load_pre > max(4.0, n_cpus / 4)
     if contended:
@@ -379,6 +393,8 @@ def main() -> None:
         "box": {
             "loadavg_pre": load_pre,
             "loadavg_post": load_post,
+            "spin_s_pre": spin_pre,
+            "spin_s_post": _spin_s(),
             "contended": bool(contended),
             "noisy": bool(noisy),
             "median_spread": round(med_spread, 3),
