@@ -231,10 +231,11 @@ def main(argv: list[str] | None = None) -> int:
         "churn; pass the table's stats columns)",
     )
     vt_p.add_argument(
-        "--zorder-by", dest="vt_zorder_by", default=None, metavar="C1,C2",
-        help="with --optimize: two comma-separated columns to Z-order the "
-        "rewrite by — every file covers a narrow box on BOTH, so skipping "
-        "prunes on either predicate column (declare both in stats)",
+        "--zorder-by", dest="vt_zorder_by", default=None, metavar="COLS",
+        help="with --optimize: 2-4 comma-separated columns to Z-order the "
+        "rewrite by — every file covers a narrow box on EVERY listed "
+        "column, so skipping prunes on any predicate column (declare "
+        "them all in stats)",
     )
     vt_p.add_argument(
         "--diff", nargs=2, type=int, default=None, metavar=("N", "M"),

@@ -55,10 +55,24 @@ def _interleave_sql(xi: str, yi: str, div: str, bits: int = ZBITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _quantize(col: str, lo: str, hi: str, div: str) -> str:
-    """Map col from [lo, hi] onto the 16-bit grid [0, 65535] with exact
+def _quantize(col: str, lo: str, hi: str, div: str, grid: int = 65535) -> str:
+    """Map col from [lo, hi] onto the integer grid [0, grid] with exact
     integer arithmetic (inputs are BIGINT in both engines)."""
-    return f"((({col}) - ({lo})) * 65535) {div} (({hi}) - ({lo}))"
+    return f"((({col}) - ({lo})) * {grid}) {div} (({hi}) - ({lo}))"
+
+
+def _interleave_n_sql(quantized: list[str], div: str, bits: int) -> str:
+    """N-dimensional bit interleave (r14): bit j of dimension i lands at
+    position j*n + i — the general Morton curve. Same engine-portable
+    integer arithmetic as the 2-dim form (divide/%/*/+, no shifts).
+    Curve width = bits * n, kept under 63 by the caller's bits choice."""
+    n = len(quantized)
+    terms = []
+    for j in range(bits):
+        p = 1 << j
+        for i, q in enumerate(quantized):
+            terms.append(f"((({q}) {div} {p}) % 2) * {1 << (j * n + i)}")
+    return "(" + " + ".join(terms) + ")"
 
 
 _DUCK_DAY = f"(CAST(o_orderdate AS DATE) - DATE '{_EPOCH}')"
@@ -125,33 +139,40 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zorder_column(df: DataFrame, c1: str, c2: str):
-    """Generic curve-position Column over TWO integer-castable columns of
-    df, each quantized to the 16-bit grid from the df's own MIN/MAX (one
-    scalar aggregate — four driver scalars). The reusable form of
-    zorder_expr for arbitrary tables; optimize_versioned(zorder_by=...)
-    uses it to re-cluster a versioned snapshot so every rewritten file
-    covers a narrow min/max box on BOTH dimensions and the manifest's
-    per-file skipping stats prune on either predicate column (the Delta
-    OPTIMIZE ZORDER role, two-axis)."""
-    a = F.col(c1).cast("bigint")
-    b = F.col(c2).cast("bigint")
-    row = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+def zorder_column(df: DataFrame, *cols: str):
+    """Generic curve-position Column over 2-4 integer-castable columns of
+    df, each quantized from the df's own MIN/MAX (one scalar aggregate —
+    2n driver scalars) onto a per-dimension grid sized so the interleaved
+    curve fits a signed long (16 bits/dim at n<=3, 15 at n=4). The
+    reusable form of zorder_expr for arbitrary tables;
+    optimize_versioned(zorder_by=...) uses it to re-cluster a versioned
+    snapshot so every rewritten file covers a narrow min/max box on EVERY
+    listed dimension and the manifest's per-file skipping stats prune on
+    any predicate column (the Delta OPTIMIZE ZORDER role, n-axis since
+    r14)."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"zorder takes 2-4 columns, got {list(cols)}")
+    bits = min(ZBITS, 62 // len(cols))
+    grid = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        b = F.col(c).cast("bigint")
+        aggs += [F.min(b), F.max(b)]
+    row = df.agg(*aggs).first()
     if any(v is None for v in row):
-        # empty df, or EITHER column all-NULL (r13 advice: checking only
-        # row[0] let an all-NULL c2 raise TypeError inside optimize):
-        # no usable grid on both axes -> constant curve position, the
+        # empty df, or ANY column all-NULL (r13 advice: checking only
+        # row[0] let an all-NULL later column raise TypeError inside
+        # optimize): no usable grid on every axis -> constant curve, the
         # rewrite degrades to a plain coalesce instead of crashing.
         return F.lit(0).cast("long")
-    amin, amax = int(row[0]), max(int(row[1]), int(row[0]) + 1)
-    bmin, bmax = int(row[2]), max(int(row[3]), int(row[2]) + 1)
-    return F.expr(
-        _interleave_sql(
-            _quantize(f"CAST(`{c1}` AS BIGINT)", str(amin), str(amax), "div"),
-            _quantize(f"CAST(`{c2}` AS BIGINT)", str(bmin), str(bmax), "div"),
-            "div",
+    quantized = []
+    for i, c in enumerate(cols):
+        lo = int(row[2 * i])
+        hi = max(int(row[2 * i + 1]), lo + 1)
+        quantized.append(
+            _quantize(f"CAST(`{c}` AS BIGINT)", str(lo), str(hi), "div", grid)
         )
-    ).cast("long")
+    return F.expr(_interleave_n_sql(quantized, "div", bits)).cast("long")
 
 
 def write_zordered(

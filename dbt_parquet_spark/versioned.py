@@ -1221,7 +1221,7 @@ def optimize_versioned(
     rel: Relation,
     target_bytes: int = 128 * 1024 * 1024,
     cluster_by: tuple[str, ...] | None = None,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> int:
     """Compact the CURRENT snapshot's files into ~target_bytes files,
     committed as a new version (op='optimize') — the small-file
@@ -1238,7 +1238,7 @@ def optimize_versioned(
     ``read_versioned(where=...)`` prunes like the freshly-written table
     again (the Delta OPTIMIZE ZORDER role, single-axis).
 
-    ``zorder_by=(c1, c2)`` re-clusters along the two-dimensional Z-order
+    ``zorder_by=(c1, ..)`` (2-4 columns, r14) re-clusters along the Z-order
     curve instead (``layout.zorder_column``): each rewritten file covers a
     narrow min/max BOX on BOTH columns, so the manifest's skipping stats
     prune on a predicate over EITHER — the trade range-clustering cannot
@@ -1248,8 +1248,8 @@ def optimize_versioned(
     but arrival-ordered. Single mutator at a time."""
     if cluster_by and zorder_by:
         raise ValueError("pass cluster_by OR zorder_by, not both")
-    if zorder_by is not None and len(zorder_by) != 2:
-        raise ValueError("zorder_by takes exactly two columns")
+    if zorder_by is not None and not 2 <= len(zorder_by) <= 4:
+        raise ValueError("zorder_by takes 2-4 columns")
     io = catalog.io
     m = _load_manifest(catalog, rel)
     cur = m["versions"][str(m["current"])]

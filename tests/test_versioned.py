@@ -1954,3 +1954,56 @@ def test_row_lineage_across_rollback_and_clone(spark, vt):
         for r in read_versioned_lineage(spark, catalog, dst).collect()
     }
     assert set(got_c.values()) == {1}
+
+
+def test_optimize_zorder_three_dimensions(spark, vt):
+    """r14: zorder_by generalizes to 2-4 columns — after a 3-axis Z-order
+    rewrite, a narrow predicate on ANY of the three columns prunes the
+    manifest file list, and the rewrite stays lossless."""
+    from pyspark.sql import functions as F
+
+    from dbt_parquet_spark.versioned import _load_manifest, optimize_versioned
+
+    catalog, rel = vt
+    df = (
+        spark.range(4096)
+        .select(
+            F.col("id"),
+            (F.col("id") % 16).alias("a"),
+            (F.floor(F.col("id") / 16) % 16).alias("b"),
+            F.floor(F.col("id") / 256).alias("c"),
+        )
+        .repartition(8)  # round-robin: every file spans all three domains
+    )
+    write_versioned(spark, catalog, rel, df, stats_cols=("a", "b", "c"))
+
+    def kept(where):
+        m = _load_manifest(catalog, rel)
+        entry = m["versions"][str(m["current"])]
+        stats = m.get("stats", {})
+        n = 0
+        for f in entry["files"]:
+            ok = True
+            for col, (lo, hi) in where.items():
+                rng = stats.get(f, {}).get(col)
+                if rng is not None and (rng[0] > hi or rng[1] < lo):
+                    ok = False
+            n += ok
+        return n, len(entry["files"])
+
+    optimize_versioned(
+        spark, catalog, rel, target_bytes=2 * 1024, zorder_by=("a", "b", "c")
+    )
+    for col in ("a", "b", "c"):
+        k, total = kept({col: (0, 3)})
+        assert total >= 8 and k < total, (col, k, total)
+    got = sorted(
+        r["id"]
+        for r in read_versioned(spark, catalog, rel).collect()
+    )
+    assert got == list(range(4096))  # lossless
+    # 2-col callers and the bounds guard still work; 5 columns refuse
+    from dbt_parquet_spark.operators.layout import zorder_column
+
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_column(df, "a", "b", "c", "id", "id")
