@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "dbt_parquet_spark.operators.sql_surface5",
     "dbt_parquet_spark.operators.sketches",
     "dbt_parquet_spark.streaming.batch_windows",
+    "dbt_parquet_spark.streaming.cdf_source",
     "dbt_parquet_spark.operators.subword",
     "dbt_parquet_spark.operators.shards",
     "dbt_parquet_spark.operators.release",

@@ -251,8 +251,14 @@ def test_registry_exposes_all_queries():
     # 16-bucket unbiasedness identity pinned in tests),
     # +q_row_lineage (versioned.py — row-level commit attribution from
     # manifest first-reference metadata + one broadcast join,
-    # oracle-checked over the MoR merge scaffold)
-    assert len(specs) == 232
+    # oracle-checked over the MoR merge scaffold),
+    # +q_stream_cdc_follow (streaming/cdf_source.py — a REAL Structured
+    # Streaming read of the versioned change feed via a Python Data
+    # Source whose offsets are commit versions; availableNow run
+    # value-matched against the plain-SQL oracle incl. the
+    # rollback-resurrection hop; checkpointed incremental pickup, CoW
+    # refusal and batch-feed bag-equality pinned in test_cdf_source.py)
+    assert len(specs) == 233
     # the round-1 fixed rows rotated OUT in r13 remain oracle-backed (the
     # local parity gate holds them); pinned so the rotation never silently
     # drops an oracle
