@@ -43,6 +43,12 @@ def connected_components(
     trap. Checkpointing makes each round's plan a leaf; on a real cluster
     swap localCheckpoint for reliable `checkpoint` with an HDFS dir if
     executor loss during the (short) loop must be survivable.
+
+    Checkpoints are LAZY (r14, guide §1/§2 job-count diet): the per-round
+    convergence collect is the action that materializes the checkpoint —
+    one Spark job per round instead of two (eager checkpoint job + sum
+    job). SparkContext.runJob completes rdd.doCheckpoint() after the
+    collect, so round N+1 still plans against a truncated leaf.
     """
     # Symmetrize in ONE scan: explode each edge into both directions. The
     # unionAll-of-two-selects form evaluates the (possibly expensive)
@@ -58,7 +64,7 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Fused init + first propagation round: before any propagation every
     # neighbor's label IS its id, so round-1 labels = min(v, min neighbors)
@@ -67,31 +73,31 @@ def connected_components(
     labels = (
         sym.groupBy(F.col("dst").alias(vertex_col))
         .agg(F.least(F.col(vertex_col), F.min("src")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence = unchanged exact label sum: labels only ever decrease, so
     # sum(new) == sum(old) ⇔ no label moved. DECIMAL(38) keeps the sum exact
-    # at any vertex count; the checkpoint already materialized the labels,
-    # so this is one tiny aggregate job over a leaf plan per round.
+    # at any vertex count; the collect below is also what materializes the
+    # lazy checkpoint (sym + labels in one job chain).
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0].s
     new_sum = prev_sum
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == F.col(vertex_col))
-            .groupBy(F.col("dst").alias(vertex_col))
-            .agg(F.min("component").alias("nbr_min"))
+        # One round = min(own label, neighbors' labels), expressed as
+        # union + one aggregation instead of join + groupBy + LEFT join
+        # back (r14): each vertex's own (v, label) row rides the union, so
+        # vertices with no lower neighbor keep their label without the
+        # third exchange the join-back form paid. Same result, 2 exchanges
+        # per round instead of 3.
+        contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
+            F.col("dst").alias(vertex_col), F.col("component")
         )
         new_labels = (
-            labels.join(neighbor_min, vertex_col, "left")
-            .select(
-                vertex_col,
-                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint()
+            labels.unionByName(contrib)
+            .groupBy(vertex_col)
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(label_sum).collect()[0].s
         labels = new_labels
@@ -142,7 +148,7 @@ def connected_components_star(
             F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if not e.take(1):
         schema_src = edges.select(F.col("d1").alias(vertex_col))
@@ -192,7 +198,7 @@ def connected_components_star(
         new_e = (
             ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = fingerprint(new_e)
         e = new_e

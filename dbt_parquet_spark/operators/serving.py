@@ -391,7 +391,7 @@ def _ranking_metrics(
     """Metrics for ANY ranked run: ``ranked`` carries (doc_id, r) with
     r in 1..EVAL_POOL. One (k, n_rel_topk, prec_ppm, mrr_ppm, dcg_ppm,
     ndcg_ppm) row per cutoff — the Spark twin of _metrics_sql."""
-    import math
+    from pyspark.sql import Window
 
     w = _dcg_weights()
     qrels = _qrels(spark, sf_dir)
@@ -408,23 +408,40 @@ def _ranking_metrics(
         .alias("c"),
     )
 
-    # IDCG inputs: the corpus's top-EVAL_POOL grades — 10 ints on the driver
-    ideal = [
-        r.rel
-        for r in qrels.orderBy(F.desc("rel"), F.asc("doc_id"))
+    # IDCG in-plan (r14, guide §1/§5 job diet): the ideal gains used to be
+    # a driver collect of the corpus's top-EVAL_POOL grades — one extra
+    # corpus-projection Spark action per evaluation. The same TakeOrdered
+    # top-10 now feeds a 10-row window + 3-row aggregate INSIDE the metric
+    # plan; the floored double products are the identical IEEE ops the
+    # Python loop ran, so every idcg value is bit-identical.
+    ideal = (
+        qrels.orderBy(F.desc("rel"), F.asc("doc_id"))
         .limit(EVAL_POOL)
-        .collect()
-    ]
-    idcg = {
-        k: sum(
-            int(math.floor(1000000.0 * rel * w[j + 1]))
-            for j, rel in enumerate(ideal[:k])
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+            .alias("j"),
         )
-        for k in EVAL_CUTOFFS
-    }
-    idcg_col = F.lit(None).cast("long")
-    for k in EVAL_CUTOFFS:
-        idcg_col = F.when(F.col("k") == k, F.lit(idcg[k])).otherwise(idcg_col)
+    )
+    idealc = ideal.select(
+        "j",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("rel").cast("double")
+            * F.element_at(w_arr, F.col("j").cast("int"))
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    ks_i = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k).cast("long") for k in EVAL_CUTOFFS])).alias("k")
+    )
+    idcg_df = (
+        ks_i.join(F.broadcast(idealc), idealc["j"] <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("idcg"))
+    )
 
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k).cast("long") for k in EVAL_CUTOFFS])).alias("k")
@@ -441,7 +458,8 @@ def _ranking_metrics(
         )
     )
     return (
-        per_k.select(
+        per_k.join(F.broadcast(idcg_df), "k", "left")
+        .select(
             "k",
             "n_rel_topk",
             F.expr("(1000000 * n_rel_topk) DIV k").alias("prec_ppm"),
@@ -449,7 +467,7 @@ def _ranking_metrics(
                 "mrr_ppm"
             ),
             "dcg_ppm",
-            idcg_col.alias("idcg"),
+            F.coalesce(F.col("idcg"), F.lit(0).cast("long")).alias("idcg"),
         )
         .select(
             "k",

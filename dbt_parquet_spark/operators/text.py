@@ -1030,18 +1030,42 @@ def bm25_topk(
 
     toks = doc_token_arrays(spark, sf_dir)
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    sum_dl, n = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
-    # empty corpus: tf is empty so the value never matters, but the
-    # expression must still build (BaseEmpty parity)
-    avgdl = float(sum_dl) / float(n) if n else 1.0
     tf = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = {r["tok"]: r["df"] for r in tf.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")).collect()}
+    # ONE driver action for every scalar the scorer needs (r14 job diet):
+    # the global (sum_dl, N) aggregate and the per-term document
+    # frequencies union into a single 1 + |terms| row collect over the
+    # cached token scaffold — previously two separate Spark actions per
+    # call. Values are unchanged (same aggregates, same types).
+    sum_dl, n, dfreq = None, 0, {}
+    for r in (
+        dl.agg(
+            F.sum("dl").cast("long").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("b"),
+        )
+        .select(F.lit(None).cast("string").alias("tok"), "a", "b")
+        .unionByName(
+            tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "tok",
+                F.col("df").cast("long").alias("a"),
+                F.lit(None).cast("long").alias("b"),
+            )
+        )
+        .collect()
+    ):
+        if r.tok is None:
+            sum_dl, n = r.a, r.b
+        else:
+            dfreq[r.tok] = r.a
+    # empty corpus: tf is empty so the value never matters, but the
+    # expression must still build (BaseEmpty parity)
+    avgdl = float(sum_dl) / float(n) if n else 1.0
     idf_col = F.lit(None).cast("double")
     for term in terms:
         dfv = dfreq.get(term, 0)
@@ -1178,8 +1202,6 @@ def bm25_batch_topk(
     all_terms = sorted({t for ts in queries.values() for t in ts})
     toks = doc_token_arrays(spark, sf_dir)
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    sum_dl, n = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
-    avgdl = float(sum_dl) / float(n) if n else 1.0
     tf = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*all_terms))
@@ -1187,9 +1209,32 @@ def bm25_batch_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # one idf per DISTINCT term (|terms| scalars on the driver — the
-    # dsir_llr_table discipline; see q_bm25_topk's cross-engine ln note)
-    dfreq = {r["tok"]: r["df"] for r in tf.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")).collect()}
+    # dsir_llr_table discipline; see q_bm25_topk's cross-engine ln note);
+    # global stats + dfs fused into ONE action (r14 job diet, same as
+    # bm25_topk above).
+    sum_dl, n, dfreq = None, 0, {}
+    for r in (
+        dl.agg(
+            F.sum("dl").cast("long").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("b"),
+        )
+        .select(F.lit(None).cast("string").alias("tok"), "a", "b")
+        .unionByName(
+            tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "tok",
+                F.col("df").cast("long").alias("a"),
+                F.lit(None).cast("long").alias("b"),
+            )
+        )
+        .collect()
+    ):
+        if r.tok is None:
+            sum_dl, n = r.a, r.b
+        else:
+            dfreq[r.tok] = r.a
+    avgdl = float(sum_dl) / float(n) if n else 1.0
     idf_col = F.lit(None).cast("double")
     for term in all_terms:
         dfv = dfreq.get(term, 0)
