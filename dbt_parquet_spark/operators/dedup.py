@@ -100,30 +100,11 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     of a scan whose BYTES are tiny — a single small parquet file otherwise
     serializes the whole token pipeline onto one core (measured 1 partition
     for 5k docs at sf0.1, a ~2x wall-clock loss across the dedup suite).
-    The target is sized by DATA (compressed bytes / 64 KiB), capped at
-    cluster parallelism: over-spreading tiny inputs costs more in per-task
-    overhead than it buys in compute (measured). At warehouse scale the
-    scan already carries >= parallelism splits and this is a no-op."""
-    import os as _os
-    from urllib.parse import urlparse as _urlparse
+    Shared implementation: sources.readers.spread_small_scan (r14 — the
+    same discipline now serves the embedding-HOF operators too)."""
+    from ..sources.readers import spread_small_scan
 
-    try:
-        nbytes = sum(
-            _os.path.getsize(_urlparse(f).path)
-            for f in df.inputFiles()
-            if _urlparse(f).scheme in ("file", "")
-        )
-    except OSError:
-        nbytes = 0
-    if nbytes <= 0:
-        return df  # non-local or unlistable input: trust the scan's splits
-    target = min(
-        spark.sparkContext.defaultParallelism,
-        max(1, -(-nbytes // _SPREAD_BYTES_PER_PARTITION)),
-    )
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return spread_small_scan(spark, df, _SPREAD_BYTES_PER_PARTITION)
 
 
 # Memo of persisted (doc_id, toks: array<string>) — the scaffold for
@@ -864,10 +845,48 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
         .withColumn("is_media_dup", F.lit(True))
     )
+    # Fusion as union + ONE pair-keyed aggregation (r14, guide §2.4): each
+    # leg emits at most one row per (d1, d2), so max-per-column over the
+    # union reproduces the coalesced full-outer join exactly — one
+    # exchange instead of the three chained full-outer joins' four
+    # exchanges + three sorts (max ignores NULLs; a leg that never saw the
+    # pair contributes nothing, exactly like its side missing in the
+    # full-outer form).
+    null_d = F.lit(None).cast("double")
+    null_b = F.lit(None).cast("boolean")
+    null_l = F.lit(None).cast("long")
     fused = (
-        jac.join(exact, ["d1", "d2"], "full_outer")
-        .join(wov, ["d1", "d2"], "full_outer")
-        .join(media, ["d1", "d2"], "full_outer")
+        jac.select(
+            "d1", "d2", F.col("jaccard").cast("double").alias("jaccard"),
+            null_b.alias("is_exact"), null_l.alias("n_shared_fps"),
+            null_b.alias("is_media_dup"),
+        )
+        .unionByName(
+            exact.select(
+                "d1", "d2", null_d.alias("jaccard"), "is_exact",
+                null_l.alias("n_shared_fps"), null_b.alias("is_media_dup"),
+            )
+        )
+        .unionByName(
+            wov.select(
+                "d1", "d2", null_d.alias("jaccard"), null_b.alias("is_exact"),
+                F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
+                null_b.alias("is_media_dup"),
+            )
+        )
+        .unionByName(
+            media.select(
+                "d1", "d2", null_d.alias("jaccard"), null_b.alias("is_exact"),
+                null_l.alias("n_shared_fps"), "is_media_dup",
+            )
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.max("jaccard").alias("jaccard"),
+            F.max("is_exact").alias("is_exact"),
+            F.max("n_shared_fps").alias("n_shared_fps"),
+            F.max("is_media_dup").alias("is_media_dup"),
+        )
     )
     return fused.select(
         "d1",
@@ -1026,7 +1045,10 @@ def substring_dup_starts(
 
 
 def substring_spans(
-    toks_df: DataFrame, L: int = SUBSTR_L, min_count: int = SUBSTR_MIN_COUNT
+    toks_df: DataFrame,
+    L: int = SUBSTR_L,
+    min_count: int = SUBSTR_MIN_COUNT,
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated runs as (doc_id, span_start, span_end,
     n_span_tokens), one row per run.
@@ -1035,8 +1057,16 @@ def substring_spans(
     list — zip each start with its predecessor (sentinel for the first) and
     a new island begins where the gap exceeds L. No corpus-keyed window
     anywhere: the only shuffles are the gram-posting exchange and one
-    groupBy(doc_id) whose groups are bounded by document length."""
-    starts = substring_dup_starts(toks_df, L, min_count).groupBy("doc_id").agg(
+    groupBy(doc_id) whose groups are bounded by document length.
+
+    ``starts`` overrides the (doc_id, pos) duplicated-start source — a
+    caller that already materializes the posting groupBy (q_substring_
+    evidence) passes its own derivation so the physical planner's
+    ReuseExchange serves BOTH branches from one gram shuffle instead of
+    hashing every positioned gram twice (r14)."""
+    if starts is None:
+        starts = substring_dup_starts(toks_df, L, min_count)
+    starts = starts.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("pos")).alias("ss")
     )
     # brks = 1-based indexes into ss that begin an island (ss is never
@@ -1284,7 +1314,15 @@ def q_substring_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.element_at("ks", 1)).alias("wk"),
         )
     )
-    spans = substring_spans(toks_df, L, min_count)
+    # spans from the SAME posting groupBy as the witnesses: unpacking
+    # (doc_id, pos) out of posts.ks gives exactly substring_dup_starts'
+    # rows, and sharing the subtree lets ReuseExchange hash the positioned
+    # grams once instead of twice (see substring_spans).
+    starts = posts.select(F.explode("ks").alias("k")).select(
+        F.expr(f"k div {_POS_PACK}").alias("doc_id"),
+        (F.col("k") % _POS_PACK).cast("int").alias("pos"),
+    )
+    spans = substring_spans(toks_df, L, min_count, starts=starts)
     return (
         spans.join(
             wit,

@@ -1652,7 +1652,13 @@ def q_ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = docs.filter(F.col("lang") == ANN_FILTER_LANG).select(
         F.col("doc_id").alias("vec_id")
     )
-    frac = allowed.count() / max(docs.count(), 1)
+    # total + survivors in ONE scan/action (r14 job diet; was two counts)
+    # — same integers, so frac and the adaptive probe budget are unchanged.
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == ANN_FILTER_LANG).cast("long")).alias("keep"),
+    ).first()
+    frac = int(row.keep or 0) / max(int(row.n), 1)
     return _ivf_pq_search(spark, sf_dir, allow=allowed, survivor_frac=frac)
 
 
@@ -1772,13 +1778,26 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per pair become one (the dot) — norm(x) evaluates once per vector
     # instead of once per (query, vector) pair, bit-identically (the
     # oracle's inline norms compute the same doubles).
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    #
+    # Spread the corpus scan (r14, guide §2.5): each corpus row pays
+    # KNN_EVAL_QUERIES HOF dot products against the broadcast panel —
+    # per-byte CPU far denser than the token pipeline — and a single-row-
+    # group file would serialize that entire O(N·Q) score pass onto one
+    # core (measured 2x wall at sf0.1). 16 KiB/task budget; no-op when the
+    # layout already supplies >= parallelism splits. Exact doubles are
+    # per-row, so the result is partitioning-independent.
+    from ..sources.readers import spread_small_scan
+
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_scan(spark, base, 16 * 1024).withColumn(
         "nrm", norm(F.col("embedding"))
     )
-    q = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+    # the panel builds from the UNspread scan: its vec_id filter pushes to
+    # the parquet footer and the broadcast never waits on the spread shuffle
+    q = base.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qnrm"),
+        norm(F.col("embedding")).alias("qnrm"),
         F.col("label").alias("true_label"),
     )
     scored = (
@@ -1891,7 +1910,15 @@ def gram_ppm_of(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    partials = emb.select("embedding").mapInPandas(
+    # Spread the vector column across tasks before the Arrow hop (r14,
+    # guide §2.5/§4): a single-row-group file otherwise runs the whole
+    # corpus's outer-product reduction through ONE Python worker. Partial
+    # Grams are exact int64s, so the merge is partitioning-independent;
+    # no-op when the layout already supplies enough splits.
+    from ..sources.readers import spread_small_scan
+
+    spread = spread_small_scan(emb.sparkSession, emb.select("embedding"), 64 * 1024)
+    partials = spread.mapInPandas(
         gram_partials, "i long, j long, n long, c long"
     )
     return partials.groupBy("i", "j").agg(
