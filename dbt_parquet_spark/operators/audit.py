@@ -36,7 +36,7 @@ from ..registry import register
 from ..sources.readers import load_table
 from .corpus import PRUNE_PCT, QUALITY_PPM_SQL, quality_ppm_expr
 from .dedup import NGRAM_PAIRS_CTES
-from .graph import q_dedup_components
+from .graph import dedup_component_labels
 from .similarity import (
     BLOCKED_COSINE_THRESHOLD,
     ORACLE_BITS,
@@ -113,7 +113,7 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized objects flow through equi-joins. The canonical window
     partitions by component_id — dup-cluster-sized, the release.py
     whitelist justification."""
-    comp = q_dedup_components(spark, sf_dir)
+    comp = dedup_component_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select("doc_id", "source", quality_ppm_expr().alias("quality"))
 

@@ -257,13 +257,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     23.9s measured, DuckDB 1.0), and unlike the closure it never
     materializes all reachable pairs — the gap widens with cluster size.
     """
+    comp = dedup_component_labels(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    )
+
+
+def dedup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) — q_dedup_components WITHOUT the
+    component_size aggregation+join. Consumers that only need the cluster
+    label (q_drop_reasons, the release keep-set) used to inherit the sizes
+    SortMergeJoin as dead weight in their plans — an inner join Catalyst
+    cannot prune even though it never changes the row set (r14, guide
+    §2.4: q_drop_reasons carried FOUR hashpartitioning(component)
+    exchanges for a column it never outputs, because its drops subtree is
+    planned twice)."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     comp = connected_components(pairs, vertex_col="doc_id")
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
-    return (
-        comp.join(sizes, "component")
-        .select("doc_id", F.col("component").alias("component_id"), "component_size")
-    )
+    return comp.select("doc_id", F.col("component").alias("component_id"))
 
 
 @register(

@@ -42,7 +42,7 @@ from .dedup import (
     substr_sql_ctes,
     substring_scrub,
 )
-from .graph import q_dedup_components
+from .graph import dedup_component_labels
 
 
 # The dedup→select→prune CTE chain ending in the `kept` relation — shared
@@ -138,7 +138,7 @@ def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _KEPT_CACHE.get(key)
     if hit is not None:
         return hit
-    comp = q_dedup_components(spark, sf_dir)
+    comp = dedup_component_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select("doc_id", "source", "text", quality_ppm_expr().alias("quality"))
 
