@@ -54,7 +54,29 @@ def connected_components(
     # unionAll-of-two-selects form evaluates the (possibly expensive)
     # upstream edge pipeline twice before materializing — at sf0.1 that was
     # ~1.5 s of recomputed n-gram joins per call.
-    sym = (
+    #
+    # sym is PARTITIONED BY src AND SORTED once, then persisted (r14 round
+    # 2 of the loop diet, guide §2.1/§2.4): every propagation round joins
+    # sym on src, and a checkpointed sym re-shuffled + re-sorted the whole
+    # edge list EVERY round (localCheckpoint drops outputPartitioning —
+    # its lazy plan is an unfinalized AdaptiveSparkPlan, measured
+    # empirically). A persisted DataFrame's InMemoryTableScan preserves
+    # both partitioning and ordering, so each round's sort-merge join
+    # consumes the cache with NO exchange and NO sort on the edge side —
+    # at scale the edges are the 100 TB-proportional operand and labels
+    # the vertex-sized one, so this converts diameter× edge shuffles into
+    # one. The localCheckpoint UNDER the cache keeps the per-round logical
+    # plan a leaf (the iterative re-analysis trap); the partition count is
+    # taken from the materialized checkpoint's AQE-final width — the edge
+    # pipeline's own data-sized coalescing, never a local-core constant
+    # (a bare repartition("src") lands on the parallelismFirst floor: 32
+    # near-empty partitions locally, measured +0.5 s of task waves).
+    # This is GraphX's static edge partitioning: a hot vertex
+    # is pinned to one partition for the loop — acceptable because
+    # upstream pair generation caps per-doc degree (banded LSH bucket
+    # caps / blocked candidates), so no mega-hub exists by construction.
+    # MEMORY_AND_DISK (persist default) spills rather than OOMs.
+    sym_ckpt = (
         edges.select(
             F.explode(
                 F.array(
@@ -71,40 +93,54 @@ def connected_components(
     # — one aggregation over sym, no join. Every vertex appears as a dst
     # (sym is symmetric), so this also enumerates the vertex set.
     labels = (
-        sym.groupBy(F.col("dst").alias(vertex_col))
+        sym_ckpt.groupBy(F.col("dst").alias(vertex_col))
         .agg(F.least(F.col(vertex_col), F.min("src")).alias("component"))
         .localCheckpoint(eager=False)
     )
-    # Convergence = unchanged exact label sum: labels only ever decrease, so
-    # sum(new) == sum(old) ⇔ no label moved. DECIMAL(38) keeps the sum exact
-    # at any vertex count; the collect below is also what materializes the
-    # lazy checkpoint (sym + labels in one job chain).
+    # Convergence = unchanged exact label sum: labels only ever decrease,
+    # so sum(new) == sum(old) ⇔ no label moved. DECIMAL(38) keeps the sum
+    # exact at any vertex count; the collect below is also what
+    # materializes the lazy checkpoint (sym ckpt + labels in one chain).
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0].s
-    new_sum = prev_sum
-    converged = False
-    for _ in range(max_iter):
-        # One round = min(own label, neighbors' labels), expressed as
-        # union + one aggregation instead of join + groupBy + LEFT join
-        # back (r14): each vertex's own (v, label) row rides the union, so
-        # vertices with no lower neighbor keep their label without the
-        # third exchange the join-back form paid. Same result, 2 exchanges
-        # per round instead of 3.
-        contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
-            F.col("dst").alias(vertex_col), F.col("component")
-        )
-        new_labels = (
-            labels.unionByName(contrib)
-            .groupBy(vertex_col)
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = new_labels.agg(label_sum).collect()[0].s
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+    # sym_ckpt is materialized now, so its AQE-final partition count is
+    # known for free — the DATA-derived shuffle width for the loop (the
+    # edge pipeline's own coalesced sizing; never a local-core constant).
+    sym_parts = max(1, sym_ckpt.rdd.getNumPartitions())
+    sym = (
+        sym_ckpt.repartition(sym_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    try:
+        new_sum = prev_sum
+        converged = False
+        for _ in range(max_iter):
+            # One round = min(own label, neighbors' labels), expressed as
+            # union + one aggregation instead of join + groupBy + LEFT join
+            # back (r14): each vertex's own (v, label) row rides the union,
+            # so vertices with no lower neighbor keep their label without
+            # the third exchange the join-back form paid. Same result; the
+            # only per-round shuffles move LABEL-sized rows.
+            contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
+                F.col("dst").alias(vertex_col), F.col("component")
+            )
+            new_labels = (
+                labels.unionByName(contrib)
+                .groupBy(vertex_col)
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=False)
+            )
+            new_sum = new_labels.agg(label_sum).collect()[0].s
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        # The returned labels are already materialized (checkpointed) by
+        # their convergence collect — the edge cache is loop-scoped.
+        sym.unpersist()
     if not converged:
         # Labels were still moving when the iteration budget ran out — the
         # result would be silently wrong for any component whose diameter
@@ -318,9 +354,13 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver. The 100 TB semantic-dedup recipe is exactly this plan with
     the threshold raised to the production near-dup band.
     """
-    from .similarity import q_embedding_cosine_dedup
+    from .similarity import cosine_neardup_edges
 
-    pairs = q_embedding_cosine_dedup(spark, sf_dir).select("d1", "d2")
+    # Multiset edge feed: same verified pair set, WITHOUT the wide
+    # dropDuplicates exchange (cosine_neardup_edges) — min-label closure is
+    # duplicate-tolerant, so the k-chunk-agreement duplicates cost k extra
+    # id-pair rows instead of shuffling two embeddings per candidate row.
+    pairs = cosine_neardup_edges(spark, sf_dir)
     comp = connected_components(pairs, vertex_col="vec_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return (

@@ -18,7 +18,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.vector import cosine, dot, norm
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, table_row_count
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors
@@ -243,15 +243,23 @@ def sign_chunk_values_sql(bits: int) -> str:
     return f"SELECT vec_id, {_duck_chunk_defs(bits)} FROM embeddings"
 
 
-def blocked_candidates(spark: SparkSession, sf_dir: str, bits: int | None = None) -> DataFrame:
+def blocked_candidates(
+    spark: SparkSession, sf_dir: str, bits: int | None = None, dedup: bool = True
+) -> DataFrame:
     """(d1, d2, ea, eb) candidate pairs agreeing on ≥1 sign chunk, at the
     given (or corpus-derived) chunk width — the blocking stage of
     q_embedding_cosine_dedup, exported so tests can measure candidate-count
-    scaling directly."""
+    scaling directly.
+
+    ``dedup=False`` skips the dropDuplicates exchange: a pair agreeing on
+    k chunks then appears k times. The dedup shuffle moves FULL-WIDTH rows
+    (two embeddings per row) — consumers whose semantics are multiset-
+    tolerant (min-label closure) should skip it and pay ≤chunks× duplicate
+    id-pair rows downstream instead (guide §2.3: shuffle fewer bytes)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if bits is None:
         # Footer-only count (parquet metadata, no data scan) → bit width.
-        bits = neardup_chunk_bits(emb.count())
+        bits = neardup_chunk_bits(table_row_count(spark, sf_dir, "embeddings"))
     chunked = emb.select(
         "vec_id",
         "embedding",
@@ -265,11 +273,24 @@ def blocked_candidates(spark: SparkSession, sf_dir: str, bits: int | None = None
     b = chunked.select(
         F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"), "chunk_idx", "chunk_val"
     )
-    return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])  # pairs may agree on several chunks
-    )
+    cand = a.join(b, ["chunk_idx", "chunk_val"]).filter(F.col("d1") < F.col("d2"))
+    if dedup:
+        cand = cand.dropDuplicates(["d1", "d2"])  # pairs may agree on several chunks
+    return cand
+
+
+def cosine_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2) near-dup EDGES for transitive-closure consumers
+    (q_embedding_dedup_components): the same pair set q_embedding_cosine_dedup
+    verifies, as a MULTISET — a pair agreeing on k sign chunks appears k
+    times, because the closure's per-vertex min() is duplicate-tolerant and
+    skipping the dropDuplicates exchange avoids shuffling two embeddings
+    per candidate row (guide §2.3). Exact cosine still gates every row, so
+    set(edges) == set(q_embedding_cosine_dedup pairs) — pinned in tests."""
+    cand = blocked_candidates(spark, sf_dir, dedup=False)
+    return cand.filter(
+        cosine(F.col("ea"), F.col("eb")) >= BLOCKED_COSINE_THRESHOLD
+    ).select("d1", "d2")
 
 
 @register(

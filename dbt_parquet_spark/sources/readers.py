@@ -229,6 +229,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Footer row-count memo — same (path, mtime, size) discipline as the
+# probes above. Sizing decisions (e.g. the near-dup chunk width, which is
+# derived from ceil(log2 N)) only need parquet's footer num_rows; running
+# a Spark count() job for it costs a driver round-trip + scheduling wave
+# per query build. Single local files read the footer once per stat-key;
+# directories and remote paths fall back to a distributed count (None) —
+# at warehouse scale a footer-walk on the driver would be the wrong tool.
+_ROW_COUNT_MEMO: dict[tuple[str, float, int], int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a table, from the parquet footer when the table
+    is a single local file (memoized by stat key), else via a Spark count
+    job. Always equals ``load_table(...).count()``."""
+    path = table_path(sf_dir, name)
+    if "://" not in path and os.path.isfile(path):
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime, st.st_size)
+        except OSError:
+            key = None
+        if key is not None:
+            hit = _ROW_COUNT_MEMO.get(key)
+            if hit is None:
+                import pyarrow.parquet as pq
+
+                hit = pq.ParquetFile(path).metadata.num_rows
+                _ROW_COUNT_MEMO[key] = hit
+            return hit
+    return load_table(spark, sf_dir, name).count()
+
+
 def spread_small_scan(
     spark: SparkSession, df: DataFrame, bytes_per_partition: int = 64 * 1024
 ) -> DataFrame:

@@ -130,6 +130,57 @@ def test_connected_components_lazy_checkpoint_converges(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_cosine_neardup_edges_set_equals_dedup_pairs(spark):
+    """The multiset edge feed (no dropDuplicates exchange) must cover the
+    EXACT same pair set q_embedding_cosine_dedup verifies — duplicates
+    allowed (a pair agreeing on k chunks appears k times), new or missing
+    pairs not."""
+    from dbt_parquet_spark.operators.similarity import (
+        cosine_neardup_edges,
+        q_embedding_cosine_dedup,
+    )
+
+    edges = [(r.d1, r.d2) for r in cosine_neardup_edges(spark, SF_ORACLE).collect()]
+    dedup = {
+        (r.d1, r.d2) for r in q_embedding_cosine_dedup(spark, SF_ORACLE).collect()
+    }
+    assert set(edges) == dedup
+    assert len(edges) >= len(dedup) > 0
+
+
+def test_table_row_count_matches_spark_count_and_invalidates(spark, tmp_path):
+    """Footer row counts must equal a Spark count() and must re-read after
+    the file is rewritten (stat-key invalidation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dbt_parquet_spark.sources.readers import table_row_count
+
+    assert table_row_count(spark, SF_ORACLE, "embeddings") == load_table(
+        spark, SF_ORACLE, "embeddings"
+    ).count()
+    d = str(tmp_path)
+    p = os.path.join(d, "t.parquet")
+    papq.write_table(pa.table({"a": pa.array([1, 2, 3], pa.int64())}), p)
+    assert table_row_count(spark, d, "t") == 3
+    papq.write_table(pa.table({"a": pa.array([7], pa.int64())}), p)
+    os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+    assert table_row_count(spark, d, "t") == 1
+
+
+def test_connected_components_unpersists_edge_cache(spark):
+    """The loop-scoped edge cache must not leak: the persisted-RDD set
+    after a call matches the set before it."""
+    from dbt_parquet_spark.operators.graph import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "d1 long, d2 long")
+    got = connected_components(edges, vertex_col="v").collect()
+    assert len(got) == 5
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_run_to_batch_caps_and_restores_shuffle_partitions(spark):
     """The streaming harness must cap shuffle partitions (state stores) at
     cluster parallelism for the duration of a stateful run, restore the
