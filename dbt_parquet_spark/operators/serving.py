@@ -434,46 +434,61 @@ def _ranking_metrics(
         .cast("long")
         .alias("c"),
     )
-    ks_i = spark.range(1).select(
-        F.explode(F.array(*[F.lit(k).cast("long") for k in EVAL_CUTOFFS])).alias("k")
+    # ONE aggregation for every per-cutoff quantity (r14 §13, guide §1 stage
+    # diet): the run contributions, the ideal contributions and a seed row
+    # per cutoff union into a single (k)-keyed groupBy with conditional
+    # aggregates, replacing the 3-stage chain of tiny broadcast joins
+    # (ks⋈idealc, ks⋈contrib, per_k⋈idcg) the tail used to plan — each of
+    # which cost an AQE materialization wave per evaluation. Seeds keep
+    # every cutoff present even for an empty run, which is exactly the
+    # oracle's `ks LEFT JOIN` semantics; all aggregates are the same
+    # integer ops as before, so every value is bit-identical.
+    cut_arr = F.array(*[F.lit(k).cast("long") for k in EVAL_CUTOFFS])
+    null_l = F.lit(None).cast("long")
+    run_rows = contrib.select(
+        F.explode(cut_arr).alias("k"), "r", F.col("rel").cast("int").alias("rel"),
+        F.col("c"), F.lit(1).alias("src"),
+    ).filter(F.col("r") <= F.col("k"))
+    ideal_rows = idealc.select(
+        F.explode(cut_arr).alias("k"), F.col("j").alias("r"),
+        F.lit(None).cast("int").alias("rel"), F.col("c"), F.lit(2).alias("src"),
+    ).filter(F.col("r") <= F.col("k"))
+    seed_rows = spark.range(1).select(
+        F.explode(cut_arr).alias("k"), null_l.alias("r"),
+        F.lit(None).cast("int").alias("rel"), null_l.alias("c"),
+        F.lit(0).alias("src"),
     )
-    idcg_df = (
-        ks_i.join(F.broadcast(idealc), idealc["j"] <= F.col("k"), "left")
-        .groupBy("k")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("idcg"))
-    )
-
-    ks = spark.range(1).select(
-        F.explode(F.array(*[F.lit(k).cast("long") for k in EVAL_CUTOFFS])).alias("k")
-    )
+    is_run = F.col("src") == 1
     per_k = (
-        contrib.join(F.broadcast(ks), F.col("r") <= F.col("k"))
+        seed_rows.unionByName(run_rows)
+        .unionByName(ideal_rows)
         .groupBy("k")
         .agg(
-            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(is_run, F.when(F.col("rel") >= 1, 1).otherwise(0))),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_rel_topk"),
-            F.min(F.when(F.col("rel") >= 1, F.col("r"))).alias("first_rel"),
-            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("dcg_ppm"),
+            F.min(F.when(is_run & (F.col("rel") >= 1), F.col("r"))).alias(
+                "first_rel"
+            ),
+            F.coalesce(F.sum(F.when(is_run, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("dcg_ppm"),
+            F.coalesce(F.sum(F.when(F.col("src") == 2, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("idcg"),
         )
     )
     return (
-        per_k.join(F.broadcast(idcg_df), "k", "left")
-        .select(
+        per_k.select(
             "k",
             "n_rel_topk",
             F.expr("(1000000 * n_rel_topk) DIV k").alias("prec_ppm"),
             F.coalesce(F.expr("1000000 DIV first_rel"), F.lit(0).cast("long")).alias(
                 "mrr_ppm"
             ),
-            "dcg_ppm",
-            F.coalesce(F.col("idcg"), F.lit(0).cast("long")).alias("idcg"),
-        )
-        .select(
-            "k",
-            "n_rel_topk",
-            "prec_ppm",
-            "mrr_ppm",
             "dcg_ppm",
             F.when(F.col("idcg") == 0, F.lit(0).cast("long"))
             .otherwise(F.expr("(1000000 * dcg_ppm) DIV idcg"))
