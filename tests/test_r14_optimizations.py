@@ -168,17 +168,36 @@ def test_table_row_count_matches_spark_count_and_invalidates(spark, tmp_path):
     assert table_row_count(spark, d, "t") == 1
 
 
-def test_connected_components_unpersists_edge_cache(spark):
-    """The loop-scoped edge cache must not leak: the persisted-RDD set
-    after a call matches the set before it."""
+def test_connected_components_unpersists_edge_cache(spark, monkeypatch):
+    """The loop-scoped edge cache must not leak: every DataFrame persist
+    inside the call gets a matching unpersist. (Counting persist calls —
+    not getPersistentRDDs — because localCheckpoint RDDs linger until the
+    async ContextCleaner collects them, which made a global-count assert
+    flaky in full-suite sessions.)"""
+    # the CONCRETE class — pyspark.sql.DataFrame is the abstract base in
+    # Spark 4 and instance calls dispatch to the classic subclass
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from dbt_parquet_spark.operators.graph import connected_components
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    calls = {"persist": 0, "unpersist": 0}
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def spy_p(self, *a, **k):
+        calls["persist"] += 1
+        return orig_p(self, *a, **k)
+
+    def spy_u(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_p)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_u)
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "d1 long, d2 long")
     got = connected_components(edges, vertex_col="v").collect()
     assert len(got) == 5
-    assert jsc.getPersistentRDDs().size() == before
+    assert calls["persist"] == 1  # the pre-partitioned sym cache
+    assert calls["unpersist"] == calls["persist"]
 
 
 def test_run_to_batch_caps_and_restores_shuffle_partitions(spark):
