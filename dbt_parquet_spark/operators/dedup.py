@@ -167,6 +167,11 @@ def _verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float) -> Data
 
     intersection/union are integer counts → the ratio is a bit-deterministic
     double in any engine.
+
+    Reach for ``_count_verify_jaccard`` instead whenever the candidate rows
+    come straight from the shingle postings (one row PER SHARED SHINGLE):
+    this set form is only needed when candidate multiplicity does NOT equal
+    the intersection (MinHash band agreements).
     """
     a = docs.select(F.col("doc_id").alias("d1"), F.col("sh").alias("t1"))
     b = docs.select(F.col("doc_id").alias("d2"), F.col("sh").alias("t2"))
@@ -175,6 +180,51 @@ def _verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float) -> Data
     return (
         pairs.join(a, "d1").join(b, "d2")
         .select("d1", "d2", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_counts(exploded: DataFrame) -> DataFrame:
+    """(doc_id, n_sh) — per-doc DISTINCT shingle-set sizes (the exploded
+    scaffold is per-doc distinct by construction), for the count-based
+    verify below. A LONG per doc instead of the full shingle-text array
+    that ``shingle_sets`` shuffles."""
+    return exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def _count_verify_jaccard(
+    shared: DataFrame, counts: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verify WITHOUT re-touching shingle text (r15, guide
+    §2.3 "shuffle keys and metadata instead of payloads"):
+
+    ``shared`` must carry one (d1, d2) row PER SHARED DISTINCT SHINGLE —
+    exactly what the posting equi-join / bucket pair-expansion already
+    emits, because the shingle scaffold is per-doc distinct. Then
+    |intersection| is simply COUNT(*) per pair, and |union| = n1 + n2 −
+    inter from the per-doc shingle counts. The previous set form
+    (_verify_jaccard over collect_list sets) shuffled the ENTIRE shingle
+    corpus into arrays TWICE (once per join side — two full-corpus
+    collect_list aggregations that AQE's stage reuse does not unify) and
+    ran an O(|sh1|·|sh2|) array_intersect per candidate; this form shuffles
+    a long per doc and counts per pair with map-side partials. Same
+    integers, same single double division → bit-identical jaccard values
+    (pinned vs the set form in tests/test_r15_optimizations.py).
+    """
+    inter_df = shared.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
+    a = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    b = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter_df.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -258,13 +308,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly how it runs on 1000 executors.
     """
     # doc_shingles is already persisted (and memoized across queries): the
-    # exploded shingles feed three plan branches (candidate buckets + both
-    # verify sides) without re-running the tokenize pipeline.
+    # exploded shingles feed both plan branches (candidate buckets + the
+    # per-doc counts) without re-running the tokenize pipeline.
     exploded = doc_shingles(spark, sf_dir)
     # Bucket key = the shingle itself; cap high enough to stay exact on any
     # plausible shingle frequency (matching the uncapped oracle SQL).
-    cand = pairs_from_buckets(exploded, ["s"], max_bucket=1_000_000)
-    return _verify_jaccard(cand, shingle_sets(exploded), JACCARD_THRESHOLD)
+    # dedup=False: each shared distinct shingle emits the pair once, so the
+    # pair-keyed COUNT below is the exact |intersection| — no collect_list
+    # set shuffles, no per-pair array_intersect (guide §2.3; r15).
+    shared = pairs_from_buckets(exploded, ["s"], max_bucket=1_000_000, dedup=False)
+    return _count_verify_jaccard(shared, shingle_counts(exploded), JACCARD_THRESHOLD)
 
 
 def minhash_signature(sh: Column, num_perm: int = NUM_PERM) -> list[Column]:
@@ -299,7 +352,12 @@ def chunked_pair_expansion(buckets: DataFrame, arr: str) -> DataFrame:
     )
 
 
-def pairs_from_buckets(bucketed: DataFrame, key_cols: list[str], max_bucket: int = 200) -> DataFrame:
+def pairs_from_buckets(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int = 200,
+    dedup: bool = True,
+) -> DataFrame:
     """(d1, d2) candidate pairs from LSH buckets WITHOUT a self-join: group
     doc ids per bucket, then expand each bucket's m·(m-1)/2 pairs with the
     chunked (memory-linear) generator expansion. One shuffle, no
@@ -311,17 +369,23 @@ def pairs_from_buckets(bucketed: DataFrame, key_cols: list[str], max_bucket: int
     scale, prefer a work-bounding cap and accept the recall loss on
     boilerplate buckets (test_ngram_bucket_cap_safe_on_boilerplate_corpus
     shows the verify step rejects those pairs anyway).
+
+    ``dedup=False`` skips the final distinct and returns the raw MULTISET:
+    one (d1, d2) row per bucket the pair co-occurs in. When the bucket key
+    is the shingle itself (and the input is per-doc distinct), that
+    multiplicity IS |shingle intersection| — the _count_verify_jaccard
+    feed, where the downstream pair-keyed COUNT replaces the distinct's
+    exchange one-for-one (guide §2.4).
     """
     buckets = (
         bucketed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    return (
-        chunked_pair_expansion(buckets, "ids")
-        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
-        .distinct()
+    pairs = chunked_pair_expansion(buckets, "ids").select(
+        F.col("x").alias("d1"), F.col("y").alias("d2")
     )
+    return pairs.distinct() if dedup else pairs
 
 
 # Memo of persisted (doc_id, hs: array<bigint>) shingle BASE-HASH arrays —
@@ -713,8 +777,11 @@ def q_cross_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     is_train = F.md5(F.col("doc_id").cast("string")) < TRAIN_THRESHOLD
     tr = sh.filter(is_train).select(F.col("doc_id").alias("d1"), "s")
     te = sh.filter(~is_train).select(F.col("doc_id").alias("d2"), "s")
-    cand = te.join(tr, "s").select("d1", "d2").distinct()
-    verified = _verify_jaccard(cand, shingle_sets(sh), JACCARD_THRESHOLD)
+    # One row per shared distinct shingle (the scaffold is per-doc
+    # distinct), so the verify is the count form: no distinct exchange, no
+    # collect_list set shuffles, no per-pair array_intersect (r15, §2.3).
+    shared = te.join(tr, "s").select("d1", "d2")
+    verified = _count_verify_jaccard(shared, shingle_counts(sh), JACCARD_THRESHOLD)
     return verified.select(
         F.col("d2").alias("test_id"), F.col("d1").alias("train_id"), "jaccard"
     )
@@ -941,13 +1008,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("d2"), "s")
     )
     older = sh.select(F.col("doc_id").alias("d1"), "s")
-    cand = (
-        delta.join(older, "s")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    return _verify_jaccard(cand, shingle_sets(sh), JACCARD_THRESHOLD)
+    # One row per shared distinct shingle → count-based verify (r15, §2.3:
+    # the posting join's multiplicity IS the intersection; no distinct, no
+    # set shuffles, no per-pair array_intersect).
+    shared = delta.join(older, "s").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
+    return _count_verify_jaccard(shared, shingle_counts(sh), JACCARD_THRESHOLD)
 
 
 # --- Exact substring dedup (maximal duplicated runs) -------------------------

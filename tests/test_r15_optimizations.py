@@ -1,0 +1,129 @@
+"""Focused tests for the round-15 optimization internals.
+
+Each optimization keeps results bit-identical (the full oracle-parity gate
+covers that); these tests pin the MECHANISMS the optimizations rely on —
+the count-based Jaccard verify's equivalence to the set form, and its
+posting-multiplicity precondition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _shingled_corpus(spark, tmp_path):
+    """A corpus with boilerplate (hot shingles), true near-dups, and docs
+    with repeated-token texts (exercises the per-doc-distinct invariant)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    boiler = "terms of service apply all rights reserved contact us today"
+    rows = []
+    for i in range(20):
+        body = " ".join(f"u{i}w{j}" for j in range(30))
+        rows.append((i, f"{boiler} {body}"))
+    for p in range(4):
+        base = " ".join(f"p{p}tok{j}" for j in range(50))
+        rows.append((100 + 2 * p, f"{base} alpha extra{p}"))
+        rows.append((101 + 2 * p, f"{base} beta extra{p}"))
+    # repeated-token docs: the same shingle occurs at several positions,
+    # which must NOT inflate the count-based intersection (the scaffold is
+    # per-doc distinct by construction)
+    rep = "spam ham spam ham spam ham spam ham spam ham spam ham"
+    rows.append((300, rep + " tail a b c d e f g h"))
+    rows.append((301, rep + " tail a b c d e f x y"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "docs.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    from dbt_parquet_spark.operators.dedup import shingles
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select("doc_id", F.explode(shingles(F.col("toks"), 5)).alias("s"))
+
+
+def test_count_verify_jaccard_equals_set_verify(spark, tmp_path):
+    """_count_verify_jaccard over the multiset bucket expansion must emit
+    the exact same (d1, d2, jaccard) rows — bit-identical doubles — as the
+    set-based _verify_jaccard over the same candidates (r15: the count form
+    replaced the two full-corpus collect_list shuffles in the posting-
+    derived callers)."""
+    from dbt_parquet_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _count_verify_jaccard,
+        _verify_jaccard,
+        pairs_from_buckets,
+        shingle_counts,
+        shingle_sets,
+    )
+
+    exploded = _shingled_corpus(spark, tmp_path).persist()
+    try:
+        cand = pairs_from_buckets(exploded, ["s"], max_bucket=1_000_000)
+        old = {
+            (r.d1, r.d2, r.jaccard)
+            for r in _verify_jaccard(
+                cand, shingle_sets(exploded), JACCARD_THRESHOLD
+            ).collect()
+        }
+        shared = pairs_from_buckets(
+            exploded, ["s"], max_bucket=1_000_000, dedup=False
+        )
+        new = {
+            (r.d1, r.d2, r.jaccard)
+            for r in _count_verify_jaccard(
+                shared, shingle_counts(exploded), JACCARD_THRESHOLD
+            ).collect()
+        }
+        assert old == new  # exact doubles: same integers, same one division
+        assert len(new) >= 4  # non-vacuous: the near-dup pairs exist
+    finally:
+        exploded.unpersist()
+
+
+def test_posting_multiplicity_is_intersection(spark, tmp_path):
+    """The count form's precondition: one expansion row per shared DISTINCT
+    shingle. Pinned directly — per-pair expansion multiplicity must equal
+    size(array_intersect) of the shingle sets, including for docs whose
+    text repeats tokens (per-doc distinctness comes from the scaffold)."""
+    from dbt_parquet_spark.operators.dedup import (
+        chunked_pair_expansion,
+        shingle_sets,
+    )
+
+    exploded = _shingled_corpus(spark, tmp_path).persist()
+    try:
+        buckets = (
+            exploded.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        mult = (
+            chunked_pair_expansion(buckets, "ids")
+            .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sets = shingle_sets(exploded)
+        a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("t1"))
+        b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("t2"))
+        chk = (
+            mult.join(a, "d1")
+            .join(b, "d2")
+            .select(
+                "d1",
+                "d2",
+                "inter",
+                F.size(F.array_intersect("t1", "t2")).alias("exact"),
+            )
+        )
+        rows = chk.collect()
+        assert rows, "no candidate pairs — corpus broken"
+        bad = [(r.d1, r.d2, r.inter, r.exact) for r in rows if r.inter != r.exact]
+        assert not bad, f"multiplicity != intersection: {bad[:5]}"
+    finally:
+        exploded.unpersist()
