@@ -20,6 +20,32 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Names that reached the ROUND-14 printed line (BENCH_r14.json). The driver
+# keeps only the last 2,000 chars of stdout and PERF matches queries
+# round-over-round BY NAME, so these are PINNED onto the printed line: a
+# pinned query can never be trimmed, hence PERF_r15 can never manufacture a
+# phantom "dropped_from_bench" row for a query that merely got FASTER
+# (VERDICT_r14 "what's wrong #2" — q_embedding_gram vanished from PERF_r14
+# exactly because it improved past the trim cutoff).
+R14_PRINTED = frozenset({
+    "q_agg_multi", "q_ann_ivf_pq", "q_ann_ivf_pq_filtered", "q_ann_pca",
+    "q_ann_pq", "q_ann_topk", "q_asof_join", "q_bloom_semi_join",
+    "q_bm25_batch", "q_bm25_topk", "q_bpe_budget_sample", "q_context_pack",
+    "q_cooccurrence_capped", "q_corpus_pipeline", "q_corpus_release",
+    "q_cross_split_decontamination", "q_dedup_components", "q_dedup_evidence",
+    "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_drop_reasons",
+    "q_embedding_cosine_dedup", "q_embedding_dedup_components",
+    "q_except_diff", "q_heavy_hitters", "q_hybrid_retrieval",
+    "q_incremental_dedup", "q_inverted_index", "q_join_using",
+    "q_kn_doc_score", "q_kneser_ney", "q_knn_eval", "q_mixture_budget",
+    "q_perplexity_buckets", "q_profile_table", "q_quality_classifier_auc",
+    "q_release_substring_scrub", "q_repetition_score", "q_retrieval_eval",
+    "q_semantic_decontamination", "q_semdedup", "q_source_drift",
+    "q_source_overlap", "q_span_dedup", "q_substring_dedup",
+    "q_substring_evidence", "q_substring_scrub", "q_term_saliency",
+    "q_vocab_coverage", "q_vocabulary", "q_winnow_overlap", "q_winnowing",
+})
+
 # Headline queries: the shuffle/join/window/extension-heavy subset.
 HEADLINE = [
     "q_agg_multi",
@@ -384,6 +410,22 @@ def main() -> None:
     # a draw carrying this flag is machine-classified as environment, and
     # a round-over-round mover against a flagged draw is not a regression.
     noisy = med_steady > 0.15
+    # Printed-line encoding (r15, VERDICT_r14 "what's wrong #2"): the driver
+    # keeps only the LAST 2,000 chars of stdout, and the 107 headliner names
+    # alone are ~1,660 chars — a line carrying every full name physically
+    # cannot fit, and renaming/shortening keys would break PERF's by-name
+    # round-over-round matching ("never remove or rename"). So the encoding
+    # is squeezed everywhere else: compact JSON separators, 2-decimal mins
+    # from the start, short box keys (l0/l1 = loadavg pre/post, sp0/sp1 =
+    # spin-canary seconds pre/post, msp/mss = median (steady) spread, nc =
+    # non-converged count; `contended`/`noisy` keep their full names — they
+    # are the machine-classification flags other rounds grep for), and the
+    # trim order PINS every name that reached the r14 printed line
+    # (R14_PRINTED) so a pinned query can never be trimmed — PERF can no
+    # longer manufacture a phantom "dropped_from_bench" row for a query
+    # that merely got faster. Remaining space is filled with the SLOWEST
+    # unpinned queries; the BENCH_DETAIL.json sidecar always carries every
+    # query at full precision plus per-query spreads.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -391,20 +433,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "box": {
-            "loadavg_pre": load_pre,
-            "loadavg_post": load_post,
-            "spin_s_pre": spin_pre,
-            "spin_s_post": _spin_s(),
+            "l0": load_pre,
+            "l1": load_post,
+            "sp0": spin_pre,
+            "sp1": _spin_s(),
             "contended": bool(contended),
             "noisy": bool(noisy),
-            "median_spread": round(med_spread, 3),
-            "median_steady_spread": round(med_steady, 3),
-            "reps": "min-of-<=5, 5%-convergence early stop, no tier caps (r13)",
+            "msp": round(med_spread, 3),
+            "mss": round(med_steady, 3),
             # queries whose rep budget ran out before the two fastest
             # agreed within 5% — their committed mins are draw-suspect
             # (count here; names in the BENCH_DETAIL.json sidecar's
             # per-query `converged` flags)
-            "non_converged": sum(1 for s in spreads.values() if not s["converged"]),
+            "nc": sum(1 for s in spreads.values() if not s["converged"]),
         },
     }
     if errors:
@@ -412,19 +453,39 @@ def main() -> None:
     if warm_cache:
         # count only on the compact line; the sidecar carries the names
         out["warm_cache_count"] = len(warm_cache)
-    line = json.dumps(out)
-    if len(line) > 1900:
-        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(out)
-    # Last resort: drop the FASTEST queries from the printed line (the
-    # slow ones are the scoreboard; the sidecar keeps everything) until it
-    # fits, recording how many were trimmed.
-    while len(line) > 1900 and out["queries"]:
-        keep = sorted(timings, key=timings.get, reverse=True)[: len(out["queries"]) - 5]
-        out["queries"] = {k: round(timings[k], 2) for k in sorted(keep)}
-        out["queries_omitted"] = len(timings) - len(keep)
-        line = json.dumps(out)
-    detail = dict(out, queries=timings, spreads=spreads, warm_cache=sorted(warm_cache))
+
+    def _encode(sel: list[str]) -> str:
+        out["queries"] = {k: round(timings[k], 2) for k in sorted(sel)}
+        omitted = len(timings) - len(sel)
+        if omitted:
+            out["queries_omitted"] = omitted
+        else:
+            out.pop("queries_omitted", None)
+        return json.dumps(out, separators=(",", ":"))
+
+    sel = list(timings)
+    line = _encode(sel)
+    if len(line) > 1950:
+        pinned = [n for n in timings if n in R14_PRINTED]
+        others = sorted(
+            (n for n in timings if n not in R14_PRINTED), key=timings.get
+        )  # fastest first — popped first
+        while len(line) > 1950 and others:
+            others.pop(0)
+            line = _encode(pinned + others)
+        # Degenerate last resort (pins alone exceed the window — cannot
+        # happen at current name lengths): fall back to trimming fastest.
+        while len(line) > 1950 and len(out["queries"]) > 5:
+            keep = sorted(pinned, key=timings.get)[1:]
+            pinned = keep
+            line = _encode(pinned)
+    detail = dict(
+        out,
+        queries=timings,
+        spreads=spreads,
+        warm_cache=sorted(warm_cache),
+        reps="min-of-<=5, 5%-convergence early stop, no tier caps (r13)",
+    )
     try:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
         with open(sidecar, "w") as fh:

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Round tag for the plans/<round>/ dump dir (r15 optimization round).
+ROUND = os.environ.get("OP_PROFILE_ROUND", "r15")
 
 
 def main() -> None:
@@ -102,8 +104,8 @@ def main() -> None:
         if not walls:
             continue
         if plans_tag:
-            os.makedirs(os.path.join(REPO, "plans", "r14"), exist_ok=True)
-            p = os.path.join(REPO, "plans", "r14", f"{name}_{plans_tag}.txt")
+            os.makedirs(os.path.join(REPO, "plans", ROUND), exist_ok=True)
+            p = os.path.join(REPO, "plans", ROUND, f"{name}_{plans_tag}.txt")
             with open(p, "w") as fh:
                 fh.write(specs[name].builder(spark, SF_DIR)._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -112,7 +114,7 @@ def main() -> None:
         print(f"{name:38s} {rep_s:28s} {jobs:4d} {stages:6d} {tasks:6d}")
         results[name] = {"walls": [round(w, 3) for w in walls], "jobs": jobs,
                          "stages": stages, "tasks": tasks}
-    out = os.path.join(REPO, "plans", "r14", "profile.json")
+    out = os.path.join(REPO, "plans", ROUND, "profile.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     prev = {}
     if os.path.exists(out):
