@@ -124,23 +124,36 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(w).alias("canonical_id"),
     )
     drops = ranked.filter(F.col("rn") > 1).select("doc_id", "canonical_id")
-    dedup = q.join(drops, "doc_id", "left_anti")
-    thresholds = dedup.groupBy("source").agg(
-        F.expr(f"percentile(quality, {PRUNE_PCT})").alias("thr")
-    )
-    return (
-        q.join(drops, "doc_id", "left")
-        .join(F.broadcast(thresholds), "source", "left")
-        .select(
-            "doc_id",
-            "source",
-            "quality",
-            F.when(F.col("canonical_id").isNotNull(), F.lit("near_dup"))
-            .when(F.col("quality") < F.col("thr"), F.lit("low_quality"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
-            "canonical_id",
-        )
+    # ONE left join + a percentile WINDOW by source (r15, guide §2.4). The
+    # previous shape consumed `drops` twice — a LeftAnti feeding the
+    # per-source threshold aggregate and a LeftOuter feeding the output —
+    # and because the two consumers prune different columns the drops
+    # subtree (components join + canonical window) planned and EXECUTED
+    # twice, with the quality scan run four times (VERDICT_r14 next-round
+    # #5). Now the threshold is percentile over the KEPT rows' quality
+    # (the CASE feeds NULL for near-dup rows and percentile ignores
+    # NULLs — exactly the old aggregate's input set, same exact
+    # interpolation), computed per source as a window over the single
+    # joined frame: drops planned once, documents scanned once, and the
+    # anti-join + threshold broadcast chain is gone. A whole source lands
+    # in one window task, but the old percentile aggregate buffered the
+    # same per-source value set in one reducer anyway (TypedImperative
+    # percentile has no partial reduction), so the skew posture is
+    # unchanged.
+    qd = q.join(drops, "doc_id", "left")
+    thr = F.percentile(
+        F.when(F.col("canonical_id").isNull(), F.col("quality")),
+        F.lit(PRUNE_PCT),
+    ).over(Window.partitionBy("source"))
+    return qd.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("canonical_id").isNotNull(), F.lit("near_dup"))
+        .when(F.col("quality") < thr, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        "canonical_id",
     )
 
 

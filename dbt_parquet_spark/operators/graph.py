@@ -10,12 +10,52 @@ distributed iterative algorithm instead — the honest 100 TB shape.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from .dedup import NGRAM_PAIRS_CTES, q_dedup_ngram_jaccard
 from .similarity import BLOCKED_COSINE_PAIRS_CTES
+
+# Serializes the loop-scoped conf override below across threads: the
+# save/restore pair mutates session-global SQL confs, and two overlapping
+# loops could otherwise race the restore and leave the session non-adaptive
+# (the ADVICE r14 stream_ops concern, fixed here the lock way).
+_LOOP_CONF_LOCK = threading.RLock()
+
+
+@contextmanager
+def _static_loop_plans(spark: SparkSession, width: int):
+    """Run an iterative loop's per-round actions with adaptive execution OFF
+    and a FIXED, data-derived shuffle width (r15, guide §1.2 per-round fixed
+    costs).
+
+    Every round of an iterative graph algorithm is a fixed-shape two-shuffle
+    plan over operands whose sizes the loop already knows (the cached edge
+    list's materialized width; vertex-sized labels). AQE re-derives that
+    knowledge per round at the cost of one scheduler wave PER EXCHANGE per
+    round — measured 19 -> 6 jobs / −24% wall on q_dedup_components and
+    23 -> 8 / −20% on q_embedding_dedup_components at sf0.1 — and its
+    runtime re-planning has nothing left to decide: the edge side of the
+    round join is a persisted, pre-partitioned cache (no exchange to
+    coalesce), and the label shuffle's width is set here to the edge
+    cache's own AQE-final width — data-derived at any scale, never a local
+    core-count constant. Restores both confs in a ``finally``; the lock
+    keeps concurrent loops from interleaving save/restore."""
+    conf = spark.conf
+    with _LOOP_CONF_LOCK:
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        old_parts = conf.get("spark.sql.shuffle.partitions")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(max(1, width)))
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def connected_components(
@@ -107,36 +147,52 @@ def connected_components(
     # known for free — the DATA-derived shuffle width for the loop (the
     # edge pipeline's own coalesced sizing; never a local-core constant).
     sym_parts = max(1, sym_ckpt.rdd.getNumPartitions())
+    # Duplicate edges are deduped ONCE at cache fill (r15): multiset feeds
+    # (cosine_neardup_edges emits a pair once per agreeing chunk) would
+    # otherwise pay their multiplicity in EVERY round's join input. The
+    # dropDuplicates rides the repartition("src") — hash partitioning by a
+    # subset of the grouping key satisfies the aggregation's distribution,
+    # so no extra exchange — and min-label propagation is multiset-tolerant,
+    # so the result is unchanged by construction.
     sym = (
         sym_ckpt.repartition(sym_parts, "src")
+        .dropDuplicates(["src", "dst"])
         .sortWithinPartitions("src")
         .persist()
     )
+    spark = sym_ckpt.sparkSession
     try:
         new_sum = prev_sum
         converged = False
-        for _ in range(max_iter):
-            # One round = min(own label, neighbors' labels), expressed as
-            # union + one aggregation instead of join + groupBy + LEFT join
-            # back (r14): each vertex's own (v, label) row rides the union,
-            # so vertices with no lower neighbor keep their label without
-            # the third exchange the join-back form paid. Same result; the
-            # only per-round shuffles move LABEL-sized rows.
-            contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
-                F.col("dst").alias(vertex_col), F.col("component")
-            )
-            new_labels = (
-                labels.unionByName(contrib)
-                .groupBy(vertex_col)
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=False)
-            )
-            new_sum = new_labels.agg(label_sum).collect()[0].s
-            labels = new_labels
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
+        # Per-round plans are fixed-shape (cached pre-partitioned edges ⋈
+        # labels → union → groupBy(min)) with known operand sizes — run
+        # them non-adaptively at the edge cache's own data-derived width:
+        # one Spark job per round instead of one per exchange per round
+        # (_static_loop_plans docstring has the measurements).
+        with _static_loop_plans(spark, sym_parts):
+            for _ in range(max_iter):
+                # One round = min(own label, neighbors' labels), expressed
+                # as union + one aggregation instead of join + groupBy +
+                # LEFT join back (r14): each vertex's own (v, label) row
+                # rides the union, so vertices with no lower neighbor keep
+                # their label without the third exchange the join-back form
+                # paid. Same result; the only per-round shuffles move
+                # LABEL-sized rows.
+                contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
+                    F.col("dst").alias(vertex_col), F.col("component")
+                )
+                new_labels = (
+                    labels.unionByName(contrib)
+                    .groupBy(vertex_col)
+                    .agg(F.min("component").alias("component"))
+                    .localCheckpoint(eager=False)
+                )
+                new_sum = new_labels.agg(label_sum).collect()[0].s
+                labels = new_labels
+                if new_sum == prev_sum:
+                    converged = True
+                    break
+                prev_sum = new_sum
     finally:
         # The returned labels are already materialized (checkpointed) by
         # their convergence collect — the edge cache is loop-scoped.

@@ -85,6 +85,42 @@ def test_count_verify_jaccard_equals_set_verify(spark, tmp_path):
         exploded.unpersist()
 
 
+def test_static_loop_plans_sets_and_restores_confs(spark):
+    """The components loop's scoped conf override must apply inside the
+    block and restore the session values afterwards — including on an
+    exception mid-loop (the ADVICE r14 save/restore concern, solved with
+    the module lock + finally)."""
+    from dbt_parquet_spark.operators.graph import _static_loop_plans
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    with _static_loop_plans(spark, 3):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+    with pytest.raises(RuntimeError):
+        with _static_loop_plans(spark, 5):
+            raise RuntimeError("mid-loop failure")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+
+def test_connected_components_dedups_multiset_edges(spark):
+    """The loop's edge cache must carry each (src, dst) once even when the
+    edge feed is a multiset (cosine_neardup_edges emits a pair once per
+    agreeing chunk) — and the labels must equal the set-feed result."""
+    from dbt_parquet_spark.operators.graph import connected_components
+
+    rows = [(1, 2), (1, 2), (2, 3), (2, 3), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(rows, ["d1", "d2"])
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, vertex_col="id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_posting_multiplicity_is_intersection(spark, tmp_path):
     """The count form's precondition: one expansion row per shared DISTINCT
     shingle. Pinned directly — per-pair expansion multiplicity must equal
