@@ -1014,33 +1014,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, sf_dir, BM25_QUERY_TERMS, BM25_TOP_K)
 
 
-def bm25_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    terms: tuple[str, ...],
-    k: int,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """Reusable BM25 retrieval for any term query — see q_bm25_topk for
-    the scoring definition and the scale shape."""
-    import math
-
+def _bm25_stats(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> tuple[int | None, int, dict[str, int]]:
+    """(sum_dl, N, per-term df) for a term set — the scalars every BM25
+    scorer needs. ONE driver action (the r14 fused collect), memoized per
+    (application, corpus, term set) like the other fitted artifacts
+    (_W_CACHE / _IVF_CACHE / _PQBOOK_CACHE): a production BM25 stack stores
+    df and N in the index at build time and never recomputes them per
+    query — re-running the two-branch corpus aggregate on EVERY call of
+    every BM25-composed operator (topk, batch, hybrid, both evals, both
+    context packs) was the single biggest repeated action in the serving
+    family (r15, guide §1 job diet). Values are unchanged: same aggregates,
+    same types, same driver-side ln downstream."""
+    key = (spark.sparkContext.applicationId, sf_dir, tuple(sorted(set(terms))))
+    hit = _BM25_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
     from .dedup import doc_token_arrays
 
     toks = doc_token_arrays(spark, sf_dir)
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     tf = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*terms))
+        .filter(F.col("tok").isin(*key[2]))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # ONE driver action for every scalar the scorer needs (r14 job diet):
-    # the global (sum_dl, N) aggregate and the per-term document
-    # frequencies union into a single 1 + |terms| row collect over the
-    # cached token scaffold — previously two separate Spark actions per
-    # call. Values are unchanged (same aggregates, same types).
     sum_dl, n, dfreq = None, 0, {}
     for r in (
         dl.agg(
@@ -1063,6 +1063,46 @@ def bm25_topk(
             sum_dl, n = r.a, r.b
         else:
             dfreq[r.tok] = r.a
+    stats = (sum_dl, n, dfreq)
+    _BM25_STATS_CACHE[key] = stats
+    return stats
+
+
+# BM25 index-time statistics (sum_dl, N, df per term) per (application,
+# corpus, term set) — the *_CACHE naming keeps it visible to bench.py's
+# scaffold spy like every other memoized artifact.
+_BM25_STATS_CACHE: dict[tuple[str, str, tuple[str, ...]], tuple] = {}
+
+
+def release_bm25_stats_cache() -> None:
+    """Forget the memoized BM25 statistics (corpus-rewrite hygiene)."""
+    _BM25_STATS_CACHE.clear()
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Reusable BM25 retrieval for any term query — see q_bm25_topk for
+    the scoring definition and the scale shape."""
+    import math
+
+    from .dedup import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Index-time scalars (memoized; one fused action on first use).
+    sum_dl, n, dfreq = _bm25_stats(spark, sf_dir, terms)
     # empty corpus: tf is empty so the value never matters, but the
     # expression must still build (BaseEmpty parity)
     avgdl = float(sum_dl) / float(n) if n else 1.0
@@ -1210,30 +1250,8 @@ def bm25_batch_topk(
     )
     # one idf per DISTINCT term (|terms| scalars on the driver — the
     # dsir_llr_table discipline; see q_bm25_topk's cross-engine ln note);
-    # global stats + dfs fused into ONE action (r14 job diet, same as
-    # bm25_topk above).
-    sum_dl, n, dfreq = None, 0, {}
-    for r in (
-        dl.agg(
-            F.sum("dl").cast("long").alias("a"),
-            F.count(F.lit(1)).cast("long").alias("b"),
-        )
-        .select(F.lit(None).cast("string").alias("tok"), "a", "b")
-        .unionByName(
-            tf.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .select(
-                "tok",
-                F.col("df").cast("long").alias("a"),
-                F.lit(None).cast("long").alias("b"),
-            )
-        )
-        .collect()
-    ):
-        if r.tok is None:
-            sum_dl, n = r.a, r.b
-        else:
-            dfreq[r.tok] = r.a
+    # index-time scalars memoized (one fused action on first use — r15).
+    sum_dl, n, dfreq = _bm25_stats(spark, sf_dir, tuple(all_terms))
     avgdl = float(sum_dl) / float(n) if n else 1.0
     idf_col = F.lit(None).cast("double")
     for term in all_terms:

@@ -121,6 +121,45 @@ def test_connected_components_dedups_multiset_edges(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_ranking_metrics_empty_run_emits_zeroed_cutoffs(spark):
+    """ADVICE r14: the seeded metrics aggregation emits one zeroed row per
+    cutoff for a run with NO overlapping qrels — matching the oracle's
+    `ks LEFT JOIN` semantics. Pinned so the (intentional) latent-divergence
+    fix stays protected."""
+    from dbt_parquet_spark.operators.serving import EVAL_CUTOFFS, _ranking_metrics
+
+    SF = "/root/testdata/sf0.001"
+    # doc_ids far outside the corpus id range -> zero qrels overlap
+    ranked = spark.createDataFrame(
+        [(10_000_000 + i, i) for i in range(1, 11)], "doc_id long, r long"
+    )
+    rows = {r.k: r for r in _ranking_metrics(spark, SF, ranked).collect()}
+    assert set(rows) == set(EVAL_CUTOFFS)
+    for k in EVAL_CUTOFFS:
+        r = rows[k]
+        assert (r.n_rel_topk, r.prec_ppm, r.mrr_ppm, r.dcg_ppm) == (0, 0, 0, 0)
+
+
+def test_bm25_stats_memo_single_action(spark):
+    """The BM25 index-time statistics must be collected once per
+    (application, corpus, term set) and served from the memo afterwards —
+    and the memoized scalars must equal a fresh recomputation."""
+    from dbt_parquet_spark.operators import text as t
+
+    SF = "/root/testdata/sf0.001"
+    t._BM25_STATS_CACHE.clear()
+    s1 = t._bm25_stats(spark, SF, t.BM25_QUERY_TERMS)
+    assert len(t._BM25_STATS_CACHE) == 1
+    s2 = t._bm25_stats(spark, SF, t.BM25_QUERY_TERMS)
+    assert s2 is s1  # served from the memo, no second action
+    # order-insensitive key: a permuted term tuple hits the same entry
+    s3 = t._bm25_stats(spark, SF, tuple(reversed(t.BM25_QUERY_TERMS)))
+    assert s3 is s1
+    t._BM25_STATS_CACHE.clear()
+    assert t._bm25_stats(spark, SF, t.BM25_QUERY_TERMS) == s1
+    t._BM25_STATS_CACHE.clear()
+
+
 def test_posting_multiplicity_is_intersection(spark, tmp_path):
     """The count form's precondition: one expansion row per shared DISTINCT
     shingle. Pinned directly — per-pair expansion multiplicity must equal
