@@ -204,20 +204,28 @@ class _SpyDict(dict):
         return present
 
 
-def _instrument_caches() -> list:
+def _instrument_caches() -> tuple[list, list]:
     """Swap every dbt_parquet_spark module-level ``*_CACHE`` dict for a
-    hit-counting spy. Generic by NAME CONVENTION so new scaffold caches are
-    covered automatically — no hand-maintained list to rot."""
-    spies = []
+    hit-counting spy, and every ``*_MEMO`` dict for a SEPARATE spy class
+    (r15, VERDICT_r14 what's-wrong #4: metadata memos — footer probes,
+    resolved-plan handles, row counts — are instrumented DISTINCTLY rather
+    than exempt; the sidecar reports which queries rode them under
+    `meta_memo`, the line under `mm`). Generic by NAME CONVENTION so new
+    scaffolds/memos are covered automatically — no hand-maintained list to
+    rot. Returns (cache_spies, memo_spies)."""
+    spies: list = []
+    memo_spies: list = []
     for modname, mod in list(sys.modules.items()):
         if not modname.startswith("dbt_parquet_spark"):
             continue
         for attr, val in list(vars(mod).items()):
-            if attr.endswith("_CACHE") and type(val) is dict:
+            if type(val) is dict and (
+                attr.endswith("_CACHE") or attr.endswith("_MEMO")
+            ):
                 spy = _SpyDict(val)
                 setattr(mod, attr, spy)
-                spies.append(spy)
-    return spies
+                (spies if attr.endswith("_CACHE") else memo_spies).append(spy)
+    return spies, memo_spies
 
 
 def main() -> None:
@@ -330,14 +338,16 @@ def main() -> None:
     # gets one extra rep of budget. A throwing query costs one error row,
     # never the artifact: the loop isolates per-query failures so the
     # JSON line always carries whatever ran.
-    spies = _instrument_caches()
+    spies, memo_spies = _instrument_caches()
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     warm_cache: list[str] = []
+    meta_memo: list[str] = []
     extra = 1 if contended else 0
     for name in names:
         hits_before = sum(s.hits for s in spies)
+        memo_before = sum(s.hits for s in memo_spies)
         runs: list[float] = []
         for attempt in range(5 + extra):
             t0 = time.perf_counter()
@@ -355,6 +365,8 @@ def main() -> None:
         if name not in errors and runs:
             if sum(s.hits for s in spies) > hits_before:
                 warm_cache.append(name)
+            if sum(s.hits for s in memo_spies) > memo_before:
+                meta_memo.append(name)
             # steady spread EXCLUDES rep 1 (which carries per-query plan
             # compilation/codegen and any scaffold build): on a quiet box
             # the remaining reps agree within a few percent, so a large
@@ -453,6 +465,10 @@ def main() -> None:
     if warm_cache:
         # count only on the compact line; the sidecar carries the names
         out["warm_cache_count"] = len(warm_cache)
+    if meta_memo:
+        # metadata-memo riders (footer/schema/row-count memos), reported
+        # distinctly from result scaffolds; names in the sidecar
+        out["mm"] = len(meta_memo)
 
     def _encode(sel: list[str]) -> str:
         out["queries"] = {k: round(timings[k], 2) for k in sorted(sel)}
@@ -484,6 +500,7 @@ def main() -> None:
         queries=timings,
         spreads=spreads,
         warm_cache=sorted(warm_cache),
+        meta_memo=sorted(meta_memo),
         reps="min-of-<=5, 5%-convergence early stop, no tier caps (r13)",
     )
     try:

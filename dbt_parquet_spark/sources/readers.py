@@ -35,14 +35,50 @@ def table_names(sf_dir: str) -> list[str]:
     return [t for t in TESTDATA_TABLES if os.path.exists(table_path(sf_dir, t))]
 
 
-# Footer-probe memo keyed by (path, mtime, size) — metadata, never data:
-# load_table re-probes the SAME immutable file on every call (each query
-# build, each bench rep), and the pyarrow open+footer-parse is a few ms of
-# pure Python per table per call. The stat key invalidates on any rewrite;
-# non-local / non-stattable paths bypass the memo. (Deliberately not named
-# *_CACHE: bench.py's scaffold-spy flags warm RESULT caches, and a schema
-# probe is not a result.)
-_NS_COLS_MEMO: dict[tuple[str, float, int], list[str]] = {}
+# Metadata memos (the *_MEMO family; bench.py's spy reports their hits
+# under a separate metadata class — distinct from the *_CACHE result
+# scaffolds, never exempt from instrumentation). Each memo is keyed BY
+# PATH holding a single (stat_key, value) entry, so a rewrite REPLACES the
+# entry instead of accumulating stale keys (ADVICE r15: the old
+# (path, mtime, size)-keyed dicts grew without bound across rewrites).
+# stat_key uses st_mtime_ns — nanosecond granularity where the filesystem
+# provides it, so a same-size rewrite within coarse-mtime resolution still
+# invalidates on any fs with fine timestamps. Bounded: _MEMO_MAX entries,
+# FIFO eviction (insertion order) — metadata for a 100k-table warehouse
+# must not live in driver dicts forever.
+_MEMO_MAX = 4096
+
+
+def _memo_get(memo: dict, path: str, stat_key):
+    hit = memo.get(path)
+    if hit is not None and hit[0] == stat_key:
+        return hit[1]
+    return None
+
+
+def _memo_put(memo: dict, path: str, stat_key, value) -> None:
+    if path not in memo and len(memo) >= _MEMO_MAX:
+        memo.pop(next(iter(memo)))  # FIFO: drop the oldest path
+    memo[path] = (stat_key, value)
+
+
+def _stat_key(path: str):
+    """(mtime_ns, size) for a single local file; None when the path is
+    remote, a directory (its mtime does not see nested partition writes),
+    or unstattable — callers bypass the memo then."""
+    if "://" in path or not os.path.isfile(path):
+        return None
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+# Footer-probe memo — metadata, never data: load_table re-probes the SAME
+# immutable file on every call (each query build, each bench rep), and the
+# pyarrow open+footer-parse is a few ms of pure Python per table per call.
+_NS_COLS_MEMO: dict[str, tuple] = {}
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
@@ -52,20 +88,14 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     engine reads (bare local path, file://, s3a://...); an unreachable or
     unlistable location degrades to "no nanos columns" rather than failing
     the read — Spark itself will surface a real IO error with context."""
-    key = None
-    if "://" not in path and os.path.isfile(path):
-        # single files only: a directory's mtime does not see writes in
-        # nested partition dirs, so partitioned tables always re-probe
-        try:
-            st = os.stat(path)
-            key = (path, st.st_mtime, st.st_size)
-        except OSError:
-            key = None
-        if key is not None and key in _NS_COLS_MEMO:
-            return _NS_COLS_MEMO[key]
+    sk = _stat_key(path)
+    if sk is not None:
+        hit = _memo_get(_NS_COLS_MEMO, path, sk)
+        if hit is not None:
+            return hit
     out = _ns_timestamp_columns_uncached(path)
-    if key is not None:
-        _NS_COLS_MEMO[key] = out
+    if sk is not None:
+        _memo_put(_NS_COLS_MEMO, path, sk, out)
     return out
 
 
@@ -193,18 +223,27 @@ def read_partitioned(spark: SparkSession, path: str, base_path: str | None = Non
     return df
 
 
-# Resolved-DataFrame memo for load_table, keyed (applicationId, path,
-# mtime, size) — the guide §6 file-listing/schema-cache discipline at the
-# engine layer: `spark.read.parquet(path)` pays ~70-100 ms of JVM
-# DataSource resolution (footer read + file-index build) on EVERY call,
-# and the operators re-load the same immutable testdata tables in every
-# builder invocation. A DataFrame is an immutable logical plan — reusing
-# it never reuses RESULTS (downstream derivations re-execute from the
-# files); the stat key invalidates on any rewrite; directories bypass
-# (their mtime does not see nested writes). Not *_CACHE by design:
-# bench.py's scaffold-spy flags warm result scaffolds, and a resolved
-# schema is not a result.
-_TABLE_DF_MEMO: dict[tuple[str, str, float, int], DataFrame] = {}
+# Resolved-DataFrame memo for load_table — the guide §6 file-listing/
+# schema-cache discipline at the engine layer: `spark.read.parquet(path)`
+# pays ~70-100 ms of JVM DataSource resolution (footer read + file-index
+# build) on EVERY call, and the operators re-load the same immutable
+# testdata tables in every builder invocation. A DataFrame is an immutable
+# logical plan — reusing it never reuses RESULTS (downstream derivations
+# re-execute from the files); the stat key invalidates on any rewrite;
+# directories bypass (their mtime does not see nested writes). Keyed by
+# (session, path): a DataFrame is bound to the SparkSession that analyzed
+# it, and two sessions of one application can differ in session-level SQL
+# confs (spark.sql.caseSensitive, ...), so the memo never hands session B
+# a plan analyzed under session A's settings (ADVICE r15).
+_TABLE_DF_MEMO: dict[tuple[str, str, str], tuple] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[str, str]:
+    try:
+        uuid = spark._jsparkSession.sessionUUID()
+    except Exception:  # noqa: BLE001 — connect/mocked sessions: best effort
+        uuid = str(id(spark))
+    return (spark.sparkContext.applicationId, uuid)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -212,31 +251,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     files — Spark handles both layouts; the reference is restricted to single
     files, reference relation.py:26-32 / README.md:49)."""
     path = table_path(sf_dir, name)
-    key = None
-    if "://" not in path and os.path.isfile(path):
-        try:
-            st = os.stat(path)
-            key = (spark.sparkContext.applicationId, path, st.st_mtime, st.st_size)
-        except OSError:
-            key = None
-        if key is not None:
-            hit = _TABLE_DF_MEMO.get(key)
-            if hit is not None:
-                return hit
+    sk = _stat_key(path)
+    if sk is not None:
+        app, uuid = _session_key(spark)
+        mkey = (app, uuid, path)
+        hit = _memo_get(_TABLE_DF_MEMO, mkey, sk)
+        if hit is not None:
+            return hit
     df = read_parquet(spark, path)
-    if key is not None:
-        _TABLE_DF_MEMO[key] = df
+    if sk is not None:
+        _memo_put(_TABLE_DF_MEMO, mkey, sk, df)
     return df
 
 
-# Footer row-count memo — same (path, mtime, size) discipline as the
-# probes above. Sizing decisions (e.g. the near-dup chunk width, which is
-# derived from ceil(log2 N)) only need parquet's footer num_rows; running
-# a Spark count() job for it costs a driver round-trip + scheduling wave
-# per query build. Single local files read the footer once per stat-key;
-# directories and remote paths fall back to a distributed count (None) —
-# at warehouse scale a footer-walk on the driver would be the wrong tool.
-_ROW_COUNT_MEMO: dict[tuple[str, float, int], int] = {}
+# Footer row-count memo — same path-keyed stat discipline as the probes
+# above. Sizing decisions (e.g. the near-dup chunk width, which is derived
+# from ceil(log2 N)) only need parquet's footer num_rows; running a Spark
+# count() job for it costs a driver round-trip + scheduling wave per query
+# build. Single local files read the footer once per stat-key; directories
+# and remote paths fall back to a distributed count — at warehouse scale a
+# footer-walk on the driver would be the wrong tool.
+_ROW_COUNT_MEMO: dict[str, tuple] = {}
 
 
 def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -244,20 +279,15 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     is a single local file (memoized by stat key), else via a Spark count
     job. Always equals ``load_table(...).count()``."""
     path = table_path(sf_dir, name)
-    if "://" not in path and os.path.isfile(path):
-        try:
-            st = os.stat(path)
-            key = (path, st.st_mtime, st.st_size)
-        except OSError:
-            key = None
-        if key is not None:
-            hit = _ROW_COUNT_MEMO.get(key)
-            if hit is None:
-                import pyarrow.parquet as pq
+    sk = _stat_key(path)
+    if sk is not None:
+        hit = _memo_get(_ROW_COUNT_MEMO, path, sk)
+        if hit is None:
+            import pyarrow.parquet as pq
 
-                hit = pq.ParquetFile(path).metadata.num_rows
-                _ROW_COUNT_MEMO[key] = hit
-            return hit
+            hit = pq.ParquetFile(path).metadata.num_rows
+            _memo_put(_ROW_COUNT_MEMO, path, sk, hit)
+        return hit
     return load_table(spark, sf_dir, name).count()
 
 
