@@ -17,9 +17,15 @@ backfill over historical files.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes the shuffle-partition cap's save/restore across threads: two
+# overlapping run_to_batch calls could otherwise race the restore and leave
+# the session capped (ADVICE r14).
+_CAP_LOCK = threading.RLock()
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
@@ -346,28 +352,32 @@ def run_to_batch(
     mode = output_mode or (
         "append" if not stream_df.isStreaming else _output_mode(stream_df)
     )
-    prev: str | None
-    try:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        cores = spark.sparkContext.defaultParallelism
-        if prev is None or int(prev) <= cores:
-            prev = None  # already <= cores: leave untouched
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", str(cores))
-    except (TypeError, ValueError):
-        prev = None
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # The cap's save/restore pair is serialized by _CAP_LOCK so overlapping
+    # runs cannot interleave (one run's restore would otherwise clobber the
+    # other's cap, or re-save the capped value as "previous").
+    with _CAP_LOCK:
+        prev: str | None
+        try:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            cores = spark.sparkContext.defaultParallelism
+            if prev is None or int(prev) <= cores:
+                prev = None  # already <= cores: leave untouched
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        except (TypeError, ValueError):
+            prev = None
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
