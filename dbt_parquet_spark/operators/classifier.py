@@ -296,7 +296,7 @@ def py_train_and_score(texts: list[str]) -> tuple[np.ndarray, list[int]]:
 # with map-side partials). The rank-sum AUC (Mann-Whitney U) needs a running
 # count of negatives below each score — computed hierarchically like
 # corpus.hierarchical_cumsum: band = score_ppm // 10000 (101 ordered bands),
-# band offsets via a broadcast theta-join, within-band prefix sums over a
+# band offsets via one window over the <=101-row band table, within-band prefix sums over a
 # PARTITIONED window (<= 10,000 rows per band, bounded at any scale). All
 # arithmetic stays integral until the single final division, so the result
 # is exact and order-free — pinned bit-identically against the pure-Python
@@ -324,12 +324,10 @@ def q_quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = hist.withColumn("band", (F.col("score_ppm") / 10000).cast("long"))
     band_totals = hist.groupBy("band").agg(F.sum("nneg").alias("tot"))
-    lower = band_totals.select(F.col("band").alias("band_lt"), "tot")
-    offsets = (
-        band_totals.select("band")
-        .join(F.broadcast(lower), F.col("band_lt") < F.col("band"), "left")
-        .groupBy("band")
-        .agg(F.coalesce(F.sum("tot"), F.lit(0)).alias("band_offset"))
+    from .corpus import banded_prefix_offsets
+
+    offsets = banded_prefix_offsets(
+        band_totals, [F.asc("band")], "tot", "band_offset"
     )
     win = (
         Window.partitionBy("band")

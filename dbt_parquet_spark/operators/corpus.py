@@ -14,6 +14,34 @@ from ..sources.readers import load_table
 TRAIN_THRESHOLD = "c" * 32  # md5-hex < 'cc…' ⇔ uniform ~75% of the hash space
 
 
+def banded_prefix_offsets(
+    totals: DataFrame,
+    order_cols: list,
+    total_col: str,
+    out_name: str,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Prefix sum of ``total_col`` over strictly-preceding band rows — ONE
+    window over the band-TOTALS table (r15, guide §2.4). The band space is
+    a fixed small domain by construction at every call site (≤ 64 log2
+    buckets, ≤ 256 hash/uniform bands, ≤ 101 score bands), so the window's
+    single task holds a bounded row count at ANY corpus size; the previous
+    broadcast theta-join (B² comparisons) + re-aggregation cost one
+    broadcast build and one extra exchange per evaluation for the same
+    integers. ``order_cols`` may contain F.desc(...)/column expressions;
+    pass ``partition_cols`` for per-group band spaces (perplexity's
+    per-source bands)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = [c for c in totals.columns if c != total_col]
+    return totals.select(
+        *keep, F.coalesce(F.sum(total_col).over(w), F.lit(0)).alias(out_name)
+    )
+
+
 @register(
     "q_vocabulary",
     oracle="""
@@ -49,19 +77,17 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("band", F.substring("token", 1, 2))
     )
-    # Level 2 — ≤64 log2(freq) buckets; their prefix sum is a broadcast
-    # theta-join over a ≤64-row table, not a window. (log2 is libm but only
-    # partitions the work — it never reaches the compared output.)
+    # Level 2 — ≤64 log2(freq) buckets; their prefix sum is one tiny window
+    # over the bucket-totals table. (log2 is libm but only partitions the
+    # work — it never reaches the compared output.)
     band_sizes = counts.groupBy("freq", "band").agg(F.count(F.lit(1)).alias("n_in_band"))
     freq_sizes = band_sizes.groupBy("freq").agg(F.sum("n_in_band").alias("n_in_freq"))
     bucketed = freq_sizes.withColumn("g", F.floor(F.log2("freq")))
     bucket_totals = bucketed.groupBy("g").agg(F.sum("n_in_freq").alias("n_in_bucket"))
-    hi = bucket_totals.select(F.col("g").alias("g_hi"), "n_in_bucket")
-    bucket_offsets = (
-        bucket_totals.select("g")
-        .join(F.broadcast(hi), F.col("g_hi") > F.col("g"), "left")
-        .groupBy("g")
-        .agg(F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("bucket_offset"))
+    # offset = mass of HIGHER-frequency buckets -> strictly-preceding rows
+    # in g DESC order (banded_prefix_offsets: one ≤64-row window, r15)
+    bucket_offsets = banded_prefix_offsets(
+        bucket_totals, [F.desc("g")], "n_in_bucket", "bucket_offset"
     )
     # Level 1 — frequencies within a bucket (log2 is monotone, so freq DESC
     # ⇔ bucket DESC then freq DESC within bucket); window partitioned by g.
@@ -640,8 +666,8 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hierarchical_cumsum(t: DataFrame, weight: str) -> DataFrame:
     """Running total of ``weight`` in global ``h`` (md5 hex) order, computed
     hierarchically so no stage is a one-task global sort: band = first 2
-    hex chars (256 ordered buckets), band totals -> offsets via a broadcast
-    theta-join over 256 rows, within-band prefix sum via a PARTITIONED
+    hex chars (256 ordered buckets), band totals -> offsets via one window
+    over the 256-row totals table, within-band prefix sum via a PARTITIONED
     window. Fixed-length prefix banding preserves global hash order across
     bands, so the result is bit-identical to a flat global window.
 
@@ -651,12 +677,8 @@ def hierarchical_cumsum(t: DataFrame, weight: str) -> DataFrame:
     """
     t = t.withColumn("band", F.substring("h", 1, 2))
     band_totals = t.groupBy("band").agg(F.sum(weight).alias("tot"))
-    hi = band_totals.select(F.col("band").alias("band_lt"), "tot")
-    band_offsets = (
-        band_totals.select("band")
-        .join(F.broadcast(hi), F.col("band_lt") < F.col("band"), "left")
-        .groupBy("band")
-        .agg(F.coalesce(F.sum("tot"), F.lit(0)).alias("band_offset"))
+    band_offsets = banded_prefix_offsets(
+        band_totals, [F.asc("band")], "tot", "band_offset"
     )
     w = (
         Window.partitionBy("band")

@@ -167,7 +167,7 @@ def q_dsir_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the running total is hierarchical, the q_token_budget_sample
     discipline re-banded for the weight order: 256 uniform weight bands
     from a one-row min/max agg (driver holds two longs), band totals →
-    offsets via a broadcast theta-join over ≤256 rows, within-band prefix
+    offsets via one window over the ≤256-row totals table, within-band prefix
     sums over a PARTITIONED window (~corpus/256 rows per band). Fixed
     uniform banding preserves the global (weight DESC, doc_id ASC) order
     across bands, so the result equals a flat global window bit-for-bit.
@@ -178,12 +178,10 @@ def q_dsir_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band 0 = most target-like; bands ascend as weight descends
     t = scored.withColumn("band", ((F.lit(hi) - F.col("weight_unats")) / step).cast("long"))
     band_totals = t.groupBy("band").agg(F.sum("n_tokens").alias("tot"))
-    prior = band_totals.select(F.col("band").alias("band_lt"), "tot")
-    offsets = (
-        band_totals.select("band")
-        .join(F.broadcast(prior), F.col("band_lt") < F.col("band"), "left")
-        .groupBy("band")
-        .agg(F.coalesce(F.sum("tot"), F.lit(0)).alias("band_offset"))
+    from .corpus import banded_prefix_offsets
+
+    offsets = banded_prefix_offsets(
+        band_totals, [F.asc("band")], "tot", "band_offset"
     )
     from pyspark.sql import Window
 

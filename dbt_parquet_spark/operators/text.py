@@ -861,7 +861,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: NO corpus-keyed window. The per-source rank is hierarchical
     (the classifier.py / selection.py band discipline): 256 uniform score
     bands from a one-row min/max agg, per-(source, band) counts -> rank
-    offsets via a broadcast theta-join over <=256*|sources| rows,
+    offsets via one source-partitioned window over <=256*|sources| rows,
     row_number only within (source, band) partitions (~corpus/256 rows).
     Banding by score preserves the global per-source order, so the result
     equals a flat per-source window bit-for-bit. The doc_id join to pick
@@ -880,18 +880,10 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = j.withColumn("band", F.expr(f"({hi} - avg_uppm) DIV {step}"))
 
     counts = t.groupBy("source", "band").agg(F.count(F.lit(1)).alias("c"))
-    prior = counts.select(
-        F.col("source").alias("src_lt"), F.col("band").alias("band_lt"), "c"
-    )
-    offsets = (
-        counts.select("source", "band")
-        .join(
-            F.broadcast(prior),
-            (F.col("src_lt") == F.col("source")) & (F.col("band_lt") < F.col("band")),
-            "left",
-        )
-        .groupBy("source", "band")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("band_offset"))
+    from .corpus import banded_prefix_offsets
+
+    offsets = banded_prefix_offsets(
+        counts, [F.asc("band")], "c", "band_offset", partition_cols=("source",)
     )
     nsrc = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
