@@ -483,11 +483,28 @@ def winnow_fingerprints(
     ).otherwise(F.array().cast("array<string>"))
     t = toks_df.select("doc_id", hs.alias("hs"))
     n_g = F.size("hs")
-    win_min = lambda j: F.array_min(F.slice(F.col("hs"), j, w))
-    sel = F.when(
+    # mins[j] = the minimal hash of window j, computed ONCE per window and
+    # bound as its own attribute (r15, guide §1.2 per-task work): the
+    # previous form re-evaluated array_min(slice(hs, j, w)) inside the
+    # per-position filter lambda — an O(W) string min W+1 times per window
+    # (O(grams·W²) total); with the bound array each re-reference is an
+    # O(1) element_at. The intermediate select is the same projection
+    # barrier doc_shingles uses: `mins` is referenced more than once by a
+    # non-trivial consumer, so CollapseProject keeps it materialized per
+    # row instead of re-inlining the min into every use.
+    mins = F.when(
         n_g >= w,
         F.transform(
             F.sequence(F.lit(1), n_g - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t2 = t.select("doc_id", "hs", mins.alias("mins"))
+    win_min = lambda j: F.element_at(F.col("mins"), j)
+    sel = F.when(
+        F.size("mins") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("mins")),
             lambda j: F.struct(
                 F.array_max(
                     F.filter(
@@ -500,7 +517,7 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,fp:string>>"))
     return (
-        t.select("doc_id", F.explode(sel).alias("x"))
+        t2.select("doc_id", F.explode(sel).alias("x"))
         .select("doc_id", F.col("x.pos").cast("long").alias("pos"), F.col("x.fp").alias("fp"))
         .distinct()
     )
