@@ -301,11 +301,6 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("s").alias("gram"))
     )
     by_gram = sv.groupBy("gram").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-    counts = (
-        by_gram.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     srcs = F.col("srcs")
     pair_arrays = F.flatten(
         F.transform(
@@ -316,11 +311,33 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    common = (
-        by_gram.filter(F.size("srcs") > 1)
-        .select(F.explode(pair_arrays).alias("p"))
+    # ONE pass over the gram table (r15, guide §2.4): per-source totals and
+    # per-pair commons expand from the SAME generate — each gram emits its
+    # source pairs plus one (source, NULL) marker per member source — and
+    # reduce in ONE (source_a, source_b)-keyed aggregation. The previous
+    # two-branch form (counts explode + pairs explode) planned and executed
+    # the full collect_set aggregation subtree twice. The result table `g`
+    # is S + S·(S−1)/2 rows (source cardinality is tens-to-hundreds by
+    # contract — see the docstring bound), persisted because three plan
+    # branches below consume it (the q_source_drift `cell` discipline:
+    # KB-scale, CacheManager dedups by plan across invocations).
+    marker = F.transform(
+        srcs,
+        lambda x: F.struct(
+            x.alias("source_a"), F.lit(None).cast("string").alias("source_b")
+        ),
+    )
+    g = (
+        by_gram.select(F.explode(F.concat(pair_arrays, marker)).alias("p"))
         .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    counts = g.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("source"), "n"
+    )
+    common = g.filter(F.col("source_b").isNotNull()).select(
+        "source_a", "source_b", F.col("n").alias("n_common")
     )
     pairs = (
         counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_distinct_a"))
