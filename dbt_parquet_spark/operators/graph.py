@@ -181,10 +181,24 @@ def connected_components(
                 contrib = sym.join(labels, sym.src == F.col(vertex_col)).select(
                     F.col("dst").alias(vertex_col), F.col("component")
                 )
+                # The coalesce (same width — a narrow pass-through) erases
+                # the checkpoint's recorded output partitioning. Without it
+                # a NON-adaptive materialization records the final
+                # HashPartitioning(vertex) into the checkpoint's LogicalRDD,
+                # and a LogicalRDD carrying expression-bearing partitioning
+                # breaks cache-plan matching after the analyzer
+                # de-duplicates multi-consumed lineage: every cached frame
+                # BUILT ON these labels (release's kept set) silently
+                # stopped substituting and re-executed its full lineage per
+                # consumer — measured 5 -> 20 warm jobs / ~1 s -> ~2.5 s on
+                # q_corpus_release before this line. (Adaptive
+                # materializations recorded UnknownPartitioning, which is
+                # why the r14 loop never hit this.)
                 new_labels = (
                     labels.unionByName(contrib)
                     .groupBy(vertex_col)
                     .agg(F.min("component").alias("component"))
+                    .coalesce(sym_parts)
                     .localCheckpoint(eager=False)
                 )
                 new_sum = new_labels.agg(label_sum).collect()[0].s

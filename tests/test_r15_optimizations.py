@@ -106,6 +106,32 @@ def test_static_loop_plans_sets_and_restores_confs(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
 
 
+def test_release_warm_rep_reads_kept_cache(spark):
+    """Regression pin for the LogicalRDD-partitioning cache poisoning: a
+    warm q_corpus_release rep must consume the memoized kept set through
+    its InMemoryRelation, not re-execute the dedup lineage per consumer.
+    Counted as Spark jobs: the cached warm plan runs in a handful of AQE
+    waves; the poisoned plan re-ran the full window/anti-join/percentile
+    lineage (20 jobs at sf0.1) because the non-adaptive loop materialization
+    recorded expression-bearing partitioning into the labels checkpoint."""
+    from dbt_parquet_spark.registry import load_all
+
+    from .conftest import SF_ORACLE
+
+    specs = load_all()
+    sc = spark.sparkContext
+    specs["q_corpus_release"].builder(spark, SF_ORACLE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sc.setJobGroup("warm-kept", "warm-kept")
+    specs["q_corpus_release"].builder(spark, SF_ORACLE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    jobs = len(sc.statusTracker().getJobIdsForGroup("warm-kept"))
+    sc.setJobGroup("", "")
+    assert jobs <= 10, f"warm q_corpus_release ran {jobs} jobs — kept cache missed"
+
+
 def test_connected_components_dedups_multiset_edges(spark):
     """The loop's edge cache must carry each (src, dst) once even when the
     edge feed is a multiset (cosine_neardup_edges emits a pair once per
