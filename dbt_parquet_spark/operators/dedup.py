@@ -875,43 +875,53 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge count, not the corpus. Full-outer on (d1, d2) shuffles by the
     pair key once per leg.
     """
-    from .multimodal import THUMB_BYTES, as_media_table
+    from .multimodal import THUMB_BYTES
     from .text import OVERLAP_MIN_FPS, q_winnow_overlap
 
     jac = q_dedup_ngram_jaccard(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    # Exact + media legs fused into ONE scan and ONE exchange (r15, guide
+    # §2.4): both hashes derive from the same documents row (the media
+    # payload is the text's utf-8 bytes), so one projection emits BOTH,
+    # a generate unpivots them to (kind, h) rows, and a single
+    # (kind, h)-keyed groupBy replaces the two separate hash groupBys —
+    # the kind column keeps the two hash spaces disjoint, so bucket
+    # membership (and therefore every emitted pair) is unchanged. The
+    # previous shape scanned documents twice and paid two exchanges.
     # No bucket cap here: every pair of identical docs IS output (the
     # oracle's exact_pairs leg is pair-complete), so the output itself is
     # quadratic in an identical-content cluster. chunked_pair_expansion
     # keeps per-row memory linear in the cluster size regardless.
-    hb = (
-        hashed.groupBy("h")
+    # media payload = encode(text, utf-8) (as_media_table), and the thumb
+    # hash reads it back through a string cast — written out inline here so
+    # one projection provably computes the identical bytes both legs hashed.
+    payload_str = F.encode("text", "utf-8").cast("string")
+    both = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("e").alias("kind"), F.md5("text").alias("h")),
+                F.struct(
+                    F.lit("m").alias("kind"),
+                    F.md5(F.substring(payload_str, 1, THUMB_BYTES)).alias("h"),
+                ),
+            )
+        ).alias("kh"),
+    ).select("doc_id", F.col("kh.kind").alias("kind"), F.col("kh.h").alias("h"))
+    kb = (
+        both.groupBy("kind", "h")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    exact = (
-        chunked_pair_expansion(hb, "ids")
-        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
-        .withColumn("is_exact", F.lit(True))
+    hash_pairs = (
+        kb.select("kind", F.col("ids"), F.posexplode("ids").alias("i", "x"))
+        .select(
+            "kind",
+            "x",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("y"),
+        )
     )
     wov = q_winnow_overlap(spark, sf_dir)
-    # Media leg: thumbnail-hash collisions over the binary payloads (same
-    # groupBy + chunked-expansion discipline as the exact leg).
-    thumbs = as_media_table(docs).select(
-        "doc_id",
-        F.md5(F.substring(F.col("payload").cast("string"), 1, THUMB_BYTES)).alias("th"),
-    )
-    tb = (
-        thumbs.groupBy("th")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    media = (
-        chunked_pair_expansion(tb, "ids")
-        .select(F.col("x").alias("d1"), F.col("y").alias("d2"))
-        .withColumn("is_media_dup", F.lit(True))
-    )
     # Fusion as union + ONE pair-keyed aggregation (r14, guide §2.4): each
     # leg emits at most one row per (d1, d2), so max-per-column over the
     # union reproduces the coalesced full-outer join exactly — one
@@ -929,9 +939,15 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_b.alias("is_media_dup"),
         )
         .unionByName(
-            exact.select(
-                "d1", "d2", null_d.alias("jaccard"), "is_exact",
-                null_l.alias("n_shared_fps"), null_b.alias("is_media_dup"),
+            # the fused exact+media leg: 'e' rows set is_exact, 'm' rows
+            # set is_media_dup — one union branch, exactly the rows the
+            # two separate legs contributed
+            hash_pairs.select(
+                F.col("x").alias("d1"), F.col("y").alias("d2"),
+                null_d.alias("jaccard"),
+                F.when(F.col("kind") == "e", F.lit(True)).otherwise(null_b).alias("is_exact"),
+                null_l.alias("n_shared_fps"),
+                F.when(F.col("kind") == "m", F.lit(True)).otherwise(null_b).alias("is_media_dup"),
             )
         )
         .unionByName(
@@ -939,12 +955,6 @@ def q_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d1", "d2", null_d.alias("jaccard"), null_b.alias("is_exact"),
                 F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
                 null_b.alias("is_media_dup"),
-            )
-        )
-        .unionByName(
-            media.select(
-                "d1", "d2", null_d.alias("jaccard"), null_b.alias("is_exact"),
-                null_l.alias("n_shared_fps"), "is_media_dup",
             )
         )
         .groupBy("d1", "d2")
