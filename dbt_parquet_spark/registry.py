@@ -95,48 +95,50 @@ _PRIORITY = (
     "q_window_rank",
     "q_seed_roundtrip",
     "q_schema_introspect",
-    # ---- r14 rotation (32 slots, none ever driver-checked in r1-r13) ----
-    # versioned lake round-out: the r14 additions (timestamp travel,
-    # shallow clone, CDC apply, CHECK constraints), the r13 late-round
-    # queries that registered after the r13 window pinned, and Z-order
-    "q_time_travel_ts",
-    "q_versioned_clone",
-    "q_cdc_apply",
-    "q_constraint_audit",
-    "q_versioned_merge_mor",
-    "q_version_changes_feed",
-    "q_zorder_layout",
-    # materialization / sources
-    "q_materialize_roundtrip",
-    "q_cluster_roundtrip",
-    "q_bucketed_join",
-    "q_format_roundtrip",
-    "q_partitioned_scan",
-    # SQL edge semantics
-    "q_full_outer",
-    "q_recursive_cte",
-    "q_quantified",
-    "q_not_in_with_nulls",
-    "q_null_safe_eq",
-    "q_nulls_ordering",
-    "q_limit_offset",
-    "q_division_semantics",
-    # windows / analytics
-    "q_retention",
-    "q_event_transitions",
-    "q_pct_of_total",
-    "q_window_running",
-    "q_interpolate",
-    # temporal / snapshots
-    "q_asof_forward",
-    "q_scd2_history",
-    "q_pit_join",
-    # text analysis
-    "q_fingerprint",
-    "q_repetition_score",
-    # sketches
-    "q_kmv_intersection",
-    "q_bloom_semi_join",
+    # ---- r15 rotation (32 slots, none ever driver-checked in r1-r14) ----
+    # Biased toward the operator paths the r15 optimization round rewrote,
+    # so the driver's own value-hash pass certifies the rewrites
+    # equivalence-preserving: components/release (graph.py loop changes),
+    # the dedup/winnow evidence family, BM25/serving compositions, and the
+    # banded-cumsum consumers.
+    # components / release compositions (r15 §3 loop + checkpoint changes)
+    "q_embedding_dedup_components",
+    "q_canonical_docs",
+    "q_dedup_components_star",
+    "q_corpus_release",
+    "q_release_substring_scrub",
+    # dedup / winnow / text evidence family (r14 §8, r15 §1/§6)
+    "q_substring_evidence",
+    "q_substring_scrub",
+    "q_winnow_overlap",
+    "q_cooccurrence_capped",
+    "q_inverted_index",
+    "q_term_saliency",
+    # LM family (BM25-stat memo + KN paths unchanged-by-value)
+    "q_kneser_ney",
+    "q_kn_doc_score",
+    "q_lm_doc_score",
+    "q_vocab_coverage",
+    # similarity / serving (r14 §6 spread scan, r15 §4 BM25 memo consumers)
+    "q_knn_eval",
+    "q_retrieval_eval_hybrid",
+    "q_context_pack_batch",
+    "q_text_chunks",
+    "q_embedding_quantize",
+    # selection / audit / sketches (r15 §5 banded offsets, §7 one-pass grams)
+    "q_profile_table",
+    "q_mixture_budget",
+    "q_priority_sample",
+    "q_semantic_decontamination",
+    "q_source_overlap",
+    "q_heavy_hitters",
+    # SQL surface / windows round-out
+    "q_explode",
+    "q_date_spine",
+    "q_listagg_distinct",
+    "q_window_range_frame",
+    "q_struct_reshape",
+    "q_bitwise_agg",
 )
 
 

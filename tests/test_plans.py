@@ -216,13 +216,30 @@ def test_span_dedup_single_posting_shuffle(spark):
     assert plan.count("SortMergeJoin") <= 1  # only the doc_id reconstruction join
 
 
+def _assert_banded_cumsum(plan: str) -> None:
+    """r15 banded_prefix_offsets shape: the CORPUS-sized running sum stays
+    partitioned by band, and the only SinglePartition exchange allowed is
+    the one-window prefix sum over the band-TOTALS aggregate (a fixed
+    ≤64/256-row domain at any corpus size — guide §2.4). A flat global
+    running sum over corpus rows would put the Sort+Window's SinglePartition
+    directly over the scan/cache, which this keeps failing."""
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(band" in plan  # corpus cumsum is banded
+    lines = plan.splitlines()
+    singles = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert len(singles) <= 1, plan
+    for i in singles:
+        # the exchange's child must be the bounded band-totals aggregate
+        child = "\n".join(lines[i + 1 : i + 3])
+        assert "HashAggregate(keys=[band" in child, plan
+
+
 def test_token_budget_sample_no_global_window(spark):
     # the cumulative char sum must be hierarchical (banded) — a flat global
-    # running sum would show up as an Exchange SinglePartition feeding a
-    # Sort+Window, the one-task shape that dies at corpus scale.
-    plan = _plan(spark, "q_token_budget_sample")
-    assert "Exchange SinglePartition" not in plan
-    assert "CartesianProduct" not in plan
+    # running sum over corpus rows is the one-task shape that dies at scale.
+    # r15: the band-offset prefix sum is ONE bounded window over the totals
+    # table (banded_prefix_offsets) instead of a broadcast theta-join.
+    _assert_banded_cumsum(_plan(spark, "q_token_budget_sample"))
 
 
 def test_dedup_evidence_fusion_shape(spark):
@@ -302,6 +319,13 @@ def test_no_corpus_keyed_windows_in_source():
         ("graph.py", ("component_id",)),  # dup-cluster sized
         ("release.py", ("component_id",)),  # canonical argmax per cluster
         ("audit.py", ("component_id",)),  # same canonical argmax, audit view
+        # r15 drop-reasons single pass: the per-source quality threshold is
+        # percentile() OVER (PARTITION BY source) on the kept rows — the
+        # value set each partition buffers is the SAME per-source set the
+        # old percentile AGGREGATE (TypedImperative, no partial reduction)
+        # buffered in one reducer; skew posture unchanged, one lineage
+        # instead of two (guide §2.4, VERDICT_r14 #5)
+        ("audit.py", ("source",)),
         # epoch order: rank within (epoch, hash-band shard) — corpus/fanout
         # rows per partition, uniform by md5 avalanche (shards.py band rule)
         ("shards.py", ("epoch", "shard_id")),
@@ -333,10 +357,9 @@ def test_no_corpus_keyed_windows_in_source():
 
 def test_bpe_budget_sample_no_global_window(spark):
     # same property as the char-budget sampler: the running BPE-token total
-    # must be the hierarchical banded cumsum, never a one-task global sort.
-    plan = _plan(spark, "q_bpe_budget_sample")
-    assert "Exchange SinglePartition" not in plan
-    assert "CartesianProduct" not in plan
+    # must be the hierarchical banded cumsum, never a one-task global sort
+    # over corpus rows (the bounded totals window is the permitted r15 shape).
+    _assert_banded_cumsum(_plan(spark, "q_bpe_budget_sample"))
 
 
 def test_corpus_release_composed_shape(spark):

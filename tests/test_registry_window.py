@@ -31,52 +31,54 @@ CONTRACT_QUERIES = {
     "q_schema_introspect",
 }
 
-# r14 ROTATION (the r12 verdict's standing policy): the permanent 18
+# r15 ROTATION (the r12 verdict's standing policy): the permanent 18
 # contract slots plus 32 oracle-backed queries the driver never
-# value-hash-checked in rounds 1-13. Rotated-out queries (the r13 window's
-# versioned/gates/retrieval set, streaming, dedup, ...) remain registered
+# value-hash-checked in rounds 1-14. Rotated-out queries (the r14 window's
+# versioned-lake/materialization/edge-semantics set, ...) remain registered
 # and remain bit-exact-checked locally by tests/test_oracle_parity.py —
-# rotation widens the driver's CUMULATIVE coverage.
+# rotation widens the driver's CUMULATIVE coverage. The r15 picks are
+# biased toward the paths this optimization round rewrote (components/
+# release loop, dedup/winnow evidence, BM25/serving compositions, banded
+# cumsum consumers) so the driver itself certifies the rewrites.
 ROTATION_IN_WINDOW = {
-    # versioned lake round-out (r14 additions + r13 late registrations)
-    "q_time_travel_ts",
-    "q_versioned_clone",
-    "q_cdc_apply",
-    "q_constraint_audit",
-    "q_versioned_merge_mor",
-    "q_version_changes_feed",
-    "q_zorder_layout",
-    # materialization / sources
-    "q_materialize_roundtrip",
-    "q_cluster_roundtrip",
-    "q_bucketed_join",
-    "q_format_roundtrip",
-    "q_partitioned_scan",
-    # SQL edge semantics
-    "q_full_outer",
-    "q_recursive_cte",
-    "q_quantified",
-    "q_not_in_with_nulls",
-    "q_null_safe_eq",
-    "q_nulls_ordering",
-    "q_limit_offset",
-    "q_division_semantics",
-    # windows / analytics
-    "q_retention",
-    "q_event_transitions",
-    "q_pct_of_total",
-    "q_window_running",
-    "q_interpolate",
-    # temporal / snapshots
-    "q_asof_forward",
-    "q_scd2_history",
-    "q_pit_join",
-    # text analysis
-    "q_fingerprint",
-    "q_repetition_score",
-    # sketches
-    "q_kmv_intersection",
-    "q_bloom_semi_join",
+    # components / release compositions (r15 graph-loop changes)
+    "q_embedding_dedup_components",
+    "q_canonical_docs",
+    "q_dedup_components_star",
+    "q_corpus_release",
+    "q_release_substring_scrub",
+    # dedup / winnow / text evidence family
+    "q_substring_evidence",
+    "q_substring_scrub",
+    "q_winnow_overlap",
+    "q_cooccurrence_capped",
+    "q_inverted_index",
+    "q_term_saliency",
+    # LM family
+    "q_kneser_ney",
+    "q_kn_doc_score",
+    "q_lm_doc_score",
+    "q_vocab_coverage",
+    # similarity / serving
+    "q_knn_eval",
+    "q_retrieval_eval_hybrid",
+    "q_context_pack_batch",
+    "q_text_chunks",
+    "q_embedding_quantize",
+    # selection / audit / sketches
+    "q_profile_table",
+    "q_mixture_budget",
+    "q_priority_sample",
+    "q_semantic_decontamination",
+    "q_source_overlap",
+    "q_heavy_hitters",
+    # SQL surface / windows round-out
+    "q_explode",
+    "q_date_spine",
+    "q_listagg_distinct",
+    "q_window_range_frame",
+    "q_struct_reshape",
+    "q_bitwise_agg",
 }
 
 
