@@ -1,8 +1,13 @@
 # Common targets. SF dir override: make bench SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01
 .PHONY: test bench plans inventory verify example
 
+# driver-facing fast tier (tests marked `slow` are deselected by default;
+# see tests/conftest.py). `make test-full` runs everything.
 test:
 	python -m pytest tests/ -x -q
+
+test-full:
+	SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -x -q
 
 bench:
 	python bench.py
