@@ -131,6 +131,19 @@ def build(out: str) -> None:
     print(f"built {out} (REPL={REPL})")
 
 
+def _spin_s() -> float:
+    """Single-thread CPU canary (bench.py's instrument): the host's speed
+    epochs swing 2-3x on this box, and the 8- vs 32-core runs are separate
+    subprocesses — a ratio whose two sides ran in different epochs is
+    garbage. Each run prints its canary so the artifact shows whether the
+    pair is comparable (sp within ~15% of each other)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def run(sf_dir: str, queries: list[str]) -> None:
     from dbt_parquet_spark.registry import load_all
     from dbt_parquet_spark.session import get_spark
@@ -147,6 +160,7 @@ def run(sf_dir: str, queries: list[str]) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "1m")
     specs = load_all()
+    sp0 = _spin_s()
     out = {}
     for name in queries:
         walls = []
@@ -158,7 +172,7 @@ def run(sf_dir: str, queries: list[str]) -> None:
             walls.append(round(time.perf_counter() - t0, 2))
         out[name] = min(walls)
     print(json.dumps({"cpus": os.environ.get("SPARK_GRAFT_CPUS"), "sf_dir": sf_dir,
-                      "queries": out}))
+                      "queries": out, "sp0": sp0, "sp1": _spin_s()}))
 
 
 def ratio(sf_dir: str, queries: list[str]) -> None:
